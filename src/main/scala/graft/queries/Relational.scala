@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.dsl.{BoolSetCompiler, Parser}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators from SURVEY.md §2 (scans, projections,
+  * filters, joins, aggregations, sorts/top-k), exercised over the driver
+  * testdata star schema with DuckDB oracles.
+  *
+  * Scale notes: dimension tables (region/nation/customer/supplier/part) are
+  * broadcast explicitly; fact-side aggregations rely on Catalyst partial
+  * aggregation (map-side combine); top-k compiles to TakeOrderedAndProject
+  * (no full sort). Double-valued aggregates are rounded to 2 decimals in
+  * BOTH engines so float summation order can't flip the comparison.
+  */
+object Relational extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** ≙ SURVEY §2.4 A2/A4 + §2.2 P1/P4: filtered scan → groupBy agg →
+    * sort. TPC-H Q1 shape over lineitem.
+    */
+  val q1Agg: Q = Q(
+    "q1_agg",
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+            round(avg(l_quantity), 2) AS avg_qty,
+            count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '2000-01-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")))
+
+  /** ≙ SURVEY §2.5 O1: top-k by a sort column, DESC NULLS LAST, with an
+    * explicit key tiebreak so the result set is deterministic across
+    * engines. Plans as TakeOrderedAndProject.
+    */
+  val qTopk: Q = Q(
+    "q_topk",
+    Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders
+            ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
+            LIMIT 100"""),
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+        .limit(100))
+
+  /** ≙ SURVEY §2.3 J3/J7: multi-way star join (fact ⋈ broadcast dims) +
+    * revenue aggregation. TPC-H Q5 shape.
+    */
+  val qJoinStar: Q = Q(
+    "q_join_star",
+    Some("""SELECT n_name,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            count(*) AS n_rows
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY n_name"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(
+          broadcast(su),
+          li("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA")
+        .groupBy(n("n_name").as("n_name"))
+        .agg(
+          round(sum(li("l_extendedprice") * (lit(1) - li("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("n_name"))
+    })
+
+  /** ≙ SURVEY §2.3 J8/J9: left-outer join on a dimension key, nulls kept
+    * visible through coalesce.
+    */
+  val qLeftJoin: Q = Q(
+    "q_left_join",
+    Some("""SELECT coalesce(c_mktsegment, '(none)') AS segment,
+            count(*) AS n_orders,
+            round(sum(o_totalprice), 2) AS sum_price
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY coalesce(c_mktsegment, '(none)')
+            ORDER BY segment"""),
+    (s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("segment")))
+
+  /** ≙ SURVEY §2.4 A1: DISTINCT + ORDER BY. */
+  val qDistinctSort: Q = Q(
+    "q_distinct_sort",
+    Some("SELECT DISTINCT l_quantity AS quantity FROM lineitem ORDER BY quantity"),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_quantity").as("quantity"))
+        .distinct()
+        .orderBy(col("quantity")))
+
+  /** ≙ SURVEY §2.4 A3: scalar aggregate (single-row result). */
+  val qScalarAgg: Q = Q(
+    "q_scalar_agg",
+    Some("""SELECT max(o_orderkey) AS max_key, min(o_orderkey) AS min_key,
+            count(*) AS n_orders FROM orders"""),
+    (s, dir) =>
+      t(s, dir, "orders").agg(
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_orderkey")).as("min_key"),
+        count(lit(1)).as("n_orders")))
+
+  /** ≙ SURVEY §2.4 A7: COUNT(DISTINCT) inside HAVING. */
+  val qHavingCountDistinct: Q = Q(
+    "q_having_countd",
+    Some("""SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+            round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING count(DISTINCT l_suppkey) <= 2
+            ORDER BY l_orderkey"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("n_supp") <= 2)
+        .orderBy(col("l_orderkey")))
+
+  /** The flagship: the reference's DSL query shape end-to-end
+    * (SURVEY §2.8 + §2.3 J7 + §2.4 A5/A6/A7 + §2.5 O1), mapped onto the
+    * star schema: "orders whose part-brand set satisfies a boolean
+    * expression", with a price lower bound (≙ magnitude bounds), a
+    * distinct-brand count limit (≙ fault-count limit) and top-k by price
+    * (≙ rate). Runs through the real lexer → Pratt parser → Column
+    * compiler; the oracle is the SQL the reference would have generated.
+    */
+  val qDslTopk: Q = Q(
+    "q_dsl_topk",
+    Some("""SELECT o.o_orderkey AS o_orderkey,
+            max(o.o_orderstatus) AS o_orderstatus,
+            max(o.o_totalprice) AS o_totalprice
+            FROM orders o
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE o.o_totalprice IS NOT NULL AND o.o_totalprice >= 1000.0
+            GROUP BY o.o_orderkey
+            HAVING count(DISTINCT p.p_brand) <= 20
+              AND ((sum(CASE WHEN p.p_brand = 'Brand#1' THEN 1 ELSE 0 END) > 0)
+                AND ((sum(CASE WHEN p.p_brand = 'Brand#2' THEN 1 ELSE 0 END) > 0)
+                  OR (NOT (sum(CASE WHEN p.p_brand = 'Brand#3' THEN 1 ELSE 0 END) > 0))))
+            ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
+            LIMIT 100"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val tree = Parser.parse("Brand#1 & (Brand#2 | !Brand#3)", extraAtomChars = "#")
+      val compiled = BoolSetCompiler.compile(tree, col("p_brand"))
+      val aggCols =
+        Seq(
+          max(o("o_orderstatus")).as("o_orderstatus"),
+          max(o("o_totalprice")).as("o_totalprice"),
+          countDistinct(p("p_brand")).as("__n_brands")) ++ compiled.flagCols
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(o("o_totalprice").isNotNull && o("o_totalprice") >= 1000.0)
+        .groupBy(o("o_orderkey"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .filter(col("__n_brands") <= 20 && compiled.predicate)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+        .limit(100)
+    })
+
+  override def queries: Seq[Q] = Seq(
+    q1Agg, qTopk, qJoinStar, qLeftJoin, qDistinctSort, qScalarAgg,
+    qHavingCountDistinct, qDslTopk)
+}
