@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    graft.queries.Relational)
+    graft.queries.Relational,
+    graft.queries.Reshape)
 
   private lazy val allQueries: Seq[Q] = packs.flatMap(_.queries)
 

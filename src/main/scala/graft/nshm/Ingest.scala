@@ -1,0 +1,168 @@
+package graft.nshm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed re-expression of the reference's single-process ETL
+  * (`/root/reference/nshmdb/api.py`). The network fetch (GraphQL/zip,
+  * api.py:41-176) stays a driver-side shim out of engine scope; everything
+  * from raw file content onward is a DataFrame transform.
+  *
+  * Scale notes: the reference streams one branch at a time purely to bound
+  * memory (comments at api.py:498-505); the union-all + groupBy-sum here
+  * gets the same bound from Catalyst partial aggregation and distributes.
+  */
+object Ingest {
+
+  /** U2 (api.py:314-320): wide MFD table (one column per magnitude bin) →
+    * long (nshm_id, magnitude, rate), keeping positive rates. The
+    * magnitude arrives as a *column name* string → cast to double.
+    */
+  def meltMfds(wide: DataFrame, faultSystem: Int, idCol: String = "Section Index"): DataFrame = {
+    val magCols = wide.columns.filterNot(_ == idCol)
+    wide
+      .withColumnRenamed(idCol, "nshm_id")
+      .unpivot(
+        Array(col("nshm_id")),
+        magCols.map(c => col(s"`$c`")),
+        "magnitude",
+        "rate")
+      .withColumn("magnitude", col("magnitude").cast("double"))
+      .filter(col("rate") > 0)
+      .withColumn("fault_system", lit(faultSystem))
+  }
+
+  /** S5/U3 (api.py:362-398): ragged indices CSV — rows of
+    * `rupture_id, n, f1..fn` — to one (rupture_id, fault_id) row per pair.
+    * The reference's np.repeat of ids by counts ≡ `explode` of the sliced
+    * per-row fault-id array. Input: a single-column DataFrame of raw lines
+    * (e.g. `spark.read.text`); the header row is dropped by the numeric
+    * guard.
+    */
+  def parseRaggedIndices(lines: DataFrame, faultSystem: Int): DataFrame = {
+    val parts = split(col(lines.columns.head), ",")
+    lines
+      .select(parts.as("parts"))
+      .filter(col("parts").getItem(0).rlike("^[0-9]+$"))
+      .select(
+        col("parts").getItem(0).cast("long").as("rupture_id"),
+        slice(col("parts"), lit(3), col("parts").getItem(1).cast("int")).as("fault_ids"))
+      .select(col("rupture_id"), explode(col("fault_ids")).as("fault_id"))
+      .select(col("rupture_id"), col("fault_id").cast("long").as("fault_id"))
+      .withColumn("fault_system", lit(faultSystem))
+  }
+
+  /** J10 (api.py:336-360): rupture properties ⋈ annual rates on the
+    * rupture index, renamed to storage names.
+    */
+  def extractRuptures(
+      properties: DataFrame,
+      rates: DataFrame,
+      faultSystem: Int,
+      indexCol: String = "Rupture Index"): DataFrame =
+    properties
+      .join(rates, Seq(indexCol), "left")
+      .select(
+        col(s"`$indexCol`").cast("long").as("nshm_id"),
+        col("`Magnitude`").cast("double").as("magnitude"),
+        col("`Area (m^2)`").cast("double").as("area"),
+        col("`Length (m)`").cast("double").as("len"),
+        col("`Annual Rate`").cast("double").as("rate"))
+      .withColumn("fault_system", lit(faultSystem))
+
+  /** A8 (api.py:492-515): weighted logic-tree branch merge. The reference
+    * accumulates `rate += wᵢ·rateᵢ` sequentially (memory-streaming
+    * artifact); semantically it is union-all of weight-tagged branches →
+    * groupBy keys → Σ(w·rate), which distributes with map-side partial
+    * aggregation.
+    */
+  def mergeBranchRates(
+      branches: Seq[(Double, DataFrame)],
+      keyCols: Seq[String],
+      rateCol: String = "rate"): DataFrame = {
+    require(branches.nonEmpty, "No branches to merge.")
+    branches
+      .map { case (w, df) =>
+        df.select(keyCols.map(col) :+ (col(rateCol) * lit(w)).as("__wrate"): _*)
+      }
+      .reduce(_.unionByName(_))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__wrate")).as(rateCol))
+  }
+
+  /** A8 full-row variant: branch-invariant columns (magnitude/area/len…)
+    * come from the first branch (≙ api.py:481-485 parse-once comment),
+    * merged rates from all branches.
+    */
+  def mergeBranches(
+      branches: Seq[(Double, DataFrame)],
+      keyCols: Seq[String],
+      rateCol: String = "rate"): DataFrame = {
+    val merged = mergeBranchRates(branches, keyCols, rateCol)
+    val first = branches.head._2.drop(rateCol)
+    first.join(merged, keyCols)
+  }
+
+  /** U1 (api.py:546-562): vertical concat of per-system solutions. */
+  def stackSystems(solutions: Seq[DataFrame]): DataFrame = {
+    require(solutions.nonEmpty, "No solutions to stack.")
+    solutions.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** U5 (api.py:96-109): first-seen dedup on a natural key. */
+  def dedupFirstSeen(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.dropDuplicates(keyCols)
+
+  /** F3 (api.py:201-220): forward azimuth start→end + 90°, in [0, 360).
+    * Spherical great-circle azimuth (the reference uses an ellipsoidal
+    * geodesic; difference is negligible at trace-segment scale).
+    * Inputs/outputs in degrees; points are (lon, lat) like the reference.
+    */
+  def inferDipDirection(startLon: Double, startLat: Double, endLon: Double, endLat: Double): Double = {
+    val phi1 = math.toRadians(startLat)
+    val phi2 = math.toRadians(endLat)
+    val dLon = math.toRadians(endLon - startLon)
+    val azimuth = math.toDegrees(math.atan2(
+      math.sin(dLon) * math.cos(phi2),
+      math.cos(phi1) * math.sin(phi2) - math.sin(phi1) * math.cos(phi2) * math.cos(dLon)))
+    ((azimuth + 90) % 360 + 360) % 360
+  }
+
+  /** F4 (api.py:250-263): drop consecutive duplicate trace points. */
+  def removeRepeatedPoints(trace: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    trace.foldLeft(Vector.empty[(Double, Double)]) { (acc, p) =>
+      if (acc.nonEmpty && acc.last == p) acc else acc :+ p
+    }
+
+  /** F5 (api.py:268-277): build depth-aligned planes from consecutive
+    * WGS trace points. Top edge follows the trace at `topKm`; the bottom
+    * edge is offset horizontally by (bottom−top)/tan(dip) km in the dip
+    * direction (dip direction forced to 0 when dip == 90, ≙ api.py:276).
+    * Returns WGS-corner planes (storage space).
+    */
+  def planesFromTrace(
+      trace: Seq[(Double, Double)], // (lat, lon)
+      topKm: Double,
+      bottomKm: Double,
+      dipDeg: Double,
+      dipDirDeg: Double): Vector[Plane] = {
+    val effDipDir = if (dipDeg == 90.0) 0.0 else dipDirDeg
+    val widthKm =
+      if (dipDeg == 90.0) 0.0 else (bottomKm - topKm) / math.tan(math.toRadians(dipDeg))
+    val dirRad = math.toRadians(effDipDir)
+    // offset in metres: north component cos(dir), east component sin(dir)
+    val dN = widthKm * 1000.0 * math.cos(dirRad)
+    val dE = widthKm * 1000.0 * math.sin(dirRad)
+    trace.sliding(2).collect { case Seq((lat1, lon1), (lat2, lon2)) =>
+      val (n1, e1) = Nztm.wgsToNztm(lat1, lon1)
+      val (n2, e2) = Nztm.wgsToNztm(lat2, lon2)
+      val (bl1Lat, bl1Lon) = Nztm.nztmToWgs(n1 + dN, e1 + dE)
+      val (bl2Lat, bl2Lon) = Nztm.nztmToWgs(n2 + dN, e2 + dE)
+      Plane(Vector(
+        Vector(lat1, lon1, topKm * 1000),
+        Vector(lat2, lon2, topKm * 1000),
+        Vector(bl2Lat, bl2Lon, bottomKm * 1000),
+        Vector(bl1Lat, bl1Lon, bottomKm * 1000)))
+    }.toVector
+  }
+}
