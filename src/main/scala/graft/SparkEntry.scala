@@ -11,7 +11,10 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     graft.queries.Relational,
-    graft.queries.Reshape)
+    graft.queries.Reshape,
+    graft.queries.TextOps,
+    graft.queries.Dedup,
+    graft.queries.SimilarityQ)
 
   private lazy val allQueries: Seq[Q] = packs.flatMap(_.queries)
 

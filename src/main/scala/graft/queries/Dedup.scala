@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication extension pack over `documents`: exact (content hash),
+  * MinHash signatures + LSH banding, SimHash, and n-gram Jaccard
+  * near-dup pairs — every stage cross-checked against DuckDB via the
+  * md5-derived portable hash.
+  *
+  * Scale shape: shingling/hashing is embarrassingly parallel; MinHash
+  * reduces each doc to k longs (tiny shuffle); LSH banding turns
+  * all-pairs similarity into an equi-join on short bucket keys. Only the
+  * explicit Jaccard query is quadratic, and it is bounded to a candidate
+  * subset — at 100 TB that role is played by the LSH candidates.
+  */
+object Dedup extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val P = MinhashPrime
+
+  /** Exact dedup via full-content hash, per source. */
+  val qDedupExact: Q = Q(
+    "q_dedup_exact",
+    Some("""SELECT source, count(*) AS n_docs,
+            count(DISTINCT md5(text)) AS n_unique,
+            count(*) - count(DISTINCT md5(text)) AS n_dups
+            FROM documents GROUP BY source ORDER BY source"""),
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+        .orderBy(col("source")))
+
+  /** MinHash signatures: k=4 universal hashes over distinct 3-gram
+    * shingle hashes.
+    */
+  val qMinhashSig: Q = Q(
+    "q_minhash_sig", {
+      val sigs = MinhashParams.zipWithIndex
+        .map { case ((a, b), j) => s"min((h * $a + $b) % $P) AS sig$j" }
+        .mkString(", ")
+      Some(s"""WITH sh AS (
+                 SELECT doc_id, unnest(list_distinct(
+                   [substring(text, i, 3) FOR i IN range(1, length(text) - 1)])) AS s
+                 FROM documents WHERE length(text) >= 3),
+               h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh)
+               SELECT doc_id, $sigs FROM h GROUP BY doc_id ORDER BY doc_id""")
+    },
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+        .select(col("doc_id"), md5Hash32(col("s")).as("h"))
+      val aggs = minhashSigs(col("h"))
+      sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).orderBy(col("doc_id"))
+    })
+
+  /** LSH banding over the MinHash signatures: 2 bands × 2 rows; buckets
+    * holding >1 doc are the near-dup candidate sets.
+    */
+  val qLshBuckets: Q = Q(
+    "q_lsh_buckets", {
+      val sigs = MinhashParams.zipWithIndex
+        .map { case ((a, b), j) => s"min((h * $a + $b) % $P) AS sig$j" }
+        .mkString(", ")
+      Some(s"""WITH sh AS (
+                 SELECT doc_id, unnest(list_distinct(
+                   [substring(text, i, 3) FOR i IN range(1, length(text) - 1)])) AS s
+                 FROM documents WHERE length(text) >= 3),
+               h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+               sig AS (SELECT doc_id, $sigs FROM h GROUP BY doc_id),
+               bands AS (
+                 SELECT 0 AS band, concat_ws('_', sig0, sig1) AS bucket FROM sig
+                 UNION ALL
+                 SELECT 1 AS band, concat_ws('_', sig2, sig3) AS bucket FROM sig)
+               SELECT band, bucket, count(*) AS n_docs
+               FROM bands GROUP BY band, bucket HAVING count(*) > 1
+               ORDER BY band, bucket""")
+    },
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+        .select(col("doc_id"), md5Hash32(col("s")).as("h"))
+      val aggs = minhashSigs(col("h"))
+      val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val bands = sig
+        .select(lit(0).as("band"), concat_ws("_", col("sig0"), col("sig1")).as("bucket"))
+        .unionByName(
+          sig.select(lit(1).as("band"), concat_ws("_", col("sig2"), col("sig3")).as("bucket")))
+      bands
+        .groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("band"), col("bucket"))
+    })
+
+  /** 16-bit SimHash per document over token hashes. */
+  val qSimhash: Q = Q(
+    "q_simhash", {
+      val bitSums = (0 until 16)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS __bit$b")
+        .mkString(", ")
+      val combine = (0 until 16)
+        .map(b => s"CASE WHEN __bit$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+                 FROM documents),
+               h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks),
+               bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+               SELECT doc_id, $combine AS simhash FROM bits ORDER BY doc_id""")
+    },
+    (s, dir) => {
+      val h = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .select(col("doc_id"), md5Hash32(col("w")).as("h"))
+      val aggs = simhashBitAggs(col("h"))
+      h.groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), simhashFromBits().as("simhash"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Exact n-gram Jaccard near-dup pairs over a bounded candidate subset
+    * (doc_id < 100): shingle-explode, self-join on shingle, intersection
+    * counts vs set sizes.
+    */
+  val qNgramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    Some("""WITH sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                [substring(text, i, 3) FOR i IN range(1, length(text) - 1)])) AS s
+              FROM documents WHERE doc_id < 100 AND length(text) >= 3),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+            ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .filter(col("doc_id") < 100 && length(col("text")) >= 3)
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val inter = a
+        .join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(broadcast(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), Seq("doc_a"))
+        .join(broadcast(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), Seq("doc_b"))
+        .withColumn("jaccard_raw", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+        .filter(col("jaccard_raw") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+
+  override def queries: Seq[Q] =
+    Seq(qDedupExact, qMinhashSig, qLshBuckets, qSimhash, qNgramJaccard)
+}

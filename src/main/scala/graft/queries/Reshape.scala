@@ -197,7 +197,7 @@ object Reshape extends QueryPack {
       t(s, dir, "lineitem")
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          row_number().over(w).as("rn"),
+          row_number().over(w).cast("long").as("rn"),
           round(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
             .as("running_qty"))
         .orderBy(col("l_suppkey"), col("rn"))
