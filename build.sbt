@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of codegen'd stages in one JVM: the default 240m code cache
+  // fills mid-run and the JIT compile queue backs up, leaving hot
+  // generated loops interpreted for tens of seconds.
+  "-XX:ReservedCodeCacheSize=512m",
 )

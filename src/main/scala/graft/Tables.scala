@@ -15,6 +15,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Load and hash-repartition on `keyCol` to the session default
+    * parallelism. Use before per-row-heavy pipelines (shingling, hashing,
+    * vector math): the testdata parquet is a single row-group per table,
+    * so a bare scan is ONE partition and compute-bound stages would
+    * otherwise serialize on 1 core regardless of cluster size. At 100 TB
+    * the same principle holds — compute parallelism must come from an
+    * explicit distribution key, not the accident of file layout.
+    */
+  def loadDistributed(spark: SparkSession, dir: String, name: String, keyCol: String): DataFrame = {
+    val df = load(spark, dir, name)
+    df.repartition(spark.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(keyCol))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")

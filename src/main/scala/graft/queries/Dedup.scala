@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object Dedup extends QueryPack {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadDistributed(s, dir, "documents", "doc_id")
 
   private val P = MinhashPrime
 
@@ -92,10 +92,13 @@ object Dedup extends QueryPack {
         .select(col("doc_id"), md5Hash32(col("s")).as("h"))
       val aggs = minhashSigs(col("h"))
       val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      // single pass over the signatures: explode to (band, bucket) rather
+      // than a union that would recompute the shingling subtree per band
       val bands = sig
-        .select(lit(0).as("band"), concat_ws("_", col("sig0"), col("sig1")).as("bucket"))
-        .unionByName(
-          sig.select(lit(1).as("band"), concat_ws("_", col("sig2"), col("sig3")).as("bucket")))
+        .select(explode(array(
+          struct(lit(0).as("band"), concat_ws("_", col("sig0"), col("sig1")).as("bucket")),
+          struct(lit(1).as("band"), concat_ws("_", col("sig2"), col("sig3")).as("bucket")))).as("b"))
+        .select(col("b.band").as("band"), col("b.bucket").as("bucket"))
       bands
         .groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"))

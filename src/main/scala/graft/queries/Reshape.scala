@@ -25,7 +25,7 @@ object Reshape extends QueryPack {
             SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
             ORDER BY l_orderkey, l_linenumber, metric"""),
     (s, dir) =>
-      t(s, dir, "lineitem")
+      Tables.loadDistributed(s, dir, "lineitem", "l_orderkey")
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_tax")),
@@ -45,7 +45,7 @@ object Reshape extends QueryPack {
             ORDER BY n DESC, word
             LIMIT 50"""),
     (s, dir) =>
-      t(s, dir, "documents")
+      Tables.loadDistributed(s, dir, "documents", "doc_id")
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy(col("word"))
@@ -231,7 +231,7 @@ object Reshape extends QueryPack {
             GROUP BY 1
             ORDER BY k_mod"""),
     (s, dir) =>
-      t(s, dir, "events")
+      Tables.loadDistributed(s, dir, "events", "event_id")
         .select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
         .groupBy(col("k_mod"))
         .agg(count(lit(1)).as("n"))

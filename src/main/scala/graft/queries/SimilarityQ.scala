@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQ extends QueryPack {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Tables.loadDistributed(s, dir, "embeddings", "vec_id")
 
   private def sqNormSql(c: String): String =
     s"list_sum([CAST(list_extract($c, i) AS DOUBLE) * CAST(list_extract($c, i) AS DOUBLE) FOR i IN range(1, len($c) + 1)])"

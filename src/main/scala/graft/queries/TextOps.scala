@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object TextOps extends QueryPack {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadDistributed(s, dir, "documents", "doc_id")
 
   private val stopwords = Seq("the", "a", "of", "data", "value")
 
