@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value) — a beyond-reference
+  * extension (the reference has no streaming surface, SURVEY §2.9).
+  *
+  * Every transform takes a DataFrame/Dataset and works identically on a
+  * batch frame or a `readStream` source — the Spark contract that makes
+  * the pipeline testable in batch and deployable as a stream.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long, n_events: Int, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, total_value: Double)
+
+  /** Watermarked tumbling-window counts/sums per event type. */
+  def tumblingAgg(
+      events: DataFrame,
+      windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window moving aggregate (overlapping windows). */
+  def slidingAgg(
+      events: DataFrame,
+      windowLen: String = "10 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("bucket"), col("n"), col("avg_value"))
+
+  /** Event-time sessionization with a gap timeout, via
+    * flatMapGroupsWithState: state is the open session per user; an
+    * event beyond the gap closes and emits the previous session; event-
+    * time timeout (watermark passing last+gap) flushes the remainder.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(
+        userId: Long,
+        batch: Iterator[Event],
+        state: GroupState[Session]): Iterator[Session] = {
+      val gapMs = gapSeconds * 1000
+      var open = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+      if (state.hasTimedOut) {
+        open.foreach(closed += _)
+        state.remove()
+        return closed.iterator
+      }
+      batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        open match {
+          case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+            open = Some(Session(
+              userId, s.n_events + 1, s.start, e.ts, s.total_value + e.value))
+          case Some(s) =>
+            closed += s
+            open = Some(Session(userId, 1, e.ts, e.ts, e.value))
+          case None =>
+            open = Some(Session(userId, 1, e.ts, e.ts, e.value))
+        }
+      }
+      open match {
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end.getTime + gapMs)
+        case None => ()
+      }
+      closed.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("tumbling windowed aggregation over a memory stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStreams.tumblingAgg(stream.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("t_tumbling").outputMode("complete").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:10"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:01:00"), 2, "view", 2.0),
+        Event(3, ts("2024-01-01 00:06:00"), 1, "click", 3.0))
+      query.processAllAvailable()
+      val rows = spark.table("t_tumbling")
+        .orderBy("bucket", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 00:00:00.0", "click", 1L, 1.0),
+        ("2024-01-01 00:00:00.0", "view", 1L, 2.0),
+        ("2024-01-01 00:05:00.0", "click", 1L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("sessionize: gap closes a session and emits it (flatMapGroupsWithState)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStreams.sessionize(stream.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("t_sessions").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "view", 2.0))
+      query.processAllAvailable()
+      // beyond the 30-minute gap: closes the first session on arrival
+      stream.addData(Event(3, ts("2024-01-01 03:00:00"), 7, "click", 5.0))
+      query.processAllAvailable()
+      val sessions = spark.table("t_sessions").as[Session].collect()
+      assert(sessions.length === 1)
+      val s = sessions.head
+      assert(s.user_id === 7L)
+      assert(s.n_events === 2)
+      assert(s.start === ts("2024-01-01 00:00:00"))
+      assert(s.end === ts("2024-01-01 00:10:00"))
+      assert(s.total_value === 3.0)
+    } finally query.stop()
+  }
+
+  test("streaming transforms run identically on a batch frame") {
+    val batch = Seq(
+      Event(1, ts("2024-01-01 00:00:10"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:02:00"), 1, "click", 2.0)).toDF()
+    val got = EventStreams.tumblingAgg(batch).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("n") === 2L)
+  }
+}
