@@ -237,7 +237,55 @@ object Reshape extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("k_mod")))
 
+  /** Batch sessionization (gaps-and-islands over event time): the SQL
+    * twin of the streaming `EventStreams.sessionize`, with a DuckDB
+    * oracle. Timestamps compare as epoch microseconds — Spark reads the
+    * ns source truncated to µs while DuckDB keeps ns, so raw timestamp
+    * output would hash-differ.
+    */
+  val qSessionize: Q = Q(
+    "q_sessionize",
+    Some("""WITH marked AS (
+              SELECT user_id, value, epoch_us(ts) AS ts_us,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            sessions AS (
+              SELECT user_id, value, ts_us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM marked)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts_us) AS start_us, max(ts_us) AS end_us,
+                   round(sum(value), 2) AS total_value
+            FROM sessions
+            GROUP BY user_id, session_id
+            ORDER BY user_id, session_id"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn(
+          "new_s",
+          when(
+            col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L ||
+              lag(col("ts_us"), 1).over(w).isNull,
+            1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qUnpivot, qExplode, qUnion, qWeightedMerge, qDedupFirst, qCollectSorted,
-    qCaseWhen, qCeilingClamp, qWindow, qTimeBucket, qJsonExtract)
+    qCaseWhen, qCeilingClamp, qWindow, qTimeBucket, qJsonExtract, qSessionize)
 }

@@ -40,7 +40,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn(
         "cos",
-        round(cosine(toDoubleArr(col("q_emb")), toDoubleArr(col("embedding"))), roundDigits))
+        round(graft.functions.VectorFunctions.vecCosine(col("q_emb"), col("embedding")), roundDigits))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -82,7 +82,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn(
         "cos",
-        round(cosine(toDoubleArr(col("q_emb")), toDoubleArr(col("embedding"))), 4))
+        round(graft.functions.VectorFunctions.vecCosine(col("q_emb"), col("embedding")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
