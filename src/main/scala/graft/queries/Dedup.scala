@@ -173,6 +173,39 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     })
 
+  /** Embedding-cosine near-dup pairs over a bounded candidate set
+    * (vec_id < 500): the vector-space complement of the text dedup
+    * family, scored with the native dot-product expression.
+    */
+  val qCosineDedup: Q = Q(
+    "q_cosine_dedup", {
+      def sq(c: String) =
+        s"list_sum([CAST(list_extract($c, i) AS DOUBLE) * CAST(list_extract($c, i) AS DOUBLE) FOR i IN range(1, len($c) + 1)])"
+      val dot =
+        "list_sum([CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])"
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+               SELECT vec_a, vec_b, cos FROM (
+                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                        round($dot / (sqrt(${sq("a.embedding")}) * sqrt(${sq("b.embedding")})), 4) AS cos
+                 FROM e a JOIN e b ON a.vec_id < b.vec_id)
+               WHERE cos >= 0.35
+               ORDER BY vec_a, vec_b""")
+    },
+    (s, dir) => {
+      val e = Tables.loadDistributed(s, dir, "embeddings", "vec_id")
+        .filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+        .join(b, col("vec_a") < col("vec_b"))
+        .withColumn(
+          "cos",
+          round(graft.functions.VectorFunctions.vecCosine(col("emb_a"), col("emb_b")), 4))
+        .filter(col("cos") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+
   override def queries: Seq[Q] =
-    Seq(qDedupExact, qMinhashSig, qLshBuckets, qSimhash, qNgramJaccard)
+    Seq(qDedupExact, qMinhashSig, qLshBuckets, qSimhash, qNgramJaccard, qCosineDedup)
 }

@@ -142,5 +142,50 @@ object TextOps extends QueryPack {
           fingerprint60(substring(col("text"), 1, 64)).as("prefix_fp"))
         .orderBy(col("doc_id")))
 
-  override def queries: Seq[Q] = Seq(qTextStats, qTokenCount, qLangId, qFingerprint)
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * punctuation as separate tokens (the pre-tokenizer split most BPE
+    * vocabularies assume), counted per doc.
+    */
+  val qBpeTokens: Q = Q(
+    "q_bpe_tokens",
+    Some("""SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+            CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_distinct
+            FROM documents ORDER BY doc_id"""),
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          size(array_distinct(
+            regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+            .cast("long").as("n_distinct"))
+        .orderBy(col("doc_id")))
+
+  /** Rolling polynomial hash over the character stream
+    * (acc·31 + code mod 1e9+7, seeded with the first code — matching
+    * DuckDB's list_reduce fold), the classic content-defined
+    * fingerprint.
+    */
+  val qRollingFp: Q = Q(
+    "q_rolling_fp",
+    Some("""SELECT doc_id,
+            list_reduce([CAST(ord(c) AS BIGINT) FOR c IN string_split(text, '')],
+                        (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+            FROM documents ORDER BY doc_id"""),
+    (s, dir) => {
+      val codes = transform(split(col("text"), ""), c => ascii(c).cast("long"))
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          aggregate(
+            slice(codes, lit(2), size(codes) - 1),
+            element_at(codes, 1),
+            (acc, x) => (acc * lit(31L) + x) % lit(1000000007L)).as("rolling_fp"))
+        .orderBy(col("doc_id"))
+    })
+
+  override def queries: Seq[Q] =
+    Seq(qTextStats, qTokenCount, qLangId, qFingerprint, qBpeTokens, qRollingFp)
 }
