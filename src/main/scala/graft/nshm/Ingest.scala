@@ -1,6 +1,6 @@
 package graft.nshm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed re-expression of the reference's single-process ETL
@@ -112,6 +112,61 @@ object Ingest {
   /** U5 (api.py:96-109): first-seen dedup on a natural key. */
   def dedupFirstSeen(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.dropDuplicates(keyCols)
+
+  /** Fault-system inference from the parent name of the first feature
+    * (≙ infer_fault_system, api.py:178-198; the marker names are data
+    * constants from the public NSHM 2022 fault-section catalogue).
+    */
+  val HikurangiName =
+    "Hikurangi, Kermadec to Louisville ridge, 30km - with slip deficit smoothed near East Cape and locked near trench."
+  val PuysegurName = "Puysegur, 15km, 50% coupling, corrected dip direction"
+
+  def inferFaultSystem(firstParentName: String): Int = firstParentName match {
+    case HikurangiName => FaultSystem.Hikurangi
+    case PuysegurName => FaultSystem.Puysegur
+    case _ => FaultSystem.Crustal
+  }
+
+  /** S6 (api.py:244-277,475-476): fault_sections.geojson
+    * FeatureCollection → FaultInfo list with plane geometry. Parsed with
+    * `spark.read.json(multiLine)` + explode (distributed); the result is
+    * collected at the API boundary exactly like the reference returns a
+    * Python list. Coordinates arrive (lon, lat); dip direction falls back
+    * to the trace azimuth + 90 when `DipDir` is absent (F3), consecutive
+    * duplicate trace points are dropped (F4), and planes are constructed
+    * per trace segment (F5) with dip_dir forced to 0 at dip == 90.
+    */
+  def parseFaultSections(spark: SparkSession, path: String): Seq[FaultInfo] = {
+    val features = spark.read.option("multiLine", true).json(path)
+      .select(explode(col("features")).as("f"))
+      .select(
+        col("f.properties.FaultID").cast("long").as("fault_id"),
+        col("f.properties.ParentName").as("name"),
+        col("f.properties.UpDepth").cast("double").as("top_km"),
+        col("f.properties.LowDepth").cast("double").as("bottom_km"),
+        col("f.properties.DipDir").cast("double").as("dip_dir"),
+        col("f.properties.DipDeg").cast("double").as("dip"),
+        col("f.properties.Rake").cast("double").as("rake"),
+        col("f.geometry.coordinates").as("coords"))
+      .collect()
+    if (features.isEmpty) return Seq.empty
+    val faultSystem = inferFaultSystem(features.head.getString(1))
+    features.toSeq.map { r =>
+      val lonLat = r.getSeq[scala.collection.Seq[Double]](7).map(p => (p(0), p(1)))
+      val trace = removeRepeatedPoints(lonLat).map { case (lon, lat) => (lat, lon) }
+      val dipDir =
+        if (!r.isNullAt(4)) r.getDouble(4)
+        else inferDipDirection(lonLat(0)._1, lonLat(0)._2, lonLat(1)._1, lonLat(1)._2)
+      val planes = planesFromTrace(trace, r.getDouble(2), r.getDouble(3), r.getDouble(5), dipDir)
+      FaultInfo(
+        faultSystem = faultSystem,
+        faultNshmId = r.getLong(0),
+        name = r.getString(1),
+        rake = r.getDouble(6),
+        tectType = None,
+        fault = Some(Fault(planes)))
+    }
+  }
 
   /** F3 (api.py:201-220): forward azimuth start→end + 90°, in [0, 360).
     * Spherical great-circle azimuth (the reference uses an ellipsoidal

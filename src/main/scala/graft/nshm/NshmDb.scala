@@ -31,6 +31,13 @@ final class NshmDb(val store: NshmStore) {
   private def ruptureFaults = store.table("rupture_faults")
   private def mfd = store.table("magnitude_frequency_distribution")
 
+  /** Register the six tables as temp views so callers can `spark.sql`
+    * over them (≙ the reference's SQL-over-one-file surface, S2 — minus
+    * the dual-engine split).
+    */
+  def registerViews(prefix: String = ""): Unit =
+    Schemas.all.keys.foreach(n => store.table(n).createOrReplaceTempView(prefix + n))
+
   // ---------------------------------------------------------------- query
 
   /** The analytical search (≙ NSHMDB.query → query.to_sql,
