@@ -208,7 +208,54 @@ object Relational extends QueryPack {
         .limit(100)
     })
 
+  /** Left-semi join (EXISTS): customers with at least one urgent order. */
+  val qSemiJoin: Q = Q(
+    "q_semi_join",
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    })
+
+  /** Left-anti join (NOT EXISTS): parts never sold at a deep discount. */
+  val qAntiJoin: Q = Q(
+    "q_anti_join",
+    Some("""SELECT p_partkey, p_brand FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_partkey = p_partkey AND l_discount > 0.09)
+            ORDER BY p_partkey"""),
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem").filter(col("l_discount") > 0.09)
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+    })
+
+  /** Sketch aggregates (HLL distinct, approximate quantiles): inherently
+    * engine-specific, so no SQL oracle — the driver records a rows-only
+    * check; the companion exact columns bound the sketch error.
+    */
+  val qApproxSketch: Q = Q(
+    "q_approx_sketch",
+    None,
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
+        .orderBy(col("l_returnflag")))
+
   override def queries: Seq[Q] = Seq(
     q1Agg, qTopk, qJoinStar, qLeftJoin, qDistinctSort, qScalarAgg,
-    qHavingCountDistinct, qDslTopk)
+    qHavingCountDistinct, qDslTopk, qSemiJoin, qAntiJoin, qApproxSketch)
 }
