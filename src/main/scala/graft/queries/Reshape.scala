@@ -185,15 +185,18 @@ object Reshape extends QueryPack {
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
             row_number() OVER w AS rn,
             round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-              ORDER BY l_shipdate, l_orderkey, l_linenumber
+              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
             FROM lineitem
-            WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+            WINDOW w AS (PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
             ORDER BY l_suppkey, rn"""),
     (s, dir) => {
       val w = Window
         .partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        // (suppkey, shipdate, orderkey, linenumber) is NOT unique at
+        // sf0.1 — include l_quantity so tied rows are output-identical
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       t(s, dir, "lineitem")
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
