@@ -73,5 +73,23 @@ object SimilarityQ extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     })
 
-  override def queries: Seq[Q] = Seq(qEmbedNorms, qCosineTopk, qLshAnn)
+  /** ANN via IVF cells (k-means partition + probe-nearest-cells) — the
+    * second scale path next to LSH. Rows-only check (centroid build is
+    * engine-internal); recall is asserted against brute force in
+    * SimilaritySpec.
+    */
+  val qIvfAnn: Q = Q(
+    "q_ivf_ann",
+    None,
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfTopK(
+        e.select(col("vec_id"), col("embedding")), queries,
+        k = 5, nCells = 8, nProbe = 3)
+        .orderBy(col("q_id"), col("rank"))
+    })
+
+  override def queries: Seq[Q] = Seq(qEmbedNorms, qCosineTopk, qLshAnn, qIvfAnn)
 }

@@ -66,6 +66,84 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: partition the corpus into cells around
+    * centroids learned by a few distributed k-means iterations (typed
+    * [[CentroidAggregator]] does the per-cell mean), then search only the
+    * cells nearest each query. The 100 TB shape: the centroid table is
+    * tiny and broadcast; the corpus is scanned once per build; queries
+    * touch `nProbe / k` of the data instead of all of it.
+    *
+    * Deterministic: initial centroids are the first k vectors by id, and
+    * iteration count is fixed.
+    */
+  def ivfTopK(
+      corpus: DataFrame,  // (vec_id, embedding)
+      queries: DataFrame, // (q_id, q_emb)
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      kmeansIters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dotF = graft.functions.VectorFunctions.vecDot _
+
+    // deterministic seeds: the nCells lowest vec_ids
+    var centroids: Array[(Int, Array[Float])] = corpus
+      .orderBy(col("vec_id")).limit(nCells)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }
+
+    def nearestCell(emb: Column, cents: Array[(Int, Array[Float])]): Column = {
+      // argmin over squared distance ≡ argmax over (dot - ||c||²/2)
+      val scored = cents.map { case (cid, c) =>
+        val cLit = typedLit(c.toSeq)
+        val sqNorm = c.map(x => x.toDouble * x.toDouble).sum
+        struct((dotF(emb, cLit) - lit(sqNorm / 2)).as("score"), lit(cid).as("cid"))
+      }
+      greatest(scored.toSeq: _*).getField("cid")
+    }
+
+    var iter = 0
+    while (iter < kmeansIters) {
+      val assigned = corpus.withColumn("cell", nearestCell(col("embedding"), centroids))
+      val centroidUdaf = udaf(
+        CentroidAggregator,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+      val updated = assigned
+        .groupBy(col("cell"))
+        .agg(centroidUdaf(col("embedding")).as("centroid"))
+        .as[(Int, Array[Float])].collect()
+      // cells that lost all members keep their previous centroid
+      val byId = updated.toMap
+      centroids = centroids.map { case (cid, c) => (cid, byId.getOrElse(cid, c)) }
+      iter += 1
+    }
+
+    val cells = corpus.withColumn("cell", nearestCell(col("embedding"), centroids))
+    // each query probes its nProbe nearest cells
+    val qCells = queries.withColumn(
+      "cells",
+      array(centroids.sortBy(_._1).map { case (cid, c) =>
+        val cLit = typedLit(c.toSeq)
+        val sqNorm = c.map(x => x.toDouble * x.toDouble).sum
+        struct((dotF(col("q_emb"), cLit) - lit(sqNorm / 2)).as("score"), lit(cid).as("cid"))
+      }: _*))
+      .withColumn("probed", slice(sort_array(col("cells"), asc = false), 1, nProbe))
+      .select(col("q_id"), col("q_emb"), explode(col("probed.cid")).as("cell"))
+
+    val scored = cells
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn(
+        "cos",
+        round(graft.functions.VectorFunctions.vecCosine(col("q_emb"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** ANN via LSH buckets: score only pairs that share a bucket. Recall is
     * tunable with nPlanes/multi-probe; this is the plan shape that
     * survives 100 TB (no cross join, shuffle keyed on short bucket ids).
