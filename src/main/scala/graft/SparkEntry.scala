@@ -13,6 +13,7 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.Reshape,
     graft.queries.TextOps,
+    graft.queries.Analytics,
     graft.queries.Dedup,
     graft.queries.SimilarityQ)
 
