@@ -46,6 +46,21 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
       .select(col("window.start").as("bucket"), col("n"), col("avg_value"))
 
+  /** At-most-once event delivery: drop duplicate event ids arriving
+    * within the watermark horizon (state is bounded by the watermark,
+    * unlike a plain dropDuplicates whose state grows forever).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast — no stream-side shuffle).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Event-time sessionization with a gap timeout, via
     * flatMapGroupsWithState: state is the open session per user; an
     * event beyond the gap closes and emits the previous session; event-

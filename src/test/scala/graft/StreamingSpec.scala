@@ -55,6 +55,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream dedup drops duplicate event ids within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStreams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:02"), 2, "view", 2.0))
+      query.processAllAvailable()
+      stream.addData(Event(1, ts("2024-01-01 00:00:03"), 1, "click", 1.0))
+      query.processAllAvailable()
+      val ids = spark.table("t_dedup").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally query.stop()
+  }
+
+  test("stream-static enrichment joins a broadcast dimension") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[Event]
+    val query = EventStreams.enrich(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("t_enrich").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:01"), 9, "view", 2.0))
+      query.processAllAvailable()
+      val rows = spark.table("t_enrich").select(col("event_id"), col("tier"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+      assert(rows.toSeq === Seq((1L, Some("gold")), (2L, None)))
+    } finally query.stop()
+  }
+
   test("streaming transforms run identically on a batch frame") {
     val batch = Seq(
       Event(1, ts("2024-01-01 00:00:10"), 1, "click", 1.0),
