@@ -188,7 +188,7 @@ object Relational extends QueryPack {
             LIMIT 100"""),
     (s, dir) => {
       val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
+      val l = Tables.loadDistributed(s, dir, "lineitem", "l_orderkey")
       val p = t(s, dir, "part")
       val tree = Parser.parse("Brand#1 & (Brand#2 | !Brand#3)", extraAtomChars = "#")
       val compiled = BoolSetCompiler.compile(tree, col("p_brand"))
@@ -246,7 +246,9 @@ object Relational extends QueryPack {
     "q_approx_sketch",
     None,
     (s, dir) =>
-      t(s, dir, "lineitem")
+      // distribute first: sketch building is per-row-heavy and the
+      // single-row-group scan would serialize it on one core
+      Tables.loadDistributed(s, dir, "lineitem", "l_orderkey")
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),

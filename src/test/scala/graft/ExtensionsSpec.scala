@@ -1,0 +1,24 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("float_vec_dot callable from SQL after install") {
+    GraftExtensions.install(spark)
+    val got = spark.sql(
+      """SELECT float_vec_dot(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>),
+        |                     CAST(array(3.0, 2.0, 1.0) AS ARRAY<FLOAT>)) AS d""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(got === 10.0)
+  }
+
+  test("extension class wires the function into SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builder is callable
+    val expr = GraftExtensions.functions.head._2(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    assert(expr.isInstanceOf[graft.functions.FloatVecDot])
+  }
+}
