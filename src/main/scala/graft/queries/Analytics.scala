@@ -106,5 +106,28 @@ object Analytics extends QueryPack {
         .limit(20)
     })
 
-  override def queries: Seq[Q] = Seq(qStats, qDateParts, qRollup, qShippingPriority)
+  /** The SQL surface itself: the engine registers the tables as views
+    * and executes the EXACT oracle string through spark.sql — one query
+    * text, two engines, identical results (≙ the reference's SQL-over-
+    * one-file surface, S2, minus the dual-engine split).
+    */
+  private val sharedSql =
+    """SELECT n_name, o_orderpriority, count(*) AS n_orders,
+      |round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY n_name, o_orderpriority
+      |ORDER BY n_name, o_orderpriority""".stripMargin
+
+  val qSqlSurface: Q = Q(
+    "q_sql_surface",
+    Some(sharedSql),
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(sharedSql)
+    })
+
+  override def queries: Seq[Q] =
+    Seq(qStats, qDateParts, qRollup, qShippingPriority, qSqlSurface)
 }
