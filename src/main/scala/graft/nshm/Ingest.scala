@@ -113,6 +113,111 @@ object Ingest {
   def dedupFirstSeen(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.dropDuplicates(keyCols)
 
+  /** One logic-tree branch solution parsed from its archive members
+    * (≙ NSHMSolution, api.py:432-452).
+    */
+  final case class Solution(
+      faults: Seq[FaultInfo],
+      ruptureProperties: DataFrame,
+      ruptureJoinTable: DataFrame,
+      mfds: Option[DataFrame],
+      faultSystem: Int)
+
+  /** Zip-member names inside a branch solution archive
+    * (≙ api.py:31-35).
+    */
+  val FaultInformationPath = "ruptures/fault_sections.geojson"
+  val RuptureFaultJoinPath = "ruptures/indices.csv"
+  val RuptureRatesPath = "solution/rates.csv"
+  val RupturePropertiesPath = "ruptures/properties.csv"
+  val MfdsPath = "ruptures/sub_seismo_on_fault_mfds.csv"
+
+  private def readZipMembers(path: String, wanted: Set[String]): Map[String, String] = {
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      zf.entries().asScala
+        .filter(e => wanted.contains(e.getName))
+        .map { e =>
+          val bytes = zf.getInputStream(e).readAllBytes()
+          e.getName -> new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        }
+        .toMap
+    } finally zf.close()
+  }
+
+  private def csvDf(spark: SparkSession, content: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("header", true).option("inferSchema", true)
+      .csv(spark.createDataset(content.linesIterator.toSeq))
+  }
+
+  /** Parse one branch zip: GeoJSON faults (S6/F3-F5), ragged join table
+    * (S5/U3), properties ⋈ rates (S4/J10), melted MFDs (U2/P6)
+    * (≙ the first-branch parse, api.py:472-485). Hikurangi/Puysegur
+    * archives carry no MFD member → None, as in the reference.
+    */
+  def loadSolutionZip(spark: SparkSession, path: String): Solution = {
+    import spark.implicits._
+    val members = readZipMembers(
+      path,
+      Set(FaultInformationPath, RuptureFaultJoinPath, RuptureRatesPath,
+        RupturePropertiesPath, MfdsPath))
+    val geo = members(FaultInformationPath)
+    val faults = parseFaultSectionsJson(spark, geo)
+    val faultSystem =
+      if (faults.isEmpty) FaultSystem.Crustal else faults.head.faultSystem
+    val joinTable = parseRaggedIndices(
+      spark.createDataset(members(RuptureFaultJoinPath).linesIterator.toSeq).toDF("value"),
+      faultSystem)
+    val props = extractRuptures(
+      csvDf(spark, members(RupturePropertiesPath)),
+      csvDf(spark, members(RuptureRatesPath)),
+      faultSystem)
+    val mfds = members.get(MfdsPath).map(m => meltMfds(csvDf(spark, m), faultSystem))
+    Solution(faults, props, joinTable, mfds, faultSystem)
+  }
+
+  /** Weighted merge of branch archives of ONE fault system
+    * (≙ _merge_branches, api.py:455-529): faults and the join table are
+    * branch-invariant and parsed once from the first branch; rupture
+    * rates and MFD rates are Σ(wᵢ·rateᵢ) across branches via the
+    * distributed union-all merge.
+    */
+  def mergeSolutionZips(spark: SparkSession, branches: Seq[(Double, String)]): Solution = {
+    require(branches.nonEmpty, "No branches to merge.")
+    val parsed = branches.map { case (w, p) => (w, loadSolutionZip(spark, p)) }
+    val (firstW @ _, first) = parsed.head
+    val mergedProps = mergeBranches(
+      parsed.map { case (w, s) => (w, s.ruptureProperties) },
+      keyCols = Seq("nshm_id", "fault_system"))
+    val mergedMfds = first.mfds.map { _ =>
+      mergeBranchRates(
+        parsed.map { case (w, s) =>
+          (w, s.mfds.getOrElse(throw new IllegalArgumentException(
+            "Expected MFDs for the solution but got None")))
+        },
+        keyCols = Seq("nshm_id", "magnitude", "fault_system"))
+    }
+    first.copy(ruptureProperties = mergedProps, mfds = mergedMfds)
+  }
+
+  /** Stack per-system solutions and load them into a database
+    * (≙ download_composite_solution minus the network fetch,
+    * api.py:595-622 + nshm_db_generator.py:81-94).
+    */
+  def loadComposite(db: NshmDb, systems: Seq[Solution]): Unit = {
+    require(systems.nonEmpty, "No solutions to stack.")
+    systems.foreach { s =>
+      db.insertManyFaults(s.faults)
+      db.insertManyRuptures(
+        s.ruptureProperties.select("nshm_id", "magnitude", "area", "len", "rate", "fault_system"),
+        s.ruptureJoinTable.select(
+          col("rupture_id"), col("fault_id"), col("fault_system")))
+      s.mfds.foreach(m => db.insertMfds(m.select("nshm_id", "fault_system", "magnitude", "rate")))
+    }
+  }
+
   /** Fault-system inference from the parent name of the first feature
     * (≙ infer_fault_system, api.py:178-198; the marker names are data
     * constants from the public NSHM 2022 fault-section catalogue).
@@ -136,8 +241,17 @@ object Ingest {
     * duplicate trace points are dropped (F4), and planes are constructed
     * per trace segment (F5) with dip_dir forced to 0 at dip == 90.
     */
-  def parseFaultSections(spark: SparkSession, path: String): Seq[FaultInfo] = {
-    val features = spark.read.option("multiLine", true).json(path)
+  def parseFaultSections(spark: SparkSession, path: String): Seq[FaultInfo] =
+    parseFeatureFrame(spark.read.option("multiLine", true).json(path))
+
+  /** Same, from an in-memory GeoJSON string (zip-member ingestion). */
+  def parseFaultSectionsJson(spark: SparkSession, json: String): Seq[FaultInfo] = {
+    import spark.implicits._
+    parseFeatureFrame(spark.read.json(spark.createDataset(Seq(json))))
+  }
+
+  private def parseFeatureFrame(raw: DataFrame): Seq[FaultInfo] = {
+    val features = raw
       .select(explode(col("features")).as("f"))
       .select(
         col("f.properties.FaultID").cast("long").as("fault_id"),
