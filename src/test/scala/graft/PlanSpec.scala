@@ -1,0 +1,60 @@
+package graft
+
+import graft.nshm.{Catalog, SemVer}
+import org.apache.spark.sql.functions.col
+
+/** Physical-plan shape guards: the properties that make these queries
+  * scale must not silently regress.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the date filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+  }
+
+  test("top-k queries plan as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q_dsl_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("the star join broadcasts every dimension") {
+    val p = plan("q_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("scans prune to the referenced columns only") {
+    val p = plan("q_topk")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"), p)
+  }
+
+  test("partitioned catalog tables prune on fault_system") {
+    import spark.implicits._
+    val store = new graft.nshm.InMemoryNshmStore(spark)
+    store.append(
+      "fault",
+      Seq((1L, 3, 1L, 90.0, Option.empty[Int], 1L), (2L, 1, 2L, 45.0, Option.empty[Int], 1L))
+        .toDF("fault_id", "fault_system", "nshm_id", "rake", "tect_type", "parent_id"))
+    graft.nshm.Schemas.all.keys.filterNot(_ == "fault").foreach { n =>
+      store.append(n, graft.nshm.Schemas.empty(spark, n))
+    }
+    Catalog.save(store, buckets = 2, prefix = "prune_")
+    val cat = Catalog.open(spark, "prune_")
+    val p = cat.table("fault").filter(col("fault_system") === 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("fault_system"), p)
+  }
+
+  test("SemVer parse/compare (F9)") {
+    assert(SemVer.parse("1.0.4") === SemVer(1, 0, 4))
+    assert(SemVer.parse("2.0.0") > SemVer.parse("1.9.9"))
+    intercept[IllegalArgumentException](SemVer.parse("1.0"))
+    intercept[IllegalArgumentException](SemVer.parse("a.b.c"))
+  }
+}
