@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.Reshape,
     graft.queries.TextOps,
     graft.queries.Analytics,
+    graft.queries.MediaQ,
     graft.queries.Dedup,
     graft.queries.SimilarityQ)
 

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.media.Media
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column gate queries: binary payload metadata is
+  * relational like everything else (kind, byte length, content
+  * fingerprint); the decode stage itself lives in [[graft.media.Media]]
+  * behind the stubbed codec.
+  */
+object MediaQ extends QueryPack {
+
+  /** Typed metadata over binary payloads, cross-checked byte-for-byte:
+    * payload bytes, md5 prefix fingerprint, kind derived from the id.
+    */
+  val qMediaMeta: Q = Q(
+    "q_media_meta",
+    Some("""SELECT doc_id AS media_id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+            octet_length(encode(text)) AS n_bytes,
+            substr(md5(text), 1, 16) AS fingerprint
+            FROM documents ORDER BY media_id"""),
+    (s, dir) =>
+      Media.syntheticMedia(Tables.loadDistributed(s, dir, "documents", "doc_id"))
+        .select(
+          col("media_id"),
+          col("kind"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          substring(md5(col("payload")), 1, 16).as("fingerprint"))
+        .orderBy(col("media_id")))
+
+  /** Per-kind payload volume — the partition-level stats a media
+    * pipeline plans batch sizes from.
+    */
+  val qMediaStats: Q = Q(
+    "q_media_stats",
+    Some("""SELECT kind, count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+            round(avg(octet_length(encode(text))), 2) AS avg_bytes
+            FROM (SELECT text,
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+                  FROM documents)
+            GROUP BY kind ORDER BY kind"""),
+    (s, dir) =>
+      Media.syntheticMedia(Tables.loadDistributed(s, dir, "documents", "doc_id"))
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(octet_length(col("payload"))).cast("long").as("total_bytes"),
+          round(avg(octet_length(col("payload"))), 2).as("avg_bytes"))
+        .orderBy(col("kind")))
+
+  override def queries: Seq[Q] = Seq(qMediaMeta, qMediaStats)
+}

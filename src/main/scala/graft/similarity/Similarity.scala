@@ -87,8 +87,12 @@ object Similarity {
     import spark.implicits._
     val dotF = graft.functions.VectorFunctions.vecDot _
 
+    // the iterative build rescans the corpus (kmeansIters + 1) times —
+    // cache the working set like any iterative ML job
+    val cached = corpus.cache()
+
     // deterministic seeds: the nCells lowest vec_ids
-    var centroids: Array[(Int, Array[Float])] = corpus
+    var centroids: Array[(Int, Array[Float])] = cached
       .orderBy(col("vec_id")).limit(nCells)
       .select(col("embedding")).as[Array[Float]].collect()
       .zipWithIndex.map { case (v, i) => (i, v) }
@@ -105,7 +109,7 @@ object Similarity {
 
     var iter = 0
     while (iter < kmeansIters) {
-      val assigned = corpus.withColumn("cell", nearestCell(col("embedding"), centroids))
+      val assigned = cached.withColumn("cell", nearestCell(col("embedding"), centroids))
       val centroidUdaf = udaf(
         CentroidAggregator,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
@@ -119,7 +123,7 @@ object Similarity {
       iter += 1
     }
 
-    val cells = corpus.withColumn("cell", nearestCell(col("embedding"), centroids))
+    val cells = cached.withColumn("cell", nearestCell(col("embedding"), centroids))
     // each query probes its nProbe nearest cells
     val qCells = queries.withColumn(
       "cells",
