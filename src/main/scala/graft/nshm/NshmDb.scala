@@ -47,12 +47,21 @@ final class NshmDb(val store: NshmStore) {
     * columns: rupture_id, nshm_id, fault_system, magnitude, area, len,
     * rate.
     */
+  /** @param ignoreZeroBounds opt-in bug-compat with the reference, which
+    *   drops a bound of exactly 0.0 via Python truthiness
+    *   (query.py:298-311). Default false: a zero bound is a real bound.
+    */
   def queryRuptures(
       queryStr: String,
       magnitudeBounds: (Option[Double], Option[Double]) = (None, None),
       rateBounds: (Option[Double], Option[Double]) = (None, None),
       limit: Int = 100,
-      faultCountLimit: Option[Int] = None): DataFrame = {
+      faultCountLimit: Option[Int] = None,
+      ignoreZeroBounds: Boolean = false): DataFrame = {
+    def eff(b: (Option[Double], Option[Double])) =
+      if (!ignoreZeroBounds) b
+      else (b._1.filter(_ != 0.0), b._2.filter(_ != 0.0))
+    val (magnitudeBoundsEff, rateBoundsEff) = (eff(magnitudeBounds), eff(rateBounds))
     val tree = Parser.parse(queryStr)
     val compiled = BoolSetCompiler.compile(tree, col("name"))
     val r = rupture
@@ -63,10 +72,10 @@ final class NshmDb(val store: NshmStore) {
         broadcast(parentFault).as("pf"),
         col("f.parent_id") === col("pf.parent_id"))
       .filter(r("rate").isNotNull)
-    magnitudeBounds._1.foreach(lo => base = base.filter(r("magnitude") >= lo))
-    magnitudeBounds._2.foreach(hi => base = base.filter(r("magnitude") <= hi))
-    rateBounds._1.foreach(lo => base = base.filter(r("rate") >= lo))
-    rateBounds._2.foreach(hi => base = base.filter(r("rate") <= hi))
+    magnitudeBoundsEff._1.foreach(lo => base = base.filter(r("magnitude") >= lo))
+    magnitudeBoundsEff._2.foreach(hi => base = base.filter(r("magnitude") <= hi))
+    rateBoundsEff._1.foreach(lo => base = base.filter(r("rate") >= lo))
+    rateBoundsEff._2.foreach(hi => base = base.filter(r("rate") <= hi))
 
     val aggCols = Seq(
       max(r("nshm_id")).as("nshm_id"),

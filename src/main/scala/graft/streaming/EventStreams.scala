@@ -61,6 +61,34 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval self-join: each click matched to same-user
+    * purchases within `windowSeconds` after it. Watermarks on both sides
+    * bound the join state (without them the state store grows forever).
+    */
+  def clickToPurchase(
+      events: DataFrame,
+      windowSeconds: Long = 600,
+      watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(
+      purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(
+        col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Event-time sessionization with a gap timeout, via
     * flatMapGroupsWithState: state is the open session per user; an
     * event beyond the gap closes and emits the previous session; event-

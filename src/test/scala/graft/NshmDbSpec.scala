@@ -114,6 +114,44 @@ class NshmDbSpec extends SparkSpec {
       Map("Alpine Fault" -> 0.5))
   }
 
+  test("query bounds and fault-count limit filter end-to-end (≙ query.py:295-338)") {
+    import spark.implicits._
+    val db = alpineDb
+    // a second rupture: higher magnitude, lower rate, two faults
+    db.store.append("parent_fault", Seq((2L, "Kakapo")).toDF("parent_id", "name"))
+    db.store.append(
+      "fault",
+      Seq((2L, 3, 2L, 45.0, Option.empty[Int], 2L))
+        .toDF("fault_id", "fault_system", "nshm_id", "rake", "tect_type", "parent_id"))
+    db.store.append(
+      "rupture",
+      Seq((2L, 3, 2L, 200.0, 7.5, 20.0, 0.001))
+        .toDF("rupture_id", "fault_system", "nshm_id", "area", "magnitude", "len", "rate"))
+    db.store.append(
+      "rupture_faults",
+      Seq((2L, 2L, 1L), (3L, 2L, 2L)).toDF("rupture_fault_id", "rupture_id", "fault_id"))
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+
+    // both ruptures contain Alpine Fault; order by rate DESC → 1 first
+    val all = db.queryRuptures("Alpine Fault").collect()
+    assert(all.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // magnitude lower bound drops the 6.5 rupture
+    assert(ids(db.queryRuptures("Alpine Fault", magnitudeBounds = (Some(7.0), None))) === Set(2L))
+    // rate upper bound drops the 0.01 rupture
+    assert(ids(db.queryRuptures("Alpine Fault", rateBounds = (None, Some(0.005)))) === Set(2L))
+    // fault-count limit 1 keeps only the single-fault rupture
+    assert(ids(db.queryRuptures("Alpine Fault", faultCountLimit = Some(1))) === Set(1L))
+    // limit applies after the rate sort
+    assert(ids(db.queryRuptures("Alpine Fault", limit = 1)) === Set(1L))
+    // zero bound is honored by default...
+    assert(ids(db.queryRuptures("Alpine Fault", rateBounds = (None, Some(0.0)))) === Set.empty)
+    // ...and dropped under reference bug-compat (query.py:298-311)
+    assert(ids(db.queryRuptures("Alpine Fault", rateBounds = (None, Some(0.0)),
+      ignoreZeroBounds = true)) === Set(1L, 2L))
+  }
+
   test("get_fault_info (≙ test_nshmdb.py:136-151) and miss raises (≙ :175-178)") {
     import spark.implicits._
     val db = freshDb

@@ -91,6 +91,24 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches clicks to in-window purchases") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStreams.clickToPurchase(stream.toDF(), windowSeconds = 600)
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
+        Event(2, ts("2024-01-01 00:05:00"), 1, "purchase", 9.99), // in window
+        Event(3, ts("2024-01-01 00:30:00"), 1, "purchase", 5.00), // outside window
+        Event(4, ts("2024-01-01 00:02:00"), 2, "purchase", 1.00)) // other user, no click
+      query.processAllAvailable()
+      val rows = spark.table("t_ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((1L, 1L, 2L)))
+    } finally query.stop()
+  }
+
   test("streaming transforms run identically on a batch frame") {
     val batch = Seq(
       Event(1, ts("2024-01-01 00:00:10"), 1, "click", 1.0),
