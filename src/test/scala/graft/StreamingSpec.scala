@@ -55,6 +55,21 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sliding windows overlap: one event lands in two 10-minute windows sliding by 5") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStreams.slidingAgg(stream.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("t_sliding").outputMode("complete").start()
+    try {
+      stream.addData(Event(1, ts("2024-01-01 00:07:00"), 1, "click", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("t_sliding").orderBy("bucket")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 00:00:00.0", 1L), ("2024-01-01 00:05:00.0", 1L)))
+    } finally query.stop()
+  }
+
   test("stream dedup drops duplicate event ids within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[Event]
