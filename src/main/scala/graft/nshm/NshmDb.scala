@@ -296,17 +296,9 @@ final class NshmDb(val store: NshmStore) {
       .map(_.getDouble(0))
     if (magnitudes.isEmpty) return Map.empty
 
-    def ceilingWithClamp(target: Double): Double = {
-      val idx = {
-        val i = java.util.Arrays.binarySearch(magnitudes, target)
-        if (i >= 0) i else -(i + 1) // first index with magnitudes(idx) >= target
-      }
-      magnitudes(math.min(idx, magnitudes.length - 1))
-    }
-
     import spark.implicits._
     val pairs = parentFaultMagnitudes
-      .map { case (name, m) => (name, ceilingWithClamp(m)) }
+      .map { case (name, m) => (name, NshmDb.ceilingWithClamp(magnitudes, m)) }
       .toDF("name", "magnitude")
 
     parentFault.as("pf")
@@ -442,6 +434,17 @@ final class NshmDb(val store: NshmStore) {
 }
 
 object NshmDb {
+
+  /** F1 rounding (nshmdb.py:215-221): the smallest stored value ≥ target,
+    * clamped to the maximum — searchsorted semantics, NOT
+    * nearest-neighbor. `sorted` must be ascending and non-empty.
+    */
+  def ceilingWithClamp(sorted: Array[Double], target: Double): Double = {
+    val i = java.util.Arrays.binarySearch(sorted, target)
+    val idx = if (i >= 0) i else -(i + 1) // first index with sorted(idx) >= target
+    sorted(math.min(idx, sorted.length - 1))
+  }
+
   def inMemory(spark: SparkSession): NshmDb = new NshmDb(new InMemoryNshmStore(spark))
   def open(spark: SparkSession, dir: String): NshmDb = {
     val store = new ParquetNshmStore(spark, dir)

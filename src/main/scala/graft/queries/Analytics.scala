@@ -128,6 +128,54 @@ object Analytics extends QueryPack {
       s.sql(sharedSql)
     })
 
+  /** Set operations: INTERSECT (customers in both segments' buyer sets)
+    * and EXCEPT (nations with customers but no suppliers).
+    */
+  val qSetOps: Q = Q(
+    "q_set_ops",
+    Some("""SELECT 'both' AS op, CAST(n_nationkey AS BIGINT) AS k FROM (
+              SELECT n_nationkey FROM nation JOIN customer ON c_nationkey = n_nationkey
+              INTERSECT
+              SELECT n_nationkey FROM nation JOIN supplier ON s_nationkey = n_nationkey)
+            UNION ALL
+            SELECT 'cust_only', CAST(n_nationkey AS BIGINT) FROM (
+              SELECT n_nationkey FROM nation JOIN customer ON c_nationkey = n_nationkey
+              EXCEPT
+              SELECT n_nationkey FROM nation JOIN supplier ON s_nationkey = n_nationkey)
+            ORDER BY op, k"""),
+    (s, dir) => {
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val custNations = n.join(c, n("n_nationkey") === c("c_nationkey"))
+        .select(n("n_nationkey").cast("long").as("k"))
+      val suppNations = n.join(su, n("n_nationkey") === su("s_nationkey"))
+        .select(n("n_nationkey").cast("long").as("k"))
+      custNations.intersect(suppNations).select(lit("both").as("op"), col("k"))
+        .unionByName(
+          custNations.except(suppNations).select(lit("cust_only").as("op"), col("k")))
+        .orderBy(col("op"), col("k"))
+    })
+
+  /** Full CUBE over two grouping dimensions. */
+  val qCube: Q = Q(
+    "q_cube",
+    Some("""SELECT coalesce(l_returnflag, '(all)') AS flag,
+            coalesce(l_linestatus, '(all)') AS status,
+            count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY flag, status"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+          col("n"))
+        .orderBy(col("flag"), col("status")))
+
   override def queries: Seq[Q] =
-    Seq(qStats, qDateParts, qRollup, qShippingPriority, qSqlSurface)
+    Seq(qStats, qDateParts, qRollup, qShippingPriority, qSqlSurface, qSetOps, qCube)
 }

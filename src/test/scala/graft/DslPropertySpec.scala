@@ -65,6 +65,23 @@ class DslPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("F1 ceilingWithClamp equals the linear-scan specification (1000 random cases)") {
+    val params = Gen.Parameters.default
+    var seed = Seed(7L)
+    val genCase = for {
+      n <- Gen.chooseNum(1, 20)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0, 1000).map(_ / 10.0))
+      t <- Gen.chooseNum(-10, 1100).map(_ / 10.0)
+    } yield (xs.distinct.sorted.toArray, t)
+    (1 to 1000).foreach { _ =>
+      val (sorted, target) = genCase.pureApply(params, seed)
+      seed = seed.next
+      val got = graft.nshm.NshmDb.ceilingWithClamp(sorted, target)
+      val spec = sorted.find(_ >= target).getOrElse(sorted.last)
+      assert(got === spec, s"sorted=${sorted.mkString(",")} target=$target")
+    }
+  }
+
   test("atom collection order equals left-to-right occurrence") {
     def walk(x: Expr): Seq[String] = x match {
       case Atom(n) => Seq(n)
