@@ -33,21 +33,26 @@ object Bench {
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
 
-    // Two measured passes per query, report the min: this VM's host
-    // periodically steals ~all vCPUs for 60-90 s (visible as steal-time
-    // spikes in /proc/stat), and a single pass randomly charges that
-    // stall to whichever query it lands on. The passes are several
-    // minutes apart, so one of the two almost always runs unstalled.
-    def pass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Up to two measured passes per query, report the min: this VM's
+    // host periodically steals ~all vCPUs for 60-90 s (visible as
+    // steal-time spikes in /proc/stat), and a single pass randomly
+    // charges that stall to whichever query it lands on. The re-measure
+    // pass only covers queries whose first pass looks stall-inflated,
+    // keeping total runtime (and therefore storm exposure) low.
+    def measure(names: Seq[String]): Map[String, Double] =
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
         val sec =
           try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
           catch { case _: Throwable => -1.0 }
         name -> sec
       }.toMap
-    val p1 = pass(); val p2 = pass()
-    val results = p1.keys.toSeq.sorted.map { name =>
-      val best = (p1(name), p2(name)) match {
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val p1 = measure(all)
+    val suspicious = all.filter(n => p1(n) < 0 || p1(n) > 3.0)
+    val p2 = measure(suspicious)
+    val results = all.map { name =>
+      val best = (p1(name), p2.getOrElse(name, p1(name))) match {
         case (a, b) if a < 0 => b
         case (a, b) if b < 0 => a
         case (a, b) => math.min(a, b)
