@@ -288,7 +288,35 @@ object Reshape extends QueryPack {
         .orderBy(col("user_id"), col("session_id"))
     })
 
+  /** Backward as-of join: each purchase matched to the latest same-user
+    * click at or before it (graft.operators.AsOf — union + carry-forward
+    * window, one shuffle). The oracle uses DuckDB's native ASOF JOIN.
+    * Output carries timestamps as epoch µs; only the click *timestamp*
+    * is emitted so equal-timestamp click ties cannot differ.
+    */
+  val qAsof: Q = Q(
+    "q_asof",
+    Some("""SELECT p.event_id AS event_id, p.user_id AS user_id,
+            epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY event_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("purchase_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_us"))
+      graft.operators.AsOf.joinBackward(
+        purchases, clicks,
+        key = "user_id", leftTs = "purchase_us", rightTs = "click_us",
+        payloadCols = Seq("click_us"))
+        .select(col("event_id"), col("user_id"), col("purchase_us"), col("click_us"))
+        .orderBy(col("event_id"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qUnpivot, qExplode, qUnion, qWeightedMerge, qDedupFirst, qCollectSorted,
-    qCaseWhen, qCeilingClamp, qWindow, qTimeBucket, qJsonExtract, qSessionize)
+    qCaseWhen, qCeilingClamp, qWindow, qTimeBucket, qJsonExtract, qSessionize, qAsof)
 }
