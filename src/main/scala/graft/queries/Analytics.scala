@@ -176,6 +176,71 @@ object Analytics extends QueryPack {
           col("n"))
         .orderBy(col("flag"), col("status")))
 
+  /** Pivot (long→wide, the inverse of U2's unpivot): per-status quantity
+    * columns. With an explicit value list the pivot is exactly
+    * conditional aggregation, which is how the oracle states it.
+    */
+  val qPivot: Q = Q(
+    "q_pivot",
+    Some("""SELECT l_returnflag,
+            round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+            round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+            round(sum(CASE WHEN l_linestatus = 'P' THEN l_quantity END), 2) AS qty_p
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .select(
+          col("l_returnflag"),
+          col("F").as("qty_f"), col("O").as("qty_o"), col("P").as("qty_p"))
+        .orderBy(col("l_returnflag")))
+
+  /** Explicit GROUPING SETS (mixed granularities in one pass). */
+  val qGroupingSets: Q = Q(
+    "q_grouping_sets",
+    Some("""SELECT coalesce(l_returnflag, '(all)') AS flag,
+            coalesce(l_linestatus, '(all)') AS status,
+            count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY flag, status"""),
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT coalesce(l_returnflag, '(all)') AS flag,
+               coalesce(l_linestatus, '(all)') AS status,
+               count(*) AS n
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY flag, status""")
+    })
+
+  /** Null-safe comparison semantics: IS NOT DISTINCT FROM (Spark `<=>`)
+    * vs plain equality over nullable values.
+    */
+  val qNullSemantics: Q = Q(
+    "q_null_semantics",
+    Some("""SELECT
+            CAST(sum(CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+            CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched,
+            CAST(sum(CASE WHEN c_name IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_safe_null
+            FROM (SELECT c_name FROM orders LEFT JOIN customer ON o_custkey = c_custkey AND c_acctbal > 9000)"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(
+        broadcast(c),
+        col("o_custkey") === col("c_custkey") && col("c_acctbal") > 9000, "left")
+        .agg(
+          sum(when(col("c_name").isNotNull, 1).otherwise(0)).cast("long").as("matched"),
+          sum(when(col("c_name").isNull, 1).otherwise(0)).cast("long").as("unmatched"),
+          sum(when(col("c_name") <=> lit(null), 1).otherwise(0)).cast("long").as("null_safe_null"))
+    })
+
   override def queries: Seq[Q] =
-    Seq(qStats, qDateParts, qRollup, qShippingPriority, qSqlSurface, qSetOps, qCube)
+    Seq(qStats, qDateParts, qRollup, qShippingPriority, qSqlSurface, qSetOps, qCube,
+      qPivot, qGroupingSets, qNullSemantics)
 }
