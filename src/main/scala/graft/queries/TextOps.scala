@@ -186,6 +186,24 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     })
 
+  /** Regex predicate filtering (rlike ≙ regexp_matches) plus anchored
+    * extraction — kept to a regex subset Java and RE2-style engines
+    * treat identically.
+    */
+  val qRegexFilter: Q = Q(
+    "q_regex_filter",
+    Some("""SELECT doc_id, regexp_extract(text, '([a-z]+) (join|merge)', 2) AS op
+            FROM documents
+            WHERE regexp_matches(text, '(join|merge) (fast|slow)')
+            ORDER BY doc_id"""),
+    (s, dir) =>
+      docs(s, dir)
+        .filter(col("text").rlike("(join|merge) (fast|slow)"))
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+) (join|merge)", 2).as("op"))
+        .orderBy(col("doc_id")))
+
   override def queries: Seq[Q] =
-    Seq(qTextStats, qTokenCount, qLangId, qFingerprint, qBpeTokens, qRollingFp)
+    Seq(qTextStats, qTokenCount, qLangId, qFingerprint, qBpeTokens, qRollingFp, qRegexFilter)
 }
