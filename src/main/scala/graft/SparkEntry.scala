@@ -16,7 +16,9 @@ object SparkEntry {
     graft.queries.Analytics,
     graft.queries.MediaQ,
     graft.queries.Dedup,
-    graft.queries.SimilarityQ)
+    graft.queries.SimilarityQ,
+    graft.queries.TrainOps,
+    graft.queries.Advanced)
 
   private lazy val allQueries: Seq[Q] = packs.flatMap(_.queries)
 

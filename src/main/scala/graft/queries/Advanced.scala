@@ -1,0 +1,358 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SQL-surface operators beyond the round-1 packs: full outer join,
+  * arg-min/max via struct ordering, exact percentiles, lead/lag/ntile
+  * windows, correlation/regression aggregates, exact decimal arithmetic,
+  * correlated EXISTS subqueries, broadcast range joins, value-range
+  * window frames, string functions, histogram binning, and cross joins.
+  *
+  * Scale notes per query are inline; the common theme is that every
+  * small side broadcasts, every window partitions on a key with bounded
+  * group size, and nothing collects to the driver.
+  */
+object Advanced extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Full outer join: customers ⟗ per-customer order rollups. Customers
+    * with no orders keep NULL order columns; order keys missing from the
+    * dimension would surface on the other side. Shuffle-hash on the key;
+    * neither side is assumed small.
+    */
+  val qFullOuter: Q = Q(
+    "q_full_outer",
+    Some("""SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                   c.c_mktsegment AS segment,
+                   CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   round(coalesce(o.total, 0.0), 2) AS total_spend
+            FROM customer c
+            FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders,
+                                    sum(o_totalprice) AS total
+                             FROM orders GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY custkey"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          c("c_mktsegment").as("segment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          round(coalesce(col("total"), lit(0.0)), 2).as("total_spend"))
+        .orderBy(col("custkey"))
+    })
+
+  /** Arg-min/arg-max with a deterministic tiebreak: the extreme order per
+    * customer, ordered by (price, orderkey) so ties on price resolve by
+    * key. `max(struct(...))` compares lexicographically in both engines —
+    * the portable form of max_by when the value alone isn't unique.
+    */
+  val qMinmaxBy: Q = Q(
+    "q_minmax_by",
+    Some("""SELECT o_custkey,
+                   (max({'p': o_totalprice, 'k': o_orderkey})).k AS best_key,
+                   round((max({'p': o_totalprice, 'k': o_orderkey})).p, 2) AS best_price,
+                   (min({'p': o_totalprice, 'k': o_orderkey})).k AS worst_key,
+                   round((min({'p': o_totalprice, 'k': o_orderkey})).p, 2) AS worst_price
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+    (s, dir) => {
+      val pk = struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(pk).as("best"), min(pk).as("worst"))
+        .select(
+          col("o_custkey"),
+          col("best.k").as("best_key"),
+          round(col("best.p"), 2).as("best_price"),
+          col("worst.k").as("worst_key"),
+          round(col("worst.p"), 2).as("worst_price"))
+        .orderBy(col("o_custkey"))
+    })
+
+  /** Exact percentiles (linear interpolation) computed from first
+    * principles — rank the group, then weight the two straddling values
+    * by the fractional rank. Built-in `percentile`/`quantile_cont`
+    * interpolate with engine-specific float expressions that can straddle
+    * a rounding boundary by one ulp; spelling out the identical IEEE
+    * expression on both sides makes the result bit-exact. Exact
+    * percentile needs a per-group sort — fine for bounded group counts;
+    * the sketch variant (q_approx_sketch) is the scale path.
+    */
+  val qPercentileExact: Q = Q(
+    "q_percentile_exact", {
+      // round(x*100)/100, NOT round(x, 2): the two-arg double round
+      // disagrees between engines when x*100 lands exactly on .5
+      // (DuckDB rounds the float product, Spark the decimal string);
+      // the one-arg form spelled identically is bit-portable.
+      def q(p: String, v: String, name: String) =
+        s"""round(sum(CASE WHEN rnk = CAST(floor($p * (n - 1) + 1) AS BIGINT)
+                           THEN $v * (floor($p * (n - 1) + 1) + 1 - ($p * (n - 1) + 1))
+                      WHEN rnk = CAST(floor($p * (n - 1) + 1) AS BIGINT) + 1
+                           THEN $v * (($p * (n - 1) + 1) - floor($p * (n - 1) + 1))
+                      ELSE 0.0 END) * 100) / 100 AS $name"""
+      Some(s"""WITH ranked AS (
+                 SELECT l_returnflag, l_extendedprice AS v, l_quantity AS vq,
+                        row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rnk,
+                        row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnkq,
+                        count(*) OVER (PARTITION BY l_returnflag) AS n
+                 FROM lineitem)
+               SELECT l_returnflag,
+                      ${q("0.25", "v", "p25")},
+                      ${q("0.50", "v", "p50")},
+                      ${q("0.75", "v", "p75")},
+                      ${q("0.50", "vq", "med_qty").replace("rnk =", "rnkq =")}
+               FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    (s, dir) => {
+      def quantile(p: Double, v: Column, rnk: Column): Column = {
+        val h = lit(p) * (col("n") - 1) + 1
+        val lo = floor(h)
+        round(sum(
+          when(rnk === lo.cast("long"), v * (lo + 1 - h))
+            .when(rnk === lo.cast("long") + 1, v * (h - lo))
+            .otherwise(lit(0.0))) * 100) / 100
+      }
+      val wv = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val wn = Window.partitionBy(col("l_returnflag"))
+      t(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"), col("l_extendedprice").as("v"), col("l_quantity").as("vq"),
+          row_number().over(wv).as("rnk"),
+          row_number().over(wq).as("rnkq"),
+          count(lit(1)).over(wn).as("n"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          quantile(0.25, col("v"), col("rnk")).as("p25"),
+          quantile(0.50, col("v"), col("rnk")).as("p50"),
+          quantile(0.75, col("v"), col("rnk")).as("p75"),
+          quantile(0.50, col("vq"), col("rnkq")).as("med_qty"))
+        .orderBy(col("l_returnflag"))
+    })
+
+  /** Sequential-pattern windows: previous order, day gap, and spend
+    * quartile per customer — lag + ntile over a (custkey)-partitioned
+    * window with a deterministic (date, key) order.
+    */
+  val qLeadLag: Q = Q(
+    "q_lead_lag",
+    Some("""SELECT o_orderkey,
+                   lag(o_orderkey) OVER w AS prev_key,
+                   date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                             CAST(o_orderdate AS DATE)) AS gap_days,
+                   CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS spend_quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wq = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          datediff(to_date(col("o_orderdate")), to_date(lag(col("o_orderdate"), 1).over(w)))
+            .cast("long").as("gap_days"),
+          ntile(4).over(wq).cast("long").as("spend_quartile"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  /** Correlation / covariance / least-squares regression aggregates of
+    * price against quantity per return flag — single-pass co-moment
+    * aggregation in both engines; rounding absorbs accumulation-order
+    * noise.
+    */
+  val qCorrRegr: Q = Q(
+    "q_corr_regr",
+    Some("""SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                   round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p,
+                   round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
+                   round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_p"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_s"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 2).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("intercept"))
+        .orderBy(col("l_returnflag")))
+
+  /** Exact decimal arithmetic: fixed-point sums are order-independent
+    * (unlike double sums), so no rounding slack is needed — the cast to
+    * double at the end converts one exact decimal value identically in
+    * both engines.
+    */
+  val qDecimalMath: Q = Q(
+    "q_decimal_math",
+    Some("""SELECT l_returnflag,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS total_disc,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          sum(col("l_discount").cast("decimal(8,4)")).cast("double").as("total_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")))
+
+  private val existsSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      |                    AND o.o_totalprice < 5000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS subqueries — Catalyst rewrites them
+    * to semi/anti joins; the identical SQL text runs in both engines.
+    */
+  val qExistsSubq: Q = Q(
+    "q_exists_subq",
+    Some(existsSql),
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(existsSql)
+    })
+
+  private val bands: Seq[(Int, Double, Double)] = Seq(
+    (0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0), (3, 30.0, 40.0), (4, 40.0, 1e9))
+
+  /** Range join: quantity bands × lineitem via a non-equi predicate. The
+    * band table is tiny and explicitly broadcast, so the plan is a
+    * broadcast nested-loop — the right physical choice for interval
+    * dimension tables at any fact-side scale.
+    */
+  val qRangeJoin: Q = Q(
+    "q_range_join", {
+      val values = bands.map { case (b, lo, hi) => s"($b, $lo, $hi)" }.mkString(", ")
+      Some(s"""SELECT b.band_id, CAST(count(*) AS BIGINT) AS n,
+                      round(sum(l.l_extendedprice), 2) AS band_revenue
+               FROM lineitem l
+               JOIN (VALUES $values) AS b(band_id, lo, hi)
+                 ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+               GROUP BY b.band_id ORDER BY b.band_id""")
+    },
+    (s, dir) => {
+      val b = s.createDataFrame(bands).toDF("band_id", "lo", "hi")
+      val l = t(s, dir, "lineitem")
+      l.join(broadcast(b), l("l_quantity") >= b("lo") && l("l_quantity") < b("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("band_revenue"))
+        .orderBy(col("band_id"))
+    })
+
+  /** Value-range window frame: 30-day rolling spend per customer. The
+    * frame is defined by the day-number value, so the result is
+    * deterministic even with same-day orders.
+    */
+  val qWindowRange: Q = Q(
+    "q_window_range",
+    Some("""SELECT o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rolling_30d
+            FROM orders ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val dayNum = datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(dayNum).rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), round(sum(col("o_totalprice")).over(w), 2).as("rolling_30d"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  /** String function battery: split_part, translate, lpad, levenshtein,
+    * reverse, concat_ws — all codegen'd built-ins with identical
+    * semantics in DuckDB.
+    */
+  val qStringFuncs: Q = Q(
+    "q_string_funcs",
+    Some("""SELECT p_partkey,
+                   split_part(p_name, ' ', 2) AS noun,
+                   translate(p_brand, '#', '_') AS brand_slug,
+                   lpad(p_brand, 12, '*') AS brand_pad,
+                   CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS lev,
+                   reverse(p_type) AS type_rev,
+                   concat_ws('|', p_brand, p_type) AS brand_type
+            FROM part ORDER BY p_partkey"""),
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          element_at(split(col("p_name"), " "), 2).as("noun"),
+          translate(col("p_brand"), "#", "_").as("brand_slug"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          levenshtein(col("p_brand"), lit("Brand#00")).cast("long").as("lev"),
+          reverse(col("p_type")).as("type_rev"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey")))
+
+  /** Histogram binning: fixed-width price buckets — integer arithmetic,
+    * one shuffle, the building block behind approximate distribution
+    * profiling of any numeric column.
+    */
+  val qHistogram: Q = Q(
+    "q_histogram",
+    Some("""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(l_discount), 4) AS avg_disc
+            FROM lineitem GROUP BY 1 ORDER BY 1"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("l_discount")), 4).as("avg_disc"))
+        .orderBy(col("bucket")))
+
+  /** Cross join: the full region × market-segment grid, left-joined with
+    * actual customer counts so empty combinations surface as zeros —
+    * the dimension-grid scaffold for coverage reports.
+    */
+  val qCrossJoin: Q = Q(
+    "q_cross_join",
+    Some("""WITH grid AS (SELECT r_regionkey, r_name, seg FROM region
+                          CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)),
+            counts AS (SELECT n.n_regionkey, c.c_mktsegment AS seg, count(*) AS n_cust
+                       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                       GROUP BY 1, 2)
+            SELECT g.r_name, g.seg, CAST(coalesce(x.n_cust, 0) AS BIGINT) AS n_cust
+            FROM grid g LEFT JOIN counts x
+              ON g.r_regionkey = x.n_regionkey AND g.seg = x.seg
+            ORDER BY g.r_name, g.seg"""),
+    (s, dir) => {
+      val r = t(s, dir, "region")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val segs = c.select(col("c_mktsegment").as("seg")).distinct()
+      val grid = r.crossJoin(broadcast(segs))
+      val counts = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_regionkey"), c("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_cust"))
+      grid.join(broadcast(counts),
+          grid("r_regionkey") === counts("n_regionkey") && grid("seg") === counts("seg"),
+          "left")
+        .select(grid("r_name"), grid("seg"), coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy(col("r_name"), col("seg"))
+    })
+
+  override def queries: Seq[Q] = Seq(
+    qFullOuter, qMinmaxBy, qPercentileExact, qLeadLag, qCorrRegr, qDecimalMath,
+    qExistsSubq, qRangeJoin, qWindowRange, qStringFuncs, qHistogram, qCrossJoin)
+}

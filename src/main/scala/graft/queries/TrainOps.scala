@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the dedup/text/similarity packs:
+  * TF-IDF term weighting, Gopher-style quality gating, PII scrubbing,
+  * deterministic stratified sampling, and duplicate-cluster labeling.
+  *
+  * All arithmetic is engine-portable (md5-derived hashes, explicit
+  * doubles, integer ops) so every query carries an exact DuckDB oracle.
+  * Scale notes: per-row-heavy stages repartition first
+  * (`Tables.loadDistributed`); the TF-IDF document-frequency join
+  * broadcasts the (term, df) side, which stays small (vocabulary-sized)
+  * regardless of corpus row count.
+  */
+object TrainOps extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadDistributed(s, dir, "documents", "doc_id")
+
+  /** TF-IDF: top-3 terms per document, tf·ln(N/df) weighting over
+    * lowercase letter-run tokens. Deterministic ranking via (tfidf desc,
+    * term asc). The df and N sides are broadcast — both are bounded by
+    * vocabulary size / a single row, not corpus size.
+    */
+  val qTfidf: Q = Q(
+    "q_tfidf",
+    Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS docfreq FROM tok GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(n.n_docs * 1.0 / df.docfreq), 6) AS tfidf,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf * ln(n.n_docs * 1.0 / df.docfreq) DESC,
+                                                 tf.term) AS rnk
+              FROM tf JOIN df USING (term) CROSS JOIN n)
+            SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tfidf
+            FROM scored WHERE rnk <= 3
+            ORDER BY doc_id, rnk"""),
+    (s, dir) => {
+      val d = docs(s, dir)
+      val tok = d.select(
+        col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("docfreq"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val raw = col("tf") * log(col("n_docs") * lit(1.0) / col("docfreq"))
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("rnk",
+          row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(raw.desc, col("term").asc)).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), round(raw, 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    })
+
+  private val stopwords = Seq("the", "a", "of", "data", "value")
+
+  /** Gopher-style quality gate: word count bounds, mean word length
+    * bounds, symbol ratio cap, stopword presence — the standard
+    * pretraining corpus filter, one boolean column per rule plus the
+    * composite verdict.
+    */
+  val qQualityGate: Q = Q(
+    "q_quality_gate",
+    Some(s"""WITH feat AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+                     CAST(list_sum([CAST(length(w) AS BIGINT) FOR w IN list_filter(string_split(text, ' '), w -> w <> '')]) AS BIGINT) AS sum_wlen,
+                     CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_sym,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          w -> w IN ('the','a','of','data','value'))) AS BIGINT) AS n_stop
+              FROM documents)
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words = 0 THEN 0.0
+                        ELSE round(sum_wlen * 1.0 / n_words, 4) END AS mean_wlen,
+                   CASE WHEN n_chars = 0 THEN 0.0
+                        ELSE round(n_sym * 1.0 / n_chars, 4) END AS sym_ratio,
+                   CAST(n_stop > 0 AS INT) AS has_stop,
+                   CAST(n_words BETWEEN 5 AND 5000
+                        AND n_words > 0 AND sum_wlen * 1.0 / n_words BETWEEN 2.0 AND 12.0
+                        AND (n_chars = 0 OR n_sym * 1.0 / n_chars < 0.1)
+                        AND n_stop > 0 AS INT) AS passes
+            FROM feat ORDER BY doc_id"""),
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val nWords = size(toks).cast("long")
+      val sumWlen = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))
+      val nSym = size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long")
+      val nChars = length(col("text")).cast("long")
+      val nStop = hitCount(toks, stopwords).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), nWords.as("n_words"), sumWlen.as("sum_wlen"),
+          nSym.as("n_sym"), nChars.as("n_chars"), nStop.as("n_stop"))
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          when(col("n_words") === 0, lit(0.0))
+            .otherwise(round(col("sum_wlen") * lit(1.0) / col("n_words"), 4)).as("mean_wlen"),
+          when(col("n_chars") === 0, lit(0.0))
+            .otherwise(round(col("n_sym") * lit(1.0) / col("n_chars"), 4)).as("sym_ratio"),
+          (col("n_stop") > 0).cast("int").as("has_stop"),
+          (col("n_words").between(5, 5000) &&
+            col("n_words") > 0 &&
+            (col("sum_wlen") * lit(1.0) / col("n_words")).between(2.0, 12.0) &&
+            (col("n_chars") === 0 || col("n_sym") * lit(1.0) / col("n_chars") < 0.1) &&
+            col("n_stop") > 0).cast("int").as("passes"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** PII scrubbing: the corpus is synthetic and clean, so the query first
+    * plants deterministic PII (an email and a numeric id derived from
+    * doc_id) and then redacts it — counting matches and fingerprinting
+    * the scrubbed text so the oracle verifies the actual regex
+    * replacement, not just the counts.
+    */
+  val qPiiRedact: Q = Q(
+    "q_pii_redact",
+    Some("""WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                     '@example.com ref ' || CAST(doc_id * 7919 + 13 AS VARCHAR) AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '[0-9]{3,}')) AS BIGINT) AS n_ids,
+                   ('0x' || substr(md5(regexp_replace(regexp_replace(t,
+                        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                        '[0-9]{3,}', '<ID>', 'g')), 1, 15))::BIGINT AS redacted_fp
+            FROM planted ORDER BY doc_id"""),
+    (s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val idRe = "[0-9]{3,}"
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com ref "), (col("doc_id") * 7919 + 13).cast("string")).as("t"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(idRe), lit(0))).cast("long").as("n_ids"),
+          fingerprint60(
+            regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"), idRe, "<ID>"))
+            .as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Deterministic stratified sampling: an md5-derived uniform hash of
+    * the key selects ~10% per language stratum — reproducible across
+    * engines and runs, unlike rand()-based sampling, and exactly what a
+    * 100 TB pipeline needs for consistent held-out splits.
+    */
+  val qHashSample: Q = Q(
+    "q_hash_sample",
+    Some("""SELECT lang, count(*) AS n_total,
+                   CAST(count(*) FILTER (WHERE
+                     ('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10)
+                     AS BIGINT) AS n_sampled
+            FROM documents GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val bucket = md5Hash32(concat(lit("split1:"), col("doc_id").cast("string"))) % 100
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(bucket < 10, 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    })
+
+  /** Duplicate-cluster labeling: exact-duplicate groups keyed by content
+    * fingerprint, cluster id = min doc_id of the group (a deterministic
+    * canonical representative), emitting only docs that have at least one
+    * duplicate. One shuffle on the fingerprint; no pairwise comparison.
+    */
+  val qDupClusters: Q = Q(
+    "q_dup_clusters",
+    Some("""SELECT doc_id, cluster_id, cluster_size FROM (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
+                     CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS cluster_size
+              FROM documents)
+            WHERE cluster_size >= 2
+            ORDER BY cluster_id, doc_id"""),
+    (s, dir) => {
+      val w = Window.partitionBy(md5(col("text")))
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          min(col("doc_id")).over(w).as("cluster_id"),
+          count(lit(1)).over(w).cast("long").as("cluster_size"))
+        .filter(col("cluster_size") >= 2)
+        .orderBy(col("cluster_id"), col("doc_id"))
+    })
+
+  override def queries: Seq[Q] =
+    Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qDupClusters)
+}
