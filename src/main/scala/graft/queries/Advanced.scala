@@ -352,7 +352,30 @@ object Advanced extends QueryPack {
         .orderBy(col("r_name"), col("seg"))
     })
 
+  /** Two-phase salted aggregation (operators.Skew): identical result to a
+    * plain GROUP BY — which is exactly what the oracle checks — but the
+    * hot key's rows fan out over 16 salt buckets before the final
+    * re-aggregate, so a heavy-hitter key can't stall one reducer at
+    * scale. Counts are salt-invariant; the double sum is rounded like
+    * every float aggregate.
+    */
+  val qSaltedAgg: Q = Q(
+    "q_salted_agg",
+    Some("""SELECT l_suppkey, round(sum(l_extendedprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sums = graft.operators.Skew.saltedSum(
+        li, Seq("l_suppkey"), "l_extendedprice", "revenue_raw", saltBuckets = 16)
+      val counts = graft.operators.Skew.saltedCount(li, Seq("l_suppkey"), "n", saltBuckets = 16)
+      sums.join(counts, Seq("l_suppkey"))
+        .select(col("l_suppkey"), round(col("revenue_raw"), 2).as("revenue"), col("n"))
+        .orderBy(col("l_suppkey"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qFullOuter, qMinmaxBy, qPercentileExact, qLeadLag, qCorrRegr, qDecimalMath,
-    qExistsSubq, qRangeJoin, qWindowRange, qStringFuncs, qHistogram, qCrossJoin)
+    qExistsSubq, qRangeJoin, qWindowRange, qStringFuncs, qHistogram, qCrossJoin,
+    qSaltedAgg)
 }

@@ -316,7 +316,34 @@ object Reshape extends QueryPack {
         .orderBy(col("event_id"))
     })
 
+  /** Forward as-of join: for each purchase, the NEXT click of the same
+    * user at-or-after the purchase time — the mirror of [[qAsof]],
+    * checked against DuckDB's native forward ASOF (`p.ts <= c.ts`).
+    */
+  val qAsofForward: Q = Q(
+    "q_asof_forward",
+    Some("""SELECT p.event_id AS event_id, p.user_id AS user_id,
+            epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS next_click_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts <= c.ts
+            ORDER BY event_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("purchase_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("next_click_us"))
+      graft.operators.AsOf.joinForward(
+        purchases, clicks,
+        key = "user_id", leftTs = "purchase_us", rightTs = "next_click_us",
+        payloadCols = Seq("next_click_us"))
+        .select(col("event_id"), col("user_id"), col("purchase_us"), col("next_click_us"))
+        .orderBy(col("event_id"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qUnpivot, qExplode, qUnion, qWeightedMerge, qDedupFirst, qCollectSorted,
-    qCaseWhen, qCeilingClamp, qWindow, qTimeBucket, qJsonExtract, qSessionize, qAsof)
+    qCaseWhen, qCeilingClamp, qWindow, qTimeBucket, qJsonExtract, qSessionize, qAsof,
+    qAsofForward)
 }
