@@ -51,6 +51,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("fault_system"), p)
   }
 
+  test("range join broadcasts the band table as a nested-loop build side") {
+    val p = plan("q_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tf-idf broadcasts the document-frequency and corpus-count sides") {
+    val p = plan("q_tfidf")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("correlated EXISTS subqueries rewrite to semi/anti joins, not subplans") {
+    val p = plan("q_exists_subq")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("SemVer parse/compare (F9)") {
     assert(SemVer.parse("1.0.4") === SemVer(1, 0, 4))
     assert(SemVer.parse("2.0.0") > SemVer.parse("1.9.9"))
