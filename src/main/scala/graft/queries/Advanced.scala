@@ -374,8 +374,77 @@ object Advanced extends QueryPack {
         .orderBy(col("l_suppkey"))
     })
 
+  /** Window frame-function battery: first/last/nth value over explicit
+    * frames, dense_rank, percent_rank, cume_dist — ordered by the unique
+    * (totalprice, orderkey) pair so every rank is deterministic.
+    */
+  val qFrameFuncs: Q = Q(
+    "q_frame_funcs",
+    Some("""SELECT o_orderkey,
+                   first_value(o_orderkey) OVER w AS cheapest_key,
+                   last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key,
+                   nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drank,
+                   round(percent_rank() OVER w, 6) AS prank,
+                   round(cume_dist() OVER w, 6) AS cdist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("cheapest_key"),
+          last(col("o_orderkey")).over(wFull).as("priciest_key"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"),
+          dense_rank().over(w).cast("long").as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  /** Array set algebra on collected per-customer order-key arrays:
+    * intersect/except spelled as portable filter-with-membership (the
+    * built-in array_intersect dedups, which engines disagree on), plus
+    * slicing and sorted concatenation.
+    */
+  val qArrayFuncs: Q = Q(
+    "q_array_funcs",
+    Some("""WITH arr AS (
+              SELECT o_custkey,
+                     coalesce(list_sort(list(o_orderkey) FILTER (WHERE o_orderstatus = 'F')), []) AS fk,
+                     coalesce(list_sort(list(o_orderkey) FILTER (WHERE o_orderstatus <> 'F')), []) AS ok
+              FROM orders GROUP BY o_custkey)
+            SELECT o_custkey,
+                   CAST(coalesce(len(fk), 0) AS BIGINT) AS n_f,
+                   CAST(coalesce(len(ok), 0) AS BIGINT) AS n_other,
+                   CAST(coalesce(len(list_filter(fk, x -> list_contains(ok, x))), 0) AS BIGINT) AS n_common,
+                   CAST(coalesce(len(list_filter(fk, x -> NOT list_contains(ok, x))), 0) AS BIGINT) AS n_f_only,
+                   coalesce(array_to_string(fk[1:3], ','), '') AS first_f
+            FROM arr ORDER BY o_custkey"""),
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          sort_array(collect_list(when(col("o_orderstatus") === "F", col("o_orderkey")))).as("fk"),
+          sort_array(collect_list(when(col("o_orderstatus") =!= "F", col("o_orderkey")))).as("ok"))
+        .select(
+          col("o_custkey"),
+          size(col("fk")).cast("long").as("n_f"),
+          size(col("ok")).cast("long").as("n_other"),
+          size(filter(col("fk"), x => array_contains(col("ok"), x))).cast("long").as("n_common"),
+          size(filter(col("fk"), x => !array_contains(col("ok"), x))).cast("long").as("n_f_only"),
+          array_join(slice(col("fk"), 1, 3), ",").as("first_f"))
+        .orderBy(col("o_custkey")))
+
   override def queries: Seq[Q] = Seq(
     qFullOuter, qMinmaxBy, qPercentileExact, qLeadLag, qCorrRegr, qDecimalMath,
     qExistsSubq, qRangeJoin, qWindowRange, qStringFuncs, qHistogram, qCrossJoin,
-    qSaltedAgg)
+    qSaltedAgg, qFrameFuncs, qArrayFuncs)
 }

@@ -50,5 +50,40 @@ object MediaQ extends QueryPack {
           round(avg(octet_length(col("payload"))), 2).as("avg_bytes"))
         .orderBy(col("kind")))
 
-  override def queries: Seq[Q] = Seq(qMediaMeta, qMediaStats)
+  /** Frame sampling as a relational transform: video payloads split into
+    * fixed 16-byte frames, every 4th frame kept, the sampled stream
+    * fingerprinted — the deterministic skeleton of decode→sample→hash
+    * that [[Media.sampleFrames]] runs over the typed Dataset.
+    */
+  val qFrameSample: Q = Q(
+    "q_frame_sample",
+    Some("""SELECT doc_id AS media_id,
+                   CAST(length(text) // 16 AS BIGINT) AS n_frames,
+                   CAST(len([i FOR i IN range(0, CAST(length(text) // 16 AS INT)) IF i % 4 = 0]) AS BIGINT) AS n_sampled,
+                   substr(md5(array_to_string(
+                     [substr(text, 1 + 16 * i, 16)
+                      FOR i IN range(0, CAST(length(text) // 16 AS INT)) IF i % 4 = 0], '')), 1, 16) AS sample_fp
+            FROM documents
+            WHERE CAST(doc_id % 3 AS INT) = 2
+            ORDER BY media_id"""),
+    (s, dir) => {
+      val nFrames = floor(length(col("text")) / 16).cast("long")
+      // sequence(0, n-1) would generate a DESCENDING range when n = 0
+      // (empty docs exist) — guard to an empty array like DuckDB's range
+      val sampledIdx = when(nFrames > 0,
+        filter(sequence(lit(0), nFrames.cast("int") - 1), i => i % 4 === 0))
+        .otherwise(array().cast("array<int>"))
+      Tables.loadDistributed(s, dir, "documents", "doc_id")
+        .filter((col("doc_id") % 3).cast("int") === 2)
+        .select(
+          col("doc_id").as("media_id"),
+          nFrames.as("n_frames"),
+          size(sampledIdx).cast("long").as("n_sampled"),
+          substring(md5(
+            array_join(transform(sampledIdx, i => col("text").substr(lit(1) + lit(16) * i, lit(16))), "")),
+            1, 16).as("sample_fp"))
+        .orderBy(col("media_id"))
+    })
+
+  override def queries: Seq[Q] = Seq(qMediaMeta, qMediaStats, qFrameSample)
 }
