@@ -139,4 +139,42 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Declarative sessionization via the built-in `session_window` — the
+    * Spark-first path when per-session logic is pure aggregation (gap
+    * merging, counts, sums): Catalyst owns the state store, merges
+    * overlapping sessions, and closes them at the watermark, with no
+    * user state-management code. [[sessionize]] remains for semantics a
+    * session aggregate can't express (e.g. emitting mid-session).
+    */
+  def sessionWindowAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("n_events"), col("total_value"))
+
+  /** Idempotent micro-batch sink: partition the output by batch id and
+    * overwrite dynamically, so a replayed batch (checkpoint recovery,
+    * retried epoch) rewrites its own partition instead of appending
+    * duplicates — exactly-once table semantics over a plain parquet dir.
+    * Wire as `stream.writeStream.foreachBatch(writeBatchIdempotent(path) _)`.
+    */
+  def writeBatchIdempotent(path: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch
+      .withColumn("__batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .partitionBy("__batch_id")
+      .parquet(path)
+  }
 }

@@ -55,6 +55,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session_window: declarative gap sessionization merges and closes at watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStreams.sessionWindowAgg(stream.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("t_swin").outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "view", 2.0))
+      query.processAllAvailable()
+      // advance the watermark far past session end + gap → emits the closed session
+      stream.addData(Event(3, ts("2024-01-01 03:00:00"), 7, "click", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("t_swin")
+        .orderBy("start")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3), r.getDouble(4)))
+      assert(rows.toSeq === Seq(
+        (7L, "2024-01-01 00:00:00.0", "2024-01-01 00:40:00.0", 2L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("idempotent batch sink: replaying a batch id overwrites, not appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/out"
+    import spark.implicits._
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    EventStreams.writeBatchIdempotent(dir)(b0, 0L)
+    EventStreams.writeBatchIdempotent(dir)(Seq((3L, "c")).toDF("id", "tag"), 1L)
+    // replay batch 0 (checkpoint recovery): same rows, no duplication
+    EventStreams.writeBatchIdempotent(dir)(b0, 0L)
+    val got = spark.read.parquet(dir).select("id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("sliding windows overlap: one event lands in two 10-minute windows sliding by 5") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[Event]
