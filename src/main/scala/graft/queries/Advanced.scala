@@ -443,8 +443,69 @@ object Advanced extends QueryPack {
           array_join(slice(col("fk"), 1, 3), ",").as("first_f"))
         .orderBy(col("o_custkey")))
 
+  /** Calendar arithmetic battery: month addition (both engines clamp
+    * 01-31 + 1 month to month-end), last_day, month/quarter truncation,
+    * day-of-week (DuckDB counts Sunday=0, Spark Sunday=1 — aligned with
+    * +1), ISO week, and day offsets.
+    */
+  val qDateArith: Q = Q(
+    "q_date_arith",
+    Some("""SELECT o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+                   last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                   CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+                   CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+                   CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+                   CAST(CAST(o_orderdate AS DATE) + 45 AS DATE) AS plus45d
+            FROM orders ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val d = to_date(col("o_orderdate"))
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          add_months(d, 3).as("plus3m"),
+          last_day(d).as("month_end"),
+          trunc(d, "month").as("month_start"),
+          trunc(d, "quarter").as("quarter_start"),
+          dayofweek(d).cast("long").as("dow"),
+          weekofyear(d).cast("long").as("iso_week"),
+          date_add(d, 45).as("plus45d"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  /** Scalar math battery: greatest/least, abs, sign, integer mod,
+    * sqrt/ln (libm-identical across engines), and null-safe division via
+    * nullif — the portable spelling of try_divide.
+    */
+  val qMathFuncs: Q = Q(
+    "q_math_funcs",
+    Some("""SELECT l_orderkey, l_linenumber,
+                   greatest(l_tax, l_discount) AS max_rate,
+                   least(l_tax, l_discount) AS min_rate,
+                   abs(l_quantity - 25.0) AS qty_dev,
+                   CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_side,
+                   CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+                   round(sqrt(l_quantity), 6) AS qty_sqrt,
+                   round(ln(l_extendedprice), 6) AS price_ln,
+                   round(l_extendedprice / nullif(l_discount, 0.0), 2) AS price_per_disc
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+          least(col("l_tax"), col("l_discount")).as("min_rate"),
+          abs(col("l_quantity") - 25.0).as("qty_dev"),
+          signum(col("l_discount") - 0.05).cast("long").as("disc_side"),
+          (col("l_orderkey") % 7).cast("long").as("key_mod"),
+          round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+          round(log(col("l_extendedprice")), 6).as("price_ln"),
+          round(col("l_extendedprice") / nullif(col("l_discount"), lit(0.0)), 2).as("price_per_disc"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")))
+
   override def queries: Seq[Q] = Seq(
     qFullOuter, qMinmaxBy, qPercentileExact, qLeadLag, qCorrRegr, qDecimalMath,
     qExistsSubq, qRangeJoin, qWindowRange, qStringFuncs, qHistogram, qCrossJoin,
-    qSaltedAgg, qFrameFuncs, qArrayFuncs)
+    qSaltedAgg, qFrameFuncs, qArrayFuncs, qDateArith, qMathFuncs)
 }
