@@ -57,4 +57,27 @@ object Skew {
     saltedAgg(df, keyCols, saltBuckets)(
       Seq(count(lit(1)).as("__partial")),
       Seq(sum(col("__partial")).as(outName)))
+
+  /** Skew-resistant equi-join: salt the (large, skewed) probe side and
+    * replicate every build row across all salt buckets, so a hot key's
+    * probe rows spread over `saltBuckets` reducers instead of stalling
+    * one. Build-side cost is ×saltBuckets — use when the build side is
+    * too big to broadcast but far smaller than the probe side (else AQE
+    * skew-join or a plain broadcast already wins). Result equals
+    * `probe.join(build, keys, "inner")` row-for-row.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCols: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0)
+    val saltedProbe = probe.withColumn(
+      "__salt", (rand(seed = 43) * saltBuckets).cast("int"))
+    val replicatedBuild = build.withColumn(
+      "__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedProbe
+      .join(replicatedBuild, keyCols :+ "__salt")
+      .drop("__salt")
+  }
 }

@@ -504,8 +504,28 @@ object Advanced extends QueryPack {
           round(col("l_extendedprice") / nullif(col("l_discount"), lit(0.0)), 2).as("price_per_disc"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")))
 
+  /** Skew-resistant salted join (operators.Skew.saltedJoin): the oracle
+    * is the plain inner join + rollup it must equal. Probe rows fan out
+    * over 8 salt buckets; the build side replicates ×8 — the pattern for
+    * a hot probe key when the build side can't broadcast.
+    */
+  val qSaltedJoin: Q = Q(
+    "q_salted_join",
+    Some("""SELECT s_nationkey, round(sum(l_extendedprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey ORDER BY s_nationkey"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+      graft.operators.Skew.saltedJoin(li, sup, Seq("l_suppkey"), saltBuckets = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qFullOuter, qMinmaxBy, qPercentileExact, qLeadLag, qCorrRegr, qDecimalMath,
     qExistsSubq, qRangeJoin, qWindowRange, qStringFuncs, qHistogram, qCrossJoin,
-    qSaltedAgg, qFrameFuncs, qArrayFuncs, qDateArith, qMathFuncs)
+    qSaltedAgg, qFrameFuncs, qArrayFuncs, qDateArith, qMathFuncs, qSaltedJoin)
 }

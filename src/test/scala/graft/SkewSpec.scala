@@ -27,4 +27,16 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted === direct)
   }
+
+  test("saltedJoin equals plain inner join row-for-row on skewed keys") {
+    val probe = ((1 to 8000).map(i => ("hot", i)) ++
+      (1 to 800).map(i => (s"k${i % 40}", i))).toDF("k", "pv")
+    val build = (Seq("hot") ++ (0 until 40).map(i => s"k$i")).zipWithIndex
+      .toDF("k", "bv")
+    val direct = probe.join(build, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+    val salted = Skew.saltedJoin(probe, build, Seq("k"), saltBuckets = 8).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+    assert(salted.toSeq === direct.toSeq)
+  }
 }
