@@ -206,6 +206,100 @@ object Dedup extends QueryPack {
         .orderBy(col("vec_a"), col("vec_b"))
     })
 
+  /** Near-dup clustering: connected components over the LSH doc↔bucket
+    * bipartite graph via min-label propagation WITH pointer jumping —
+    * each round (a) pulls the min label through buckets (one hop) and
+    * (b) path-compresses (label := label's label), so reachable distance
+    * grows exponentially and 6 fixed rounds cover any component diameter
+    * up to ~2^6. Both engines run the identical 6 rounds (the oracle
+    * unrolls them as a CTE chain), so gate equality holds by
+    * construction; DedupClusterSpec asserts round 6 is a semantic
+    * fixpoint. Each round is two key-partitioned aggregations and a
+    * self-join — no pairwise candidate explosion, no driver-side graph.
+    */
+  val qLshClusters: Q = Q(
+    "q_lsh_clusters", {
+      val sigs = MinhashParams.zipWithIndex
+        .map { case ((a, b), j) => s"min((h * $a + $b) % $P) AS sig$j" }
+        .mkString(", ")
+      // AS MATERIALIZED everywhere a CTE is referenced more than once:
+      // DuckDB inlines CTEs by default, which replicates the whole
+      // upstream subtree (and its parquet scans) exponentially across
+      // the 6 rounds
+      val rounds = (1 to 6).map { i =>
+        s"""b$i AS MATERIALIZED (SELECT m.bkey, min(d${i - 1}.lbl) AS blbl
+                    FROM m JOIN d${i - 1} USING (doc_id) GROUP BY m.bkey),
+            h$i AS MATERIALIZED (SELECT d.doc_id, least(d.lbl, coalesce(min(b$i.blbl), d.lbl)) AS lbl
+                    FROM d${i - 1} d
+                    LEFT JOIN m USING (doc_id)
+                    LEFT JOIN b$i USING (bkey)
+                    GROUP BY d.doc_id, d.lbl),
+            d$i AS MATERIALIZED (SELECT c.doc_id, p.lbl AS lbl
+                    FROM h$i c JOIN h$i p ON c.lbl = p.doc_id)"""
+      }.mkString(",\n")
+      Some(s"""WITH sh AS (
+                 SELECT doc_id, unnest(list_distinct(
+                   [substring(text, i, 3) FOR i IN range(1, length(text) - 1)])) AS s
+                 FROM documents WHERE length(text) >= 3),
+               h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+               sig AS (SELECT doc_id, $sigs FROM h GROUP BY doc_id),
+               m AS MATERIALIZED (
+                 SELECT doc_id, concat_ws('_', '0', sig0, sig1) AS bkey FROM sig
+                 UNION ALL
+                 SELECT doc_id, concat_ws('_', '1', sig2, sig3) AS bkey FROM sig),
+               d0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+               $rounds,
+               sizes AS (SELECT lbl, count(*) AS cluster_size FROM d6 GROUP BY lbl)
+               SELECT d.doc_id, d.lbl AS cluster_id, s.cluster_size
+               FROM d6 d JOIN sizes s USING (lbl)
+               WHERE s.cluster_size > 1
+               ORDER BY cluster_id, doc_id""")
+    },
+    (s, dir) => clusterRun(s, dir, rounds = 6))
+
+  /** The Spark side of [[qLshClusters]], parameterized on round count so
+    * the spec can assert convergence (rounds vs rounds+1).
+    */
+  def clusterRun(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val d = docs(s, dir)
+    val sh = d
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), md5Hash32(col("s")).as("h"))
+    val aggs = minhashSigs(col("h"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val m = sig
+      .select(col("doc_id"), explode(array(
+        concat_ws("_", lit("0"), col("sig0"), col("sig1")),
+        concat_ws("_", lit("1"), col("sig2"), col("sig3")))).as("bkey"))
+    var labels = d.select(col("doc_id"), col("doc_id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val b = m.join(labels, Seq("doc_id"))
+        .groupBy(col("bkey")).agg(min(col("lbl")).as("blbl"))
+      val hopped = labels
+        .join(m, Seq("doc_id"), "left")
+        .join(b, Seq("bkey"), "left")
+        .groupBy(col("doc_id"), col("lbl"))
+        .agg(min(col("blbl")).as("mb"))
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("mb"), col("lbl"))).as("lbl"))
+      // pointer jumping: label := label's label (labels are doc ids, so
+      // the parent row always exists) — distance doubles per round
+      val parents = hopped.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
+      labels = hopped.join(parents, hopped("lbl") === parents("p_id"))
+        .select(hopped("doc_id"), col("p_lbl").as("lbl"))
+        // each round references the previous labels 3×, so the lineage
+        // grows exponentially — truncate it per round (at cluster scale:
+        // a reliable checkpoint dir instead of executor-local blocks)
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   override def queries: Seq[Q] =
-    Seq(qDedupExact, qMinhashSig, qLshBuckets, qSimhash, qNgramJaccard, qCosineDedup)
+    Seq(qDedupExact, qMinhashSig, qLshBuckets, qSimhash, qNgramJaccard, qCosineDedup,
+      qLshClusters)
 }
