@@ -272,6 +272,10 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), explode(array(
         concat_ws("_", lit("0"), col("sig0"), col("sig1")),
         concat_ws("_", lit("1"), col("sig2"), col("sig3")))).as("bkey"))
+      // referenced 2× per round for 6 rounds — materialize once instead
+      // of re-shingling the corpus on every reference (the oracle's
+      // AS MATERIALIZED m is the same decision)
+      .localCheckpoint(true)
     var labels = d.select(col("doc_id"), col("doc_id").as("lbl"))
     for (_ <- 1 to rounds) {
       val b = m.join(labels, Seq("doc_id"))
