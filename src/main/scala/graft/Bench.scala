@@ -29,9 +29,11 @@ object Bench {
     }
 
     // Warm the JVM + file metadata once so per-query numbers measure the
-    // query, not first-touch classloading.
-    try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case _: Throwable => () }
+    // query, not first-touch classloading; q_time_bucket additionally
+    // warms the events table's legacy-nanos read path.
+    for (w <- Seq("q1_agg", "q_time_bucket"))
+      try SparkEntry.queries.get(w).foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+      catch { case _: Throwable => () }
 
     // Up to two measured passes per query, report the min: this VM's
     // host periodically steals ~all vCPUs for 60-90 s (visible as

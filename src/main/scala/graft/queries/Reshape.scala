@@ -342,8 +342,27 @@ object Reshape extends QueryPack {
         .orderBy(col("event_id"))
     })
 
+  /** Schema-evolving union: unionByName with allowMissingColumns — the
+    * append path when a new ingest batch carries added/dropped columns —
+    * checked against DuckDB's UNION ALL BY NAME null-fill.
+    */
+  val qUnionByName: Q = Q(
+    "q_union_by_name",
+    Some("""SELECT * FROM (
+              SELECT o_orderkey AS k, o_totalprice AS price FROM orders WHERE o_orderkey < 50
+              UNION ALL BY NAME
+              SELECT o_orderkey AS k, o_orderpriority AS priority FROM orders WHERE o_orderkey < 50)
+            ORDER BY k, price NULLS FIRST"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderkey") < 50)
+      val a = o.select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val b = o.select(col("o_orderkey").as("k"), col("o_orderpriority").as("priority"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("k"), col("price").asc_nulls_first)
+    })
+
   override def queries: Seq[Q] = Seq(
     qUnpivot, qExplode, qUnion, qWeightedMerge, qDedupFirst, qCollectSorted,
     qCaseWhen, qCeilingClamp, qWindow, qTimeBucket, qJsonExtract, qSessionize, qAsof,
-    qAsofForward)
+    qAsofForward, qUnionByName)
 }

@@ -204,6 +204,25 @@ object TextOps extends QueryPack {
           regexp_extract(col("text"), "([a-z]+) (join|merge)", 2).as("op"))
         .orderBy(col("doc_id")))
 
+  /** Regex replacement with group backreferences (Spark `$n`, DuckDB
+    * `\n` — same semantics, engine-specific spelling): swap the first
+    * two words, then fingerprint the rewritten text so the oracle
+    * verifies the actual replacement output.
+    */
+  val qRegexReplaceGroups: Q = Q(
+    "q_regex_replace_groups",
+    Some("""SELECT doc_id,
+            ('0x' || substr(md5(regexp_replace(text, '^([a-z]+) ([a-z]+)', '\2 \1')), 1, 15))::BIGINT AS swapped_fp
+            FROM documents ORDER BY doc_id"""),
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          fingerprint60(regexp_replace(col("text"), "^([a-z]+) ([a-z]+)", "$2 $1"))
+            .as("swapped_fp"))
+        .orderBy(col("doc_id")))
+
   override def queries: Seq[Q] =
-    Seq(qTextStats, qTokenCount, qLangId, qFingerprint, qBpeTokens, qRollingFp, qRegexFilter)
+    Seq(qTextStats, qTokenCount, qLangId, qFingerprint, qBpeTokens, qRollingFp, qRegexFilter,
+      qRegexReplaceGroups)
 }

@@ -24,15 +24,17 @@ object TrainOps extends QueryPack {
 
   /** TF-IDF: top-3 terms per document, tf·ln(N/df) weighting over
     * lowercase letter-run tokens. Deterministic ranking via (tfidf desc,
-    * term asc). The df and N sides are broadcast — both are bounded by
-    * vocabulary size / a single row, not corpus size.
+    * term asc). Document frequency is derived from the tf aggregate
+    * (one row per (doc, term) ⇒ df = row count per term), so the corpus
+    * is tokenized exactly once; the df and N sides broadcast — both
+    * bounded by vocabulary size / a single row, not corpus size.
     */
   val qTfidf: Q = Q(
     "q_tfidf",
     Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
                          FROM documents),
-            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-            df AS (SELECT term, count(DISTINCT doc_id) AS docfreq FROM tok GROUP BY 1),
+            tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS docfreq FROM tf GROUP BY 1),
             n AS (SELECT count(*) AS n_docs FROM documents),
             scored AS (
               SELECT tf.doc_id, tf.term,
@@ -50,7 +52,8 @@ object TrainOps extends QueryPack {
         col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("docfreq"))
+        .localCheckpoint(true) // referenced twice (tf side + df rollup)
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("docfreq"))
       val n = d.agg(count(lit(1)).as("n_docs"))
       val raw = col("tf") * log(col("n_docs") * lit(1.0) / col("docfreq"))
       tf.join(broadcast(df), Seq("term"))
