@@ -213,7 +213,10 @@ object Advanced extends QueryPack {
         .orderBy(col("l_returnflag")))
 
   private val existsSql =
-    """SELECT c_custkey, c_name FROM customer c
+    """SELECT c_custkey, c_name,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) AS n_big
+      |FROM customer c
       |WHERE EXISTS (SELECT 1 FROM orders o
       |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
       |  AND NOT EXISTS (SELECT 1 FROM orders o
@@ -221,8 +224,9 @@ object Advanced extends QueryPack {
       |                    AND o.o_totalprice < 5000)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Correlated EXISTS / NOT EXISTS subqueries — Catalyst rewrites them
-    * to semi/anti joins; the identical SQL text runs in both engines.
+  /** Correlated EXISTS / NOT EXISTS plus a correlated scalar subquery —
+    * Catalyst rewrites them to semi/anti/aggregate joins; the identical
+    * SQL text runs in both engines.
     */
   val qExistsSubq: Q = Q(
     "q_exists_subq",

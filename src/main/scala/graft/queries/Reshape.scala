@@ -361,8 +361,31 @@ object Reshape extends QueryPack {
         .orderBy(col("k"), col("price").asc_nulls_first)
     })
 
+  /** Positional explode (ordinality): token position survives the
+    * flatten — what sequence models need from a tokenized corpus.
+    * DuckDB lacks WITH ORDINALITY; the oracle builds (pos, word) structs
+    * by comprehension and unnests them.
+    */
+  val qPosexplode: Q = Q(
+    "q_posexplode",
+    Some("""SELECT doc_id, CAST(t.p AS BIGINT) AS pos, t.w
+            FROM (SELECT doc_id,
+                    unnest([{'p': i, 'w': ws[i]} FOR i IN range(1, len(ws) + 1)],
+                           recursive := true)
+                  FROM (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                        FROM documents WHERE doc_id < 20)) AS t(doc_id, p, w)
+            ORDER BY doc_id, pos"""),
+    (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), " "), w => w =!= "")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("w"))
+        .orderBy(col("doc_id"), col("pos")))
+
   override def queries: Seq[Q] = Seq(
     qUnpivot, qExplode, qUnion, qWeightedMerge, qDedupFirst, qCollectSorted,
     qCaseWhen, qCeilingClamp, qWindow, qTimeBucket, qJsonExtract, qSessionize, qAsof,
-    qAsofForward, qUnionByName)
+    qAsofForward, qUnionByName, qPosexplode)
 }
