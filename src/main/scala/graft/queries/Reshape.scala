@@ -384,8 +384,31 @@ object Reshape extends QueryPack {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("w"))
         .orderBy(col("doc_id"), col("pos")))
 
+  /** Semi-structured via the VARIANT type (Spark 4): parse once into the
+    * binary variant encoding, then typed path extraction — the
+    * open-schema column pattern that replaces per-query JSON string
+    * re-parsing at scale. The oracle reads the same paths with plain
+    * JSON extraction.
+    */
+  val qVariant: Q = Q(
+    "q_variant",
+    Some("""SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+                   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+            FROM events
+            GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val k = expr("variant_get(parse_json(props), '$.k', 'long')")
+      t(s, dir, "events")
+        .select((k / 10).cast("long").as("k_bucket"), k.as("k"))
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy(col("k_bucket"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qUnpivot, qExplode, qUnion, qWeightedMerge, qDedupFirst, qCollectSorted,
     qCaseWhen, qCeilingClamp, qWindow, qTimeBucket, qJsonExtract, qSessionize, qAsof,
-    qAsofForward, qUnionByName, qPosexplode)
+    qAsofForward, qUnionByName, qPosexplode, qVariant)
 }

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Structured Streaming over the `events` stream shape
   * (event_id, ts, user_id, event_type, value) — a beyond-reference
@@ -160,6 +161,55 @@ object EventStreams {
         col("session_window.start").as("start"),
         col("session_window.end").as("end"),
         col("n_events"), col("total_value"))
+
+  final case class ThresholdAlert(user_id: Long, total_value: Double, n_events: Long)
+
+  /** Per-key running totals with threshold alerts via `transformWithState`
+    * (the Spark 4 arbitrary-state API, successor to
+    * [flat]mapGroupsWithState): cumulative value and event count live in
+    * `ValueState`; an alert row is emitted each time a user's running
+    * total crosses another multiple of `threshold`. Requires the RocksDB
+    * state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  class ThresholdProcessor(threshold: Double)
+      extends StatefulProcessor[Long, Event, ThresholdAlert] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Double, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Double, Long)](
+        "totals", Encoders.product[(Double, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ThresholdAlert] = {
+      var (total, n) = if (totals.exists()) totals.get() else (0.0, 0L)
+      val alerts = scala.collection.mutable.ArrayBuffer.empty[ThresholdAlert]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val crossed = math.floor((total + e.value) / threshold).toLong -
+          math.floor(total / threshold).toLong
+        total += e.value
+        n += 1
+        if (crossed > 0) alerts += ThresholdAlert(key, total, n)
+      }
+      totals.update((total, n))
+      alerts.iterator
+    }
+  }
+
+  def thresholdAlerts(
+      events: Dataset[Event],
+      threshold: Double = 100.0): Dataset[ThresholdAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new ThresholdProcessor(threshold),
+        TimeMode.None(),
+        OutputMode.Append())
+  }
 
   /** Idempotent micro-batch sink: partition the output by batch id and
     * overwrite dynamically, so a replayed batch (checkpoint recovery,

@@ -78,6 +78,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState: running totals emit threshold-crossing alerts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val query = EventStreams.thresholdAlerts(stream.toDS(), threshold = 100.0)
+        .writeStream.format("memory").queryName("t_alerts").outputMode("append").start()
+      try {
+        stream.addData(
+          Event(1, ts("2024-01-01 00:00:00"), 7, "buy", 60.0),
+          Event(2, ts("2024-01-01 00:01:00"), 7, "buy", 30.0))
+        query.processAllAvailable() // total 90: no alert yet
+        assert(spark.table("t_alerts").count() === 0)
+        stream.addData(Event(3, ts("2024-01-01 00:02:00"), 7, "buy", 15.0))
+        query.processAllAvailable() // total 105: crossed 100 → alert
+        stream.addData(Event(4, ts("2024-01-01 00:03:00"), 7, "buy", 250.0))
+        query.processAllAvailable() // total 355: crossed 200 and 300 → one more alert
+        val alerts = spark.table("t_alerts")
+          .orderBy("n_events")
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        assert(alerts.toSeq === Seq((7L, 105.0, 3L), (7L, 355.0, 4L)))
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("idempotent batch sink: replaying a batch id overwrites, not appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/out"
     import spark.implicits._
