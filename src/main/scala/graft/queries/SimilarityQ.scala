@@ -91,5 +91,32 @@ object SimilarityQ extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     })
 
-  override def queries: Seq[Q] = Seq(qEmbedNorms, qCosineTopk, qLshAnn, qIvfAnn)
+  /** Per-label centroids (mean-pooled embeddings), computed relationally:
+    * posexplode to (label, dim, value), one hash aggregation over
+    * (label, dim) — the distributed form of vector mean-pooling, no
+    * vector fits-in-memory assumption, ~numLabels×64 output rows. Sums
+    * are dimension-local so ordering noise is absorbed by rounding.
+    */
+  val qEmbedCentroids: Q = Q(
+    "q_embed_centroids",
+    Some("""SELECT label, CAST(t.dim AS BIGINT) AS dim,
+                   round(avg(t.v), 5) AS centroid_v,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM (SELECT label,
+                    unnest([{'dim': i, 'v': CAST(embedding[i] AS DOUBLE)}
+                            FOR i IN range(1, len(embedding) + 1)],
+                           recursive := true)
+                  FROM embeddings) AS t(label, dim, v)
+            GROUP BY label, t.dim
+            ORDER BY label, dim"""),
+    (s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").cast("double").as("v"))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v")), 5).as("centroid_v"), count(lit(1)).as("n_vecs"))
+        .orderBy(col("label"), col("dim")))
+
+  override def queries: Seq[Q] = Seq(qEmbedNorms, qCosineTopk, qLshAnn, qIvfAnn, qEmbedCentroids)
 }
