@@ -30,6 +30,20 @@ class QueryPackSpec extends SparkSpec {
     }
   }
 
+  test("Observation API: pipeline metrics ride along with the action, no second pass") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("lineitem_stats")
+    val out = Tables.load(spark, dir, "lineitem")
+      .observe(obs, count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("total_qty"))
+      .filter(col("l_quantity") > 25)
+      .count()
+    val metrics = obs.get
+    // observed metrics cover the PRE-filter frame: the scan is counted
+    // exactly once even though the query only returns the filtered rows
+    assert(metrics("n_rows").asInstanceOf[Long] > out)
+    assert(metrics("total_qty").asInstanceOf[Double] > 0.0)
+  }
+
   test("q_approx_sketch: approximate median within 5% of exact median") {
     val sketch = queries.Relational.qApproxSketch
       .run(spark, dir)
