@@ -205,6 +205,50 @@ object TrainOps extends QueryPack {
         .orderBy(col("cluster_id"), col("doc_id"))
     })
 
+  /** End-to-end corpus curation in ONE declarative plan: quality gate
+    * (word count + stopword presence) → exact dedup keeping the lowest
+    * doc_id per content hash → per-language yield stats. What a
+    * pretraining data pipeline runs nightly; Catalyst pipelines the
+    * whole chain with two shuffles (dedup window, final rollup).
+    */
+  val qCorpusPipeline: Q = Q(
+    "q_corpus_pipeline",
+    Some("""WITH gated AS (
+              SELECT doc_id, lang, text,
+                     len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words
+              FROM documents
+              WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) BETWEEN 5 AND 5000
+                AND len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','a','of','data','value'))) > 0),
+            deduped AS (
+              SELECT doc_id, lang, n_words
+              FROM (SELECT doc_id, lang, n_words,
+                           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                    FROM gated)
+              WHERE rn = 1)
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS total_words,
+                   round(avg(n_words), 2) AS avg_words
+            FROM deduped GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val gated = docs(s, dir)
+        .withColumn("n_words", size(toks).cast("long"))
+        .filter(col("n_words").between(5, 5000) && hitCount(toks, stopwords) > 0)
+      val deduped = gated
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      deduped
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          round(avg(col("n_words")), 2).as("avg_words"))
+        .orderBy(col("lang"))
+    })
+
   override def queries: Seq[Q] =
-    Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qDupClusters)
+    Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qDupClusters, qCorpusPipeline)
 }
