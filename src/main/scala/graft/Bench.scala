@@ -10,6 +10,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional dev filter: only queries whose name starts with args(0)
+    val prefix = args.headOption.getOrElse("")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -49,7 +51,7 @@ object Bench {
           catch { case _: Throwable => -1.0 }
         name -> sec
       }.toMap
-    val all = SparkEntry.queries.keys.toSeq.sorted
+    val all = SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith(prefix))
     val p1 = measure(all)
     val suspicious = all.filter(n => p1(n) < 0 || p1(n) > 3.0)
     val p2 = measure(suspicious)

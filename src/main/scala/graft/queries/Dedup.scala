@@ -277,7 +277,7 @@ object Dedup extends QueryPack {
       // AS MATERIALIZED m is the same decision)
       .localCheckpoint(true)
     var labels = d.select(col("doc_id"), col("doc_id").as("lbl"))
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val b = m.join(labels, Seq("doc_id"))
         .groupBy(col("bkey")).agg(min(col("lbl")).as("blbl"))
       val hopped = labels
@@ -291,10 +291,12 @@ object Dedup extends QueryPack {
       val parents = hopped.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
       labels = hopped.join(parents, hopped("lbl") === parents("p_id"))
         .select(hopped("doc_id"), col("p_lbl").as("lbl"))
-        // each round references the previous labels 3×, so the lineage
-        // grows exponentially — truncate it per round (at cluster scale:
-        // a reliable checkpoint dir instead of executor-local blocks)
-        .localCheckpoint(true)
+      // each round references the previous labels 3×, so lineage grows
+      // exponentially — truncate every second round (~9 subtree copies
+      // between truncations stays cheap to plan; the eager-materialize
+      // barrier is what costs wall time). At cluster scale: a reliable
+      // checkpoint dir instead of executor-local blocks.
+      if (round % 2 == 0 || round == rounds) labels = labels.localCheckpoint(true)
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
