@@ -528,8 +528,55 @@ object Advanced extends QueryPack {
         .orderBy(col("s_nationkey"))
     })
 
+  /** Boolean and bitwise aggregates: bool_and/bool_or (SQL EVERY/ANY),
+    * count_if, and bit_and/or/xor — order-independent, so exact across
+    * engines with no rounding.
+    */
+  val qBoolBitAggs: Q = Q(
+    "q_bool_bit_aggs",
+    Some("""SELECT l_returnflag,
+                   CAST(bool_and(l_quantity > 0) AS INT) AS all_pos,
+                   CAST(bool_or(l_discount > 0.09) AS INT) AS any_deep_disc,
+                   CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax,
+                   CAST(bit_and(l_linenumber) AS BIGINT) AS line_band,
+                   CAST(bit_or(l_linenumber) AS BIGINT) AS line_bor,
+                   CAST(bit_xor(l_linenumber) AS BIGINT) AS line_bxor
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bool_and(col("l_quantity") > 0).cast("int").as("all_pos"),
+          bool_or(col("l_discount") > 0.09).cast("int").as("any_deep_disc"),
+          count_if(col("l_tax") > 0.05).as("n_high_tax"),
+          bit_and(col("l_linenumber")).cast("long").as("line_band"),
+          bit_or(col("l_linenumber")).cast("long").as("line_bor"),
+          bit_xor(col("l_linenumber")).cast("long").as("line_bxor"))
+        .orderBy(col("l_returnflag")))
+
+  /** any_value over a functionally dependent column (1:1 with the group
+    * key after the join) — the reference's A4 ANY_VALUE pattern with a
+    * result that is deterministic because the dependency makes every
+    * candidate identical.
+    */
+  val qAnyValue: Q = Q(
+    "q_any_value",
+    Some("""SELECT c.c_custkey, any_value(c.c_name) AS name,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey ORDER BY c.c_custkey"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(c("c_custkey"))
+        .agg(any_value(c("c_name")).as("name"), count(lit(1)).as("n_orders"))
+        .orderBy(c("c_custkey"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qFullOuter, qMinmaxBy, qPercentileExact, qLeadLag, qCorrRegr, qDecimalMath,
     qExistsSubq, qRangeJoin, qWindowRange, qStringFuncs, qHistogram, qCrossJoin,
-    qSaltedAgg, qFrameFuncs, qArrayFuncs, qDateArith, qMathFuncs, qSaltedJoin)
+    qSaltedAgg, qFrameFuncs, qArrayFuncs, qDateArith, qMathFuncs, qSaltedJoin,
+    qBoolBitAggs, qAnyValue)
 }
