@@ -574,9 +574,33 @@ object Advanced extends QueryPack {
         .orderBy(c("c_custkey"))
     })
 
+  /** Safe conversion and string-position battery: TRY_CAST returning
+    * NULL on malformed input (the ingest-hardening primitive), substring
+    * position, prefix slicing, and repetition.
+    */
+  val qConvFuncs: Q = Q(
+    "q_conv_funcs",
+    Some("""SELECT p_partkey,
+                   TRY_CAST(split_part(p_brand, '#', 2) AS BIGINT) AS brand_num,
+                   TRY_CAST(p_type AS BIGINT) AS bad_cast,
+                   CAST(strpos(p_name, 'widget') AS BIGINT) AS widget_at,
+                   left(p_type, 4) AS type4,
+                   repeat('-', p_size % 5) AS dashes
+            FROM part ORDER BY p_partkey"""),
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          try_element_at(split(col("p_brand"), "#"), lit(2)).cast("long").as("brand_num"),
+          expr("TRY_CAST(p_type AS BIGINT)").as("bad_cast"),
+          instr(col("p_name"), "widget").cast("long").as("widget_at"),
+          substring(col("p_type"), 1, 4).as("type4"),
+          expr("repeat('-', CAST(p_size % 5 AS INT))").as("dashes"))
+        .orderBy(col("p_partkey")))
+
   override def queries: Seq[Q] = Seq(
     qFullOuter, qMinmaxBy, qPercentileExact, qLeadLag, qCorrRegr, qDecimalMath,
     qExistsSubq, qRangeJoin, qWindowRange, qStringFuncs, qHistogram, qCrossJoin,
     qSaltedAgg, qFrameFuncs, qArrayFuncs, qDateArith, qMathFuncs, qSaltedJoin,
-    qBoolBitAggs, qAnyValue)
+    qBoolBitAggs, qAnyValue, qConvFuncs)
 }
