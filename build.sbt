@@ -15,6 +15,9 @@ run / fork := true
 // JSON line graft.Bench prints, and sbt's default logger prefixes every
 // line with [info]/[error], which breaks that parse (round 1: parsed=null).
 run / outputStrategy := Some(StdoutOutput)
+// ... and keep sbt's "[success] Total time" epilogue out of the driver's
+// 2000-char stdout tail window, so the JSON line stays the last line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,9 +63,33 @@ object Bench {
       }
       name -> math.round(best * 1000) / 1000.0
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = math.round(results.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that window (BENCH_r01/r02 both ended parsed:null
+    // because the full per-query map overflowed it). So: dump the full
+    // map to a file, and keep the stdout line itself under ~1400 chars by
+    // including only the slowest queries — the ones worth reading against
+    // BASELINE.md — plus the suite-wide total.
+    def jsonLine(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":$qs,"queries_omitted":$omitted,"queries_full":"bench_full.json","sf":"$sfDir"}"""
+    }
+    val bySlowest = results.sortBy { case (_, v) => -v }
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    for (e <- bySlowest if jsonLine((keep :+ e).sortBy(_._1).toSeq, 0).length <= 1400)
+      keep += e
+    val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
+    // Print LAST, after spark.stop(), so no stray executor/log line can
+    // land between this and end-of-stream inside the driver's tail window.
+    println(jsonLine(keep.sortBy(_._1).toSeq, results.size - keep.size))
   }
 }
