@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * `last(_, ignoreNulls)` over the event-time order carries each right
   * payload forward to the left rows it matches. Wall cost is one
   * shuffle + one in-partition sort regardless of match fan-out.
+  *
+  * The right payload travels as ONE struct column, so a match is always
+  * a single right row (never a column-wise mix of rows), and when
+  * several right rows tie on (key, ts) the winner is deterministic:
+  * the row with the greatest payload tuple (struct ordering), in both
+  * directions.
   */
 object AsOf {
 
@@ -28,34 +34,14 @@ object AsOf {
       key: String,
       leftTs: String,
       rightTs: String,
-      payloadCols: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val lTagged = left
-      .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
-      .withColumns(payloadCols.map(c => s"__p_$c" -> lit(null)).toMap)
-    val rTagged = right
-      .select((col(key) +: col(rightTs).as("__ts") +:
-        payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
-      .withColumn("__side", lit(0))
-    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    // right rows sort before left rows at equal timestamps → inclusive match
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__m_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    carried
-      .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"__m_$c").as(c)): _*)
-  }
+      payloadCols: Seq[String]): DataFrame =
+    joinAsOf(left, right, key, leftTs, rightTs, payloadCols, forward = false)
 
   /** Forward as-of join — for each left row, the earliest right row of
     * the same key with `rightTs >= leftTs` (inclusive). Same
     * one-shuffle union-and-carry shape as [[joinBackward]], mirrored:
-    * left rows sort before right rows at equal timestamps and each right
-    * payload is carried backward with `first(_, ignoreNulls)` over the
-    * current-to-following frame.
+    * each right payload is carried backward with `first(_, ignoreNulls)`
+    * over the current-to-following frame.
     */
   def joinForward(
       left: DataFrame,
@@ -63,27 +49,51 @@ object AsOf {
       key: String,
       leftTs: String,
       rightTs: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String]): DataFrame =
+    joinAsOf(left, right, key, leftTs, rightTs, payloadCols, forward = true)
+
+  private def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumns(payloadCols.map(c => s"__p_$c" -> lit(null)).toMap)
     val rTagged = right
-      .select((col(key) +: col(rightTs).as("__ts") +:
-        payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
+      .select(
+        col(key),
+        col(rightTs).as("__ts"),
+        struct(payloadCols.map(col): _*).as("__p"))
       .withColumn("__side", lit(0))
+    // left rows carry no __p column: allowMissingColumns fills a null
+    // STRUCT (not a struct of nulls), which `ignoreNulls` skips whole.
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    // left rows (side 1) sort before right rows (side 0) at equal
-    // timestamps → the current-row-to-following frame sees the equal-ts
-    // right row → inclusive match
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side").desc)
-      .rowsBetween(0, Window.unboundedFollowing)
-    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__m_$c", first(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried =
+      if (!forward) {
+        // right rows (side 0) sort before left rows at equal timestamps →
+        // inclusive match; among right ties on __ts, ascending __p order
+        // makes last() pick the greatest payload tuple.
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("__ts"), col("__side"), col("__p"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        unioned.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      } else {
+        // left rows (side 1) sort before right rows (side 0) at equal
+        // timestamps → the current-to-following frame sees the equal-ts
+        // right row; among right ties, descending __p order makes first()
+        // pick the greatest payload tuple.
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("__ts"), col("__side").desc, col("__p").desc)
+          .rowsBetween(0, Window.unboundedFollowing)
+        unioned.withColumn("__m", first(col("__p"), ignoreNulls = true).over(w))
+      }
     carried
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"__m_$c").as(c)): _*)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col("__m").getField(c).as(c)): _*)
   }
 }

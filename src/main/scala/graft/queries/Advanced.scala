@@ -301,7 +301,9 @@ object Advanced extends QueryPack {
       t(s, dir, "part")
         .select(
           col("p_partkey"),
-          element_at(split(col("p_name"), " "), 2).as("noun"),
+          // try_element_at: plain element_at throws under ANSI mode on
+          // one-word names; coalesce to '' ≡ DuckDB split_part out-of-range.
+          coalesce(try_element_at(split(col("p_name"), " "), lit(2)), lit("")).as("noun"),
           translate(col("p_brand"), "#", "_").as("brand_slug"),
           lpad(col("p_brand"), 12, "*").as("brand_pad"),
           levenshtein(col("p_brand"), lit("Brand#00")).cast("long").as("lev"),

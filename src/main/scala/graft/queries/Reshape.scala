@@ -401,7 +401,9 @@ object Reshape extends QueryPack {
     (s, dir) => {
       val k = expr("variant_get(parse_json(props), '$.k', 'long')")
       t(s, dir, "events")
-        .select((k / 10).cast("long").as("k_bucket"), k.as("k"))
+        // floor(k/10), not (k/10).cast: DuckDB `//` floors, Spark's long
+        // division truncates toward zero — they diverge on negative k.
+        .select(floor(k / 10).cast("long").as("k_bucket"), k.as("k"))
         .groupBy(col("k_bucket"))
         .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
         .orderBy(col("k_bucket"))

@@ -218,11 +218,13 @@ object EventStreams {
     * Wire as `stream.writeStream.foreachBatch(writeBatchIdempotent(path) _)`.
     */
   def writeBatchIdempotent(path: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch
       .withColumn("__batch_id", lit(batchId))
       .write
+      // per-write option, NOT spark.conf.set: a session-level mutation
+      // would silently flip overwrite semantics for every other
+      // partitioned write sharing this session.
+      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy("__batch_id")
       .parquet(path)
