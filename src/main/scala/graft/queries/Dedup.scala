@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, QueryPack, Tables}
 import graft.text.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication extension pack over `documents`: exact (content hash),
@@ -268,23 +269,43 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), md5Hash32(col("s")).as("h"))
     val aggs = minhashSigs(col("h"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val m = sig
+    val mAll = sig
       .select(col("doc_id"), explode(array(
         concat_ws("_", lit("0"), col("sig0"), col("sig1")),
         concat_ws("_", lit("1"), col("sig2"), col("sig3")))).as("bkey"))
-      // referenced 2× per round for 6 rounds — materialize once instead
-      // of re-shingling the corpus on every reference (the oracle's
-      // AS MATERIALIZED m is the same decision)
+    // Iterate ONLY over docs sharing a non-singleton bucket: a doc whose
+    // buckets are all its own can neither change label nor affect any
+    // other doc's, and the final `cluster_size > 1` filter drops it
+    // anyway — so the rounds below are equality-preserving on a
+    // candidate set that at real corpus scale is a small fraction of
+    // the corpus (the oracle runs the same rounds un-restricted; the
+    // gate checks the results agree). Materialize it once instead of
+    // re-shingling the corpus on every of the 12 references (the
+    // oracle's AS MATERIALIZED m is the same decision).
+    val bucketDocs = Window.partitionBy(col("bkey"))
+    // The rounds reference the membership on both keys — doc_id (label
+    // pull) and bkey (bucket min) — so keep one checkpointed copy
+    // PRE-PARTITIONED per key: localCheckpoint preserves the physical
+    // partitioning in the LogicalRDD, so none of the 6 rounds re-shuffles
+    // the membership side of its joins/aggregations.
+    val mByBkey = mAll
+      .withColumn("__n", count(lit(1)).over(bucketDocs))
+      .filter(col("__n") > 1)
+      .drop("__n")
       .localCheckpoint(true)
-    var labels = d.select(col("doc_id"), col("doc_id").as("lbl"))
+    val mByDoc = mByBkey.repartition(col("doc_id")).localCheckpoint(true)
+    var labels = mByDoc.select(col("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl"))
     for (round <- 1 to rounds) {
-      val b = m.join(labels, Seq("doc_id"))
-        .groupBy(col("bkey")).agg(min(col("lbl")).as("blbl"))
+      // one m ⋈ labels join feeds BOTH the bucket-min and the doc-min
+      // aggregation (the naive form joins m against labels twice per
+      // round); every candidate doc has a bucket, so no left join needed
+      val ml = mByDoc.join(labels, Seq("doc_id"))
+      val b = ml.groupBy(col("bkey")).agg(min(col("lbl")).as("blbl"))
+      val docmin = mByBkey.join(b, Seq("bkey"))
+        .groupBy(col("doc_id")).agg(min(col("blbl")).as("mb"))
       val hopped = labels
-        .join(m, Seq("doc_id"), "left")
-        .join(b, Seq("bkey"), "left")
-        .groupBy(col("doc_id"), col("lbl"))
-        .agg(min(col("blbl")).as("mb"))
+        .join(docmin, Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("lbl"), coalesce(col("mb"), col("lbl"))).as("lbl"))
       // pointer jumping: label := label's label (labels are doc ids, so
       // the parent row always exists) — distance doubles per round
