@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Dedup,
     graft.queries.SimilarityQ,
     graft.queries.TrainOps,
-    graft.queries.Advanced)
+    graft.queries.Advanced,
+    graft.queries.Extras)
 
   private lazy val allQueries: Seq[Q] = packs.flatMap(_.queries)
 

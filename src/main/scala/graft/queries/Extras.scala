@@ -1,0 +1,287 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 surface extensions: bag-semantics set operations, ordered
+  * string aggregation, lateral (correlated top-n) joins, grouping
+  * markers, calendar spines, MapType round-trips — plus training-data
+  * ops the earlier packs lacked: fixed-stride document chunking, int8
+  * embedding quantization, and SHA-256 content addressing.
+  *
+  * Everything keeps the pack invariants: engine-portable arithmetic
+  * (explicit doubles, floor/ceil instead of engine-local rounding,
+  * md5-derived hashes), a deterministic total order on the output, and
+  * column names aligned with the DuckDB oracle.
+  */
+object Extras extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadDistributed(s, dir, "documents", "doc_id")
+
+  /** Bag-semantics set operations: INTERSECT ALL keeps min(countL,
+    * countR) copies, EXCEPT ALL keeps countL − countR. Spark plans both
+    * without materializing counts (left-anti-ish hash join with
+    * multiplicity); the result is re-aggregated so the gate compares a
+    * bounded, ordered relation.
+    */
+  val qIntersectAll: Q = Q(
+    "q_intersect_all",
+    Some("""SELECT op, k, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT 'inter' AS op, CAST(c_nationkey AS BIGINT) AS k FROM (
+                SELECT c_nationkey FROM customer
+                INTERSECT ALL
+                SELECT s_nationkey FROM supplier)
+              UNION ALL
+              SELECT 'exc', CAST(c_nationkey AS BIGINT) FROM (
+                SELECT c_nationkey FROM customer
+                EXCEPT ALL
+                SELECT s_nationkey FROM supplier))
+            GROUP BY op, k ORDER BY op, k"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("k"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("k"))
+      c.intersectAll(su).select(lit("inter").as("op"), col("k"))
+        .unionByName(c.exceptAll(su).select(lit("exc").as("op"), col("k")))
+        .groupBy(col("op"), col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("op"), col("k"))
+    })
+
+  /** Ordered string aggregation (LISTAGG / string_agg): nations per
+    * region as one comma-joined, alphabetically ordered string. Spark
+    * side sorts inside the aggregation buffer (array_sort ∘
+    * collect_list), which is the scale-safe form: per-group data only,
+    * no global sort.
+    */
+  val qListagg: Q = Q(
+    "q_listagg",
+    Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM region JOIN nation ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""),
+    (s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      r.join(n, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    })
+
+  /** Correlated lateral top-n: the two highest-balance customers per
+    * nation, written as a LATERAL subquery on both engines — Spark
+    * plans the correlated limit as a partitioned window under the hood.
+    */
+  val qLateralTopk: Q = Q(
+    "q_lateral_topk",
+    Some("""SELECT n_name, c.c_name, c.c_acctbal
+            FROM nation, LATERAL (
+              SELECT c_name, c_acctbal FROM customer
+              WHERE c_nationkey = n_nationkey
+              ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+            ORDER BY n_name, c_acctbal DESC, c_name"""),
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT n_name, c.c_name, c.c_acctbal
+               FROM nation, LATERAL (
+                 SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+               ORDER BY n_name, c_acctbal DESC, c_name""")
+    })
+
+  /** ROLLUP with explicit GROUPING markers: the grouping() flag
+    * distinguishes "NULL because rolled up" from "NULL in the data" —
+    * the canonical way to consume multi-granularity aggregates.
+    */
+  val qGroupingId: Q = Q(
+    "q_grouping_id",
+    Some("""SELECT coalesce(l_returnflag, '?') AS flag,
+                   coalesce(l_linestatus, '?') AS status,
+                   CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY g_flag, g_status, flag, status"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("?")).as("flag"),
+          coalesce(col("l_linestatus"), lit("?")).as("status"),
+          col("g_flag"), col("g_status"), col("n"))
+        .orderBy(col("g_flag"), col("g_status"), col("flag"), col("status")))
+
+  /** Calendar-spine densification: generate every month of the order
+    * date range and left-join the per-month order counts, zero-filling
+    * gaps — the standard shape for time series that must not skip empty
+    * periods. The spine is generated, not scanned, so it costs nothing
+    * at any scale; the join broadcasts the spine.
+    */
+  val qDateSpine: Q = Q(
+    "q_date_spine",
+    Some("""WITH spine AS (
+              SELECT strftime(m, '%Y-%m') AS month FROM (
+                SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-12-01',
+                                              INTERVAL 1 MONTH)) AS m)),
+            per AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+                           count(*) AS n, round(sum(o_totalprice), 2) AS total
+                    FROM orders GROUP BY 1)
+            SELECT spine.month, CAST(coalesce(per.n, 0) AS BIGINT) AS n,
+                   coalesce(per.total, 0.0) AS total
+            FROM spine LEFT JOIN per USING (month)
+            ORDER BY month"""),
+    (s, dir) => {
+      val spine = s.range(1)
+        .select(explode(sequence(
+          to_date(lit("1992-01-01")), to_date(lit("1998-12-01")),
+          expr("interval 1 month"))).as("m"))
+        .select(date_format(col("m"), "yyyy-MM").as("month"))
+      val per = t(s, dir, "orders")
+        .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("tot"))
+      spine.join(per, Seq("month"), "left")
+        .select(
+          col("month"),
+          coalesce(col("cnt"), lit(0L)).as("n"),
+          coalesce(col("tot"), lit(0.0)).as("total"))
+        .orderBy(col("month"))
+    })
+
+  /** MapType round-trip: per-order line quantities packed into a map
+    * (key = deterministic per-order ordinal) and exploded back to rows,
+    * with the map cardinality carried along. The oracle is the plain
+    * relational equivalent — the gate checks the map construction /
+    * explosion loses nothing. (l_linenumber alone is NOT unique in the
+    * synthetic data, hence the row_number key.)
+    */
+  val qMapRoundtrip: Q = Q(
+    "q_map_roundtrip",
+    Some("""WITH r AS (
+              SELECT l_orderkey,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_quantity, l_extendedprice) AS k,
+                     CAST(l_quantity AS DOUBLE) AS v
+              FROM lineitem WHERE l_orderkey < 1000)
+            SELECT l_orderkey, CAST(k AS BIGINT) AS k, v,
+                   CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS nk
+            FROM r ORDER BY l_orderkey, k"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(
+          col("l_orderkey"),
+          row_number().over(w).cast("long").as("k"),
+          col("l_quantity").cast("double").as("v"))
+        .groupBy(col("l_orderkey"))
+        .agg(map_from_entries(array_sort(collect_list(struct(col("k"), col("v"))))).as("m"))
+        .select(col("l_orderkey"), size(col("m")).cast("long").as("nk"), explode(col("m")))
+        .select(col("l_orderkey"), col("key").as("k"), col("value").as("v"), col("nk"))
+        .orderBy(col("l_orderkey"), col("k"))
+    })
+
+  /** Fixed-stride document chunking (size 200, stride 150 — 50-char
+    * overlap): the standard pre-tokenization window pass of a training
+    * pipeline. Chunk starts are computed arithmetically (floor/ceil —
+    * no engine-local rounding), generated per row and exploded; content
+    * equality is gated via the portable md5 hash so full chunk text
+    * never has to round-trip.
+    */
+  val qChunkText: Q = Q(
+    "q_chunk_text",
+    Some("""WITH kk AS (SELECT doc_id, text,
+                   greatest(0, CAST(ceil((length(text) - 200) / 150.0) AS BIGINT)) AS k
+                 FROM documents),
+            ch AS (SELECT doc_id,
+                   unnest([{'idx': i, 'st': 1 + 150 * i} FOR i IN range(0, k + 1)]) AS u,
+                   text FROM kk)
+            SELECT doc_id, CAST(u.idx AS BIGINT) AS idx, CAST(u.st AS BIGINT) AS st,
+                   CAST(length(substring(text, CAST(u.st AS INT), 200)) AS BIGINT) AS chlen,
+                   ('0x' || substr(md5(substring(text, CAST(u.st AS INT), 200)), 1, 8))::BIGINT AS chash
+            FROM ch ORDER BY doc_id, idx"""),
+    (s, dir) => {
+      val k = greatest(lit(0L), ceil((length(col("text")) - 200) / 150.0).cast("long"))
+      val starts = transform(sequence(lit(0L), k), i => lit(1L) + lit(150L) * i)
+      val chunk = col("text").substr(col("st").cast("int"), lit(200))
+      docs(s, dir)
+        .select(col("doc_id"), col("text"), posexplode(starts).as(Seq("idx", "st")))
+        .select(
+          col("doc_id"), col("idx").cast("long").as("idx"), col("st"),
+          length(chunk).cast("long").as("chlen"),
+          md5Hash32(chunk).as("chash"))
+        .orderBy(col("doc_id"), col("idx"))
+    })
+
+  /** Symmetric int8 embedding quantization: scale = 127/max|x|, code =
+    * floor(x·scale + 0.5) — floor keeps the rounding bit-identical
+    * across engines — plus the reconstruction error, the quality metric
+    * a pipeline monitors before swapping quantized vectors in. Folds are
+    * sequential left-folds on explicit doubles on both sides.
+    */
+  val qQuantizeEmbed: Q = Q(
+    "q_quantize_embed",
+    Some("""WITH e AS (
+              SELECT vec_id, embedding,
+                     list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS maxabs
+              FROM embeddings WHERE vec_id < 1000),
+            sc AS (SELECT vec_id, embedding, 127.0 / maxabs AS scale
+                   FROM e WHERE maxabs > 0)
+            SELECT vec_id,
+                   round(scale * 10000) / 10000 AS scale4,
+                   CAST(list_sum([CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)
+                                  FOR x IN embedding]) AS BIGINT) AS qsum,
+                   round(list_sum([pow(CAST(x AS DOUBLE) -
+                                       floor(CAST(x AS DOUBLE) * scale + 0.5) / scale, 2)
+                                   FOR x IN embedding]) * 1000000) / 1000000 AS sse6
+            FROM sc ORDER BY vec_id"""),
+    (s, dir) => {
+      val xd = (x: org.apache.spark.sql.Column) => x.cast("double")
+      val e = Tables.loadDistributed(s, dir, "embeddings", "vec_id")
+        .filter(col("vec_id") < 1000)
+        .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(xd(x)))))
+        .filter(col("maxabs") > 0)
+        .withColumn("scale", lit(127.0) / col("maxabs"))
+      e.select(
+        col("vec_id"),
+        (round(col("scale") * 10000) / 10000).as("scale4"),
+        aggregate(col("embedding"), lit(0L),
+          (acc, x) => acc + floor(xd(x) * col("scale") + 0.5).cast("long")).as("qsum"),
+        (round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + pow(xd(x) - floor(xd(x) * col("scale") + 0.5) / col("scale"), 2))
+          * 1000000) / 1000000).as("sse6"))
+        .orderBy(col("vec_id"))
+    })
+
+  /** SHA-256 content addressing: the cryptographic complement of the
+    * md5-derived fingerprints — full-width content ids plus per-id
+    * duplicate counts, the key for content-addressable corpus storage.
+    */
+  val qShaAddress: Q = Q(
+    "q_sha_address",
+    Some("""SELECT doc_id, substr(sha256(text), 1, 16) AS sha16,
+                   CAST(count(*) OVER (PARTITION BY sha256(text)) AS BIGINT) AS n_same
+            FROM documents ORDER BY doc_id"""),
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+        .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("sha"))).cast("long"))
+        .select(col("doc_id"), substring(col("sha"), 1, 16).as("sha16"), col("n_same"))
+        .orderBy(col("doc_id")))
+
+  override def queries: Seq[Q] = Seq(
+    qIntersectAll, qListagg, qLateralTopk, qGroupingId, qDateSpine,
+    qMapRoundtrip, qChunkText, qQuantizeEmbed, qShaAddress)
+}
