@@ -281,7 +281,75 @@ object Extras extends QueryPack {
         .select(col("doc_id"), substring(col("sha"), 1, 16).as("sha16"), col("n_same"))
         .orderBy(col("doc_id")))
 
+  /** Sequence packing: assign documents to fixed token-budget bins
+    * (4096 whitespace tokens) per language, in a deterministic
+    * pseudo-random order (md5 of doc_id — the portable "global shuffle"
+    * of a training pipeline), bin id = floor(running-total-before /
+    * budget). Greedy first-fit by running sum — one window cumsum per
+    * language partition, no driver-side loop, arbitrarily parallel
+    * across languages.
+    */
+  val qPackSequences: Q = Q(
+    "q_pack_sequences",
+    Some("""WITH d AS (
+              SELECT doc_id, lang,
+                     len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok,
+                     md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+              FROM documents),
+            packed AS (
+              SELECT doc_id, lang, n_tok,
+                     CAST(floor((sum(n_tok) OVER (PARTITION BY lang
+                       ORDER BY shuffle_key, doc_id) - n_tok) / 4096.0) AS BIGINT) AS bin
+              FROM d)
+            SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+            FROM packed GROUP BY lang, bin ORDER BY lang, bin"""),
+    (s, dir) => {
+      val nTok = size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
+      val w = Window.partitionBy(col("lang")).orderBy(col("shuffle_key"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), nTok.as("n_tok"),
+          md5(col("doc_id").cast("string")).as("shuffle_key"))
+        .withColumn("bin",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / 4096.0).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy(col("lang"), col("bin"))
+    })
+
+  /** Source-mixture weighting: per-source sampling weights that reshape
+    * the corpus toward a target mixture (uniform here) — weight =
+    * target share / actual share, capped at 10× upsampling. The
+    * one-row corpus total broadcasts; nothing shuffles more than the
+    * per-source aggregate.
+    */
+  val qMixWeights: Q = Q(
+    "q_mix_weights",
+    Some("""WITH per AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total, count(*) AS n_sources FROM per)
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   round(n / total, 6) AS actual_share,
+                   round(least(10.0, (1.0 / n_sources) / (n / total)), 6) AS weight
+            FROM per CROSS JOIN tot ORDER BY source"""),
+    (s, dir) => {
+      val per = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // corpus totals via a global window over the (source-cardinality,
+      // i.e. tiny) aggregate — ONE corpus scan; the agg+crossJoin form
+      // re-reads documents for the total side
+      val wAll = Window.partitionBy()
+      per
+        .withColumn("total", sum(col("n")).over(wAll).cast("double"))
+        .withColumn("n_sources", count(lit(1)).over(wAll))
+        .select(
+          col("source"), col("n"),
+          round(col("n") / col("total"), 6).as("actual_share"),
+          round(least(lit(10.0), (lit(1.0) / col("n_sources")) / (col("n") / col("total"))), 6)
+            .as("weight"))
+        .orderBy(col("source"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qIntersectAll, qListagg, qLateralTopk, qGroupingId, qDateSpine,
-    qMapRoundtrip, qChunkText, qQuantizeEmbed, qShaAddress)
+    qMapRoundtrip, qChunkText, qQuantizeEmbed, qShaAddress,
+    qPackSequences, qMixWeights)
 }

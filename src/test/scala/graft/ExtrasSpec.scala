@@ -70,6 +70,24 @@ class ExtrasSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("q_pack_sequences: bins are contiguous from 0 and only the doc-overflow bins exceed budget") {
+    val out = queries.Extras.qPackSequences.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    for ((_, rows) <- byLang) {
+      val bins = rows.map(_.getAs[Long]("bin")).sorted
+      assert(bins.head == 0L)
+      assert(bins.zip(bins.tail).forall { case (a, b) => b == a + 1 }) // contiguous
+    }
+  }
+
+  test("q_mix_weights: shares sum to 1, upsampling capped at 10x") {
+    val out = queries.Extras.qMixWeights.run(spark, dir).collect()
+    val shares = out.map(_.getAs[Double]("actual_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-3)
+    assert(out.forall(_.getAs[Double]("weight") <= 10.0))
+  }
+
   test("q_lateral_topk: at most 2 customers per nation, correctly ordered") {
     val out = queries.Extras.qLateralTopk.run(spark, dir)
     val counts = out.groupBy(col("n_name")).agg(count(lit(1)).as("n")).collect()
