@@ -348,8 +348,54 @@ object Extras extends QueryPack {
         .orderBy(col("source"))
     })
 
+  /** Forward fill (last observation carried forward): per-user running
+    * "last purchase amount", nulls between purchases filled from the
+    * most recent one — `last(_, ignoreNulls)` over an explicit rows
+    * frame ≡ `last_value(... IGNORE NULLS)`. Event time is compared at
+    * microsecond precision on both engines (the parquet is
+    * nanosecond-typed; see Tables.loadEvents) with event_id as the
+    * total-order tiebreaker.
+    */
+  val qLocf: Q = Q(
+    "q_locf",
+    Some("""SELECT user_id, event_id,
+                   last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+            FROM events ORDER BY user_id, event_id"""),
+    (s, dir) => {
+      val v = when(col("event_type") === "purchase", col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          last(v, ignoreNulls = true).over(w).as("last_purchase"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
+
+  /** Right outer join (the one outer-join shape the other packs don't
+    * exercise): every part keeps a row even with no lineitem match.
+    */
+  val qRightJoin: Q = Q(
+    "q_right_join",
+    Some("""SELECT p_partkey, CAST(count(l_orderkey) AS BIGINT) AS n_lines,
+                   round(coalesce(sum(l_quantity), 0.0), 2) AS total_qty
+            FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+            GROUP BY p_partkey ORDER BY p_partkey"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(p, li("l_partkey") === p("p_partkey"), "right")
+        .groupBy(col("p_partkey"))
+        .agg(
+          count(col("l_orderkey")).as("n_lines"),
+          round(coalesce(sum(col("l_quantity")), lit(0.0)), 2).as("total_qty"))
+        .orderBy(col("p_partkey"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qIntersectAll, qListagg, qLateralTopk, qGroupingId, qDateSpine,
     qMapRoundtrip, qChunkText, qQuantizeEmbed, qShaAddress,
-    qPackSequences, qMixWeights)
+    qPackSequences, qMixWeights, qLocf, qRightJoin)
 }
