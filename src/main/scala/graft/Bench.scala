@@ -78,8 +78,14 @@ object Bench {
     }
     val bySlowest = results.sortBy { case (_, v) => -v }
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    for (e <- bySlowest if jsonLine((keep :+ e).sortBy(_._1).toSeq, 0).length <= 1400)
-      keep += e
+    var full = false
+    for (e <- bySlowest if !full) {
+      val cand = (keep :+ e).sortBy(_._1).toSeq
+      // Size with the real omitted count, and stop at the first entry
+      // that doesn't fit so the kept set is exactly the slowest prefix.
+      if (jsonLine(cand, results.size - cand.size).length <= 1400) keep += e
+      else full = true
+    }
     val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""

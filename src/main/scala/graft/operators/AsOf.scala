@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * several right rows tie on (key, ts) the winner is deterministic:
   * the row with the greatest payload tuple (struct ordering), in both
   * directions.
+  *
+  * Precondition: because the payload struct participates in the window
+  * ORDER BY (for the deterministic tie-break), every payload column
+  * must be of an orderable type — atomics, structs/arrays of atomics.
+  * Map-typed payloads are rejected by the analyzer; wrap them
+  * (`map_entries`) or add a surrogate orderable column first.
   */
 object AsOf {
 

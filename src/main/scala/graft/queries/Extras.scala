@@ -79,22 +79,22 @@ object Extras extends QueryPack {
     * nation, written as a LATERAL subquery on both engines — Spark
     * plans the correlated limit as a partitioned window under the hood.
     */
+  // one constant for both the Spark run and the oracle: the LATERAL text
+  // is valid in both dialects, and sharing it means they cannot drift
+  private val lateralTopkSql =
+    """SELECT n_name, c.c_name, c.c_acctbal
+       FROM nation, LATERAL (
+         SELECT c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+       ORDER BY n_name, c_acctbal DESC, c_name"""
+
   val qLateralTopk: Q = Q(
     "q_lateral_topk",
-    Some("""SELECT n_name, c.c_name, c.c_acctbal
-            FROM nation, LATERAL (
-              SELECT c_name, c_acctbal FROM customer
-              WHERE c_nationkey = n_nationkey
-              ORDER BY c_acctbal DESC, c_name LIMIT 2) c
-            ORDER BY n_name, c_acctbal DESC, c_name"""),
+    Some(lateralTopkSql),
     (s, dir) => {
       Tables.registerAll(s, dir)
-      s.sql("""SELECT n_name, c.c_name, c.c_acctbal
-               FROM nation, LATERAL (
-                 SELECT c_name, c_acctbal FROM customer
-                 WHERE c_nationkey = n_nationkey
-                 ORDER BY c_acctbal DESC, c_name LIMIT 2) c
-               ORDER BY n_name, c_acctbal DESC, c_name""")
+      s.sql(lateralTopkSql)
     })
 
   /** ROLLUP with explicit GROUPING markers: the grouping() flag
@@ -127,7 +127,9 @@ object Extras extends QueryPack {
     * date range and left-join the per-month order counts, zero-filling
     * gaps — the standard shape for time series that must not skip empty
     * periods. The spine is generated, not scanned, so it costs nothing
-    * at any scale; the join broadcasts the spine.
+    * at any scale; Spark broadcasts the small aggregated side (the
+    * spine, as the preserved side of the left-outer join, cannot be
+    * the broadcast build side).
     */
   val qDateSpine: Q = Q(
     "q_date_spine",
@@ -332,7 +334,9 @@ object Extras extends QueryPack {
                    round(least(10.0, (1.0 / n_sources) / (n / total)), 6) AS weight
             FROM per CROSS JOIN tot ORDER BY source"""),
     (s, dir) => {
-      val per = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // plain load: a groupBy(source) count needs no pre-repartition —
+      // loadDistributed's doc_id shuffle would move the whole corpus first
+      val per = t(s, dir, "documents").groupBy(col("source")).agg(count(lit(1)).as("n"))
       // corpus totals via a global window over the (source-cardinality,
       // i.e. tiny) aggregate — ONE corpus scan; the agg+crossJoin form
       // re-reads documents for the total side
