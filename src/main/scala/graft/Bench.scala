@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,6 +30,20 @@ object Bench {
       body
       (System.nanoTime() - t0) / 1e9
     }
+
+    // Aggregate CPU-steal jiffies from /proc/stat (field 8 of the "cpu"
+    // line). The host periodically steals ~all vCPUs for 60-90 s; recording
+    // the per-pass steal delta lets round-over-round comparisons discard
+    // storm-inflated samples objectively instead of guessing from timings.
+    def stealJiffies(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next().trim.split("\\s+")(8).toLong
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+    def stealSec(before: Long, after: Long): Double =
+      if (before < 0 || after < 0) -1.0
+      else math.round((after - before) * 10.0 / 100.0) / 10.0 // USER_HZ=100
 
     // Warm the JVM + file metadata once so per-query numbers measure the
     // query, not first-touch classloading; q_time_bucket additionally
@@ -52,9 +67,13 @@ object Bench {
         name -> sec
       }.toMap
     val all = SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith(prefix))
+    val s0 = stealJiffies()
     val p1 = measure(all)
+    val s1 = stealJiffies()
     val suspicious = all.filter(n => p1(n) < 0 || p1(n) > 3.0)
     val p2 = measure(suspicious)
+    val s2 = stealJiffies()
+    val (steal1, steal2) = (stealSec(s0, s1), stealSec(s1, s2))
     val results = all.map { name =>
       val best = (p1(name), p2.getOrElse(name, p1(name))) match {
         case (a, b) if a < 0 => b
@@ -74,7 +93,8 @@ object Bench {
     def jsonLine(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":$qs,"queries_omitted":$omitted,"queries_full":"bench_full.json","sf":"$sfDir"}"""
+        s""""steal_s":[$steal1,$steal2],"queries":$qs,"queries_omitted":$omitted,""" +
+        s""""queries_full":"bench_full.json","sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy { case (_, v) => -v }
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -88,7 +108,8 @@ object Bench {
     }
     val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","steal_s":[$steal1,$steal2],""" +
+        s""""queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))

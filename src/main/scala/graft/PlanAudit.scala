@@ -18,6 +18,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if name.startsWith(prefix)) {

@@ -34,12 +34,14 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
-    * conf and convert with integer division — `ts / 1000` through double
-    * would lose precision at 1.7e18 ns (> 2^53).
+    * outright (PARQUET_TYPE_ILLEGAL). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * construction by every entry point (Bench/Verify/PlanAudit/SparkSpec)
+    * — load paths never mutate session conf. Converts with integer
+    * division — `ts / 1000` through double would lose precision at
+    * 1.7e18 ns (> 2^53).
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

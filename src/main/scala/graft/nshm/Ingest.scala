@@ -251,7 +251,12 @@ object Ingest {
   }
 
   private def parseFeatureFrame(raw: DataFrame): Seq[FaultInfo] = {
-    val features = raw
+    val spark = raw.sparkSession
+    import spark.implicits._
+    // F3-F5 are pure per-row trig — they run distributed inside the map;
+    // only the finished corner arrays cross the .collect() API boundary
+    // (the reference returns a Python list, api.py:244-277).
+    val built = raw
       .select(explode(col("features")).as("f"))
       .select(
         col("f.properties.FaultID").cast("long").as("fault_id"),
@@ -262,23 +267,26 @@ object Ingest {
         col("f.properties.DipDeg").cast("double").as("dip"),
         col("f.properties.Rake").cast("double").as("rake"),
         col("f.geometry.coordinates").as("coords"))
+      .map { r =>
+        val lonLat = r.getSeq[scala.collection.Seq[Double]](7).map(p => (p(0), p(1)))
+        val trace = removeRepeatedPoints(lonLat).map { case (lon, lat) => (lat, lon) }
+        val dipDir =
+          if (!r.isNullAt(4)) r.getDouble(4)
+          else inferDipDirection(lonLat(0)._1, lonLat(0)._2, lonLat(1)._1, lonLat(1)._2)
+        val planes = planesFromTrace(trace, r.getDouble(2), r.getDouble(3), r.getDouble(5), dipDir)
+        (r.getLong(0), r.getString(1), r.getDouble(6), planes.map(_.corners.map(_.toSeq).toSeq))
+      }
       .collect()
-    if (features.isEmpty) return Seq.empty
-    val faultSystem = inferFaultSystem(features.head.getString(1))
-    features.toSeq.map { r =>
-      val lonLat = r.getSeq[scala.collection.Seq[Double]](7).map(p => (p(0), p(1)))
-      val trace = removeRepeatedPoints(lonLat).map { case (lon, lat) => (lat, lon) }
-      val dipDir =
-        if (!r.isNullAt(4)) r.getDouble(4)
-        else inferDipDirection(lonLat(0)._1, lonLat(0)._2, lonLat(1)._1, lonLat(1)._2)
-      val planes = planesFromTrace(trace, r.getDouble(2), r.getDouble(3), r.getDouble(5), dipDir)
+    if (built.isEmpty) return Seq.empty
+    val faultSystem = inferFaultSystem(built.head._2)
+    built.toSeq.map { case (id, name, rake, corners) =>
       FaultInfo(
         faultSystem = faultSystem,
-        faultNshmId = r.getLong(0),
-        name = r.getString(1),
-        rake = r.getDouble(6),
+        faultNshmId = id,
+        name = name,
+        rake = rake,
         tectType = None,
-        fault = Some(Fault(planes)))
+        fault = Some(Fault(corners.map(c => Plane(c.map(_.toVector).toVector)).toVector)))
     }
   }
 

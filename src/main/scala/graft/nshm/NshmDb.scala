@@ -2,8 +2,8 @@ package graft.nshm
 
 import graft.dsl.{BoolSetCompiler, Parser}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Spark-native equivalent of the reference `NSHMDB` facade
   * (`/root/reference/nshmdb/nshmdb.py:82-683`): one engine (no
@@ -285,39 +285,64 @@ final class NshmDb(val store: NshmStore) {
       faultSystem: Int,
       ruptureNshmId: Long,
       parentFaultMagnitudes: Seq[(String, Double)]): Map[String, Double] = {
-    val magnitudes = mfd.as("mfd")
+    import spark.implicits._
+    // One plan, one action: the rupture-restricted mfd join is built once;
+    // the F1 ceiling-with-clamp snap (nshmdb.py:215-221) is expressed
+    // relationally — distinct magnitudes × broadcast targets, then
+    // coalesce(min(mag ≥ target), max(mag)) — instead of a separate
+    // collect + driver-side searchsorted.
+    val base = mfd.as("mfd")
       .join(ruptureFaults.as("rf"), col("rf.fault_id") === col("mfd.fault_id"))
       .join(rupture.as("r"), col("r.rupture_id") === col("rf.rupture_id"))
+      .join(broadcast(fault).as("f"), col("f.fault_id") === col("mfd.fault_id"))
+      .join(broadcast(parentFault).as("pf"), col("f.parent_id") === col("pf.parent_id"))
       .filter(col("r.nshm_id") === ruptureNshmId && col("r.fault_system") === faultSystem)
-      .select(col("mfd.magnitude"))
+      .select(
+        col("pf.name").as("pname"),
+        col("mfd.magnitude").as("magnitude"),
+        col("mfd.rate").as("rate"))
+
+    val targets = parentFaultMagnitudes.toDF("pname", "target")
+    val snapped = base
+      .select("magnitude")
       .distinct()
-      .orderBy(col("magnitude"))
-      .collect()
-      .map(_.getDouble(0))
-    if (magnitudes.isEmpty) return Map.empty
+      .crossJoin(broadcast(targets))
+      .groupBy("pname", "target")
+      .agg(coalesce(
+        min(when(col("magnitude") >= col("target"), col("magnitude"))),
+        max(col("magnitude"))).as("magnitude"))
 
-    import spark.implicits._
-    val pairs = parentFaultMagnitudes
-      .map { case (name, m) => (name, NshmDb.ceilingWithClamp(magnitudes, m)) }
-      .toDF("name", "magnitude")
-
-    parentFault.as("pf")
-      .join(fault.as("f"), col("f.parent_id") === col("pf.parent_id"))
-      .join(ruptureFaults.as("rf"), col("rf.fault_id") === col("f.fault_id"))
-      .join(rupture.as("r"), col("r.rupture_id") === col("rf.rupture_id"))
-      .join(mfd.as("mfd"), col("mfd.fault_id") === col("f.fault_id"))
-      .filter(col("r.nshm_id") === ruptureNshmId && col("r.fault_system") === faultSystem)
-      .join(
-        broadcast(pairs),
-        col("pf.name") === pairs("name") && col("mfd.magnitude") === pairs("magnitude"))
-      .groupBy(col("pf.name"))
-      .agg(sum(col("mfd.rate")).as("rate"))
+    base
+      .join(broadcast(snapped.select("pname", "magnitude")), Seq("pname", "magnitude"))
+      .groupBy("pname")
+      .agg(sum(col("rate")).as("rate"))
       .collect()
       .map(r => r.getString(0) -> r.getDouble(1))
       .toMap
   }
 
   // ------------------------------------------------------------- inserts
+
+  /** Scale-safe dense surrogate-id allocation (≙ the reference's max+1
+    * scheme, nshmdb.py:270-272, keyed by natural order rather than
+    * insertion order): range-partition on the natural key so global order
+    * holds across partitions, sort within each, then per-partition counts
+    * → cumulative offsets → local rank (`zipWithIndex`, the shape SURVEY
+    * §7.D prescribes). Replaces `row_number().over(Window.orderBy(...))`,
+    * which serialized every insert batch through a single reducer.
+    */
+  private def withDenseId(
+      df: DataFrame,
+      idCol: String,
+      start: Long,
+      orderCols: Seq[String]): DataFrame = {
+    val ordered = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = ordered.schema.add(idCol, LongType, nullable = false)
+    val rows = ordered.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (start + i)) }
+    spark.createDataFrame(rows, schema)
+  }
 
   /** ≙ insert_many_faults (nshmdb.py:250-311): upsert parent faults on
     * their natural key (left-anti join + append, ≙ INSERT OR IGNORE),
@@ -331,9 +356,7 @@ final class NshmDb(val store: NshmStore) {
     val startParent = maxId("parent_fault", "parent_id").map(_ + 1).getOrElse(1L)
     store.append(
       "parent_fault",
-      newNames.withColumn(
-        "parent_id",
-        row_number().over(Window.orderBy("name")).cast("long") + lit(startParent - 1)))
+      withDenseId(newNames, "parent_id", startParent, Seq("name")))
 
     val startFault = maxId("fault", "fault_id").map(_ + 1).getOrElse(0L)
     val faultRows = faults.zipWithIndex.map { case (f, i) =>
@@ -373,10 +396,7 @@ final class NshmDb(val store: NshmStore) {
     val startRupture = maxId("rupture", "rupture_id").map(_ + 1).getOrElse(1L)
     store.append(
       "rupture",
-      ruptures.withColumn(
-        "rupture_id",
-        row_number().over(Window.orderBy("fault_system", "nshm_id")).cast("long") +
-          lit(startRupture - 1)))
+      withDenseId(ruptures, "rupture_id", startRupture, Seq("fault_system", "nshm_id")))
 
     val renamed = ruptureFaultsDf
       .withColumnRenamed("rupture_id", "rupture_nshm_id")
@@ -385,12 +405,9 @@ final class NshmDb(val store: NshmStore) {
     val startRf = maxId("rupture_faults", "rupture_fault_id").map(_ + 1).getOrElse(1L)
     store.append(
       "rupture_faults",
-      translated
-        .select("rupture_id", "fault_id")
-        .withColumn(
-          "rupture_fault_id",
-          row_number().over(Window.orderBy("rupture_id", "fault_id")).cast("long") +
-            lit(startRf - 1)))
+      withDenseId(
+        translated.select("rupture_id", "fault_id"),
+        "rupture_fault_id", startRf, Seq("rupture_id", "fault_id")))
   }
 
   /** ≙ insert_magnitude_frequency_distribution (nshmdb.py:452-468).
@@ -401,12 +418,9 @@ final class NshmDb(val store: NshmStore) {
     val start = maxId("magnitude_frequency_distribution", "entry_id").map(_ + 1).getOrElse(1L)
     store.append(
       "magnitude_frequency_distribution",
-      translated
-        .select("fault_id", "magnitude", "rate")
-        .withColumn(
-          "entry_id",
-          row_number().over(Window.orderBy("fault_id", "magnitude")).cast("long") +
-            lit(start - 1)))
+      withDenseId(
+        translated.select("fault_id", "magnitude", "rate"),
+        "entry_id", start, Seq("fault_id", "magnitude")))
   }
 
   /** ≙ _nshm_id_to_fault_id (nshmdb.py:313-322): left join on the
