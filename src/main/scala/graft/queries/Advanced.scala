@@ -79,13 +79,21 @@ object Advanced extends QueryPack {
     })
 
   /** Exact percentiles (linear interpolation) computed from first
-    * principles — rank the group, then weight the two straddling values
-    * by the fractional rank. Built-in `percentile`/`quantile_cont`
-    * interpolate with engine-specific float expressions that can straddle
-    * a rounding boundary by one ulp; spelling out the identical IEEE
-    * expression on both sides makes the result bit-exact. Exact
-    * percentile needs a per-group sort — fine for bounded group counts;
-    * the sketch variant (q_approx_sketch) is the scale path.
+    * principles. Built-in `percentile`/`quantile_cont` interpolate with
+    * engine-specific float expressions that can straddle a rounding
+    * boundary by one ulp; spelling out the identical IEEE expression on
+    * both sides makes the result bit-exact.
+    *
+    * Scale shape — two-phase selection, no WindowExec: ranking every row
+    * with row_number() PARTITION BY l_returnflag would land every row on
+    * 3 reducers for a full per-flag sort. Instead: fixed-width value
+    * buckets (monotone in v) → per-(flag, bucket, value) counts on a
+    * high-cardinality shuffle key → exclusive prefix sums over the tiny
+    * (flag × bucket) frame, all expression-level → only the one bucket
+    * containing each target rank is resolved, by folding its sorted
+    * distinct values until the running count reaches the local rank. Per-
+    * group state is bounded by bucket width; q_approx_sketch remains the
+    * sketch path.
     */
   val qPercentileExact: Q = Q(
     "q_percentile_exact", {
@@ -113,29 +121,87 @@ object Advanced extends QueryPack {
                FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
     (s, dir) => {
-      def quantile(p: Double, v: Column, rnk: Column): Column = {
-        val h = lit(p) * (col("n") - 1) + 1
-        val lo = floor(h)
-        round(sum(
-          when(rnk === lo.cast("long"), v * (lo + 1 - h))
-            .when(rnk === lo.cast("long") + 1, v * (h - lo))
-            .otherwise(lit(0.0))) * 100) / 100
+      val li = t(s, dir, "lineitem")
+      val B = 256
+
+      def quantiles(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
+        val stats = li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          min(col(valueCol)).as("vmin"),
+          max(col(valueCol)).as("vmax"))
+
+        val bucketed = li
+          .select(col("l_returnflag"), col(valueCol).as("v"))
+          .join(broadcast(stats), Seq("l_returnflag"))
+          .withColumn(
+            "bucket",
+            when(col("vmax") <= col("vmin"), lit(0L))
+              .otherwise(least(
+                lit((B - 1).toLong),
+                floor((col("v") - col("vmin")) / ((col("vmax") - col("vmin")) / B)))))
+
+        val vfreq = bucketed
+          .groupBy("l_returnflag", "bucket", "v")
+          .agg(count(lit(1)).as("cnt"))
+
+        val bcum = vfreq
+          .groupBy("l_returnflag", "bucket")
+          .agg(sum("cnt").as("bcnt"))
+          .groupBy("l_returnflag")
+          .agg(sort_array(collect_list(struct(col("bucket"), col("bcnt")))).as("bs"))
+          .select(
+            col("l_returnflag"),
+            explode(expr(
+              """transform(bs, (x, i) -> named_struct(
+                   'bucket', x.bucket, 'bcnt', x.bcnt,
+                   'cum_before', aggregate(slice(bs, 1, i), 0L, (a, y) -> a + y.bcnt)))""")).as("bc"))
+          .select(col("l_returnflag"), col("bc.bucket"), col("bc.bcnt"), col("bc.cum_before"))
+
+        // h = p(n-1)+1 → the two straddling ranks, weights spelled with
+        // the oracle's exact IEEE expressions
+        val ranks = stats
+          .select(
+            col("l_returnflag"), col("n"),
+            explode(array(ps.map { case (nm, p) =>
+              struct(lit(nm).as("pname"), lit(p).as("p"))
+            }: _*)).as("t"))
+          .withColumn("h", col("t.p") * (col("n") - 1) + 1)
+          .select(
+            col("l_returnflag"), col("t.pname").as("pname"),
+            explode(array(
+              struct(floor(col("h")).as("r"), (floor(col("h")) + 1 - col("h")).as("w")),
+              struct((floor(col("h")) + 1).as("r"), (col("h") - floor(col("h"))).as("w")))).as("rw"))
+          .select(col("l_returnflag"), col("pname"), col("rw.r").as("r"), col("rw.w").as("w"))
+
+        val targets = ranks
+          .join(bcum, Seq("l_returnflag"))
+          .filter(col("cum_before") < col("r") && col("r") <= col("cum_before") + col("bcnt"))
+          .select(
+            col("l_returnflag"), col("pname"), col("r"), col("w"), col("bucket"),
+            (col("r") - col("cum_before")).as("lr"))
+
+        val values = vfreq
+          .join(broadcast(targets), Seq("l_returnflag", "bucket"))
+          .groupBy(col("l_returnflag"), col("pname"), col("w"), col("r"), col("lr"))
+          .agg(sort_array(collect_list(struct(col("v"), col("cnt")))).as("vs"))
+          .withColumn("val", expr(
+            """aggregate(vs,
+                 named_struct('c', 0L, 'pick', CAST(NULL AS DOUBLE)),
+                 (acc, x) -> IF(acc.pick IS NOT NULL, acc,
+                   named_struct('c', acc.c + x.cnt,
+                     'pick', IF(acc.c + x.cnt >= lr, x.v, CAST(NULL AS DOUBLE)))),
+                 acc -> acc.pick)"""))
+
+        val outCols = ps.map { case (nm, _) =>
+          (round(sum(when(col("pname") === nm, coalesce(col("w") * col("val"), lit(0.0)))
+            .otherwise(lit(0.0))) * 100) / 100).as(nm)
+        }
+        values.groupBy(col("l_returnflag")).agg(outCols.head, outCols.tail: _*)
       }
-      val wv = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-      val wn = Window.partitionBy(col("l_returnflag"))
-      t(s, dir, "lineitem")
-        .select(
-          col("l_returnflag"), col("l_extendedprice").as("v"), col("l_quantity").as("vq"),
-          row_number().over(wv).as("rnk"),
-          row_number().over(wq).as("rnkq"),
-          count(lit(1)).over(wn).as("n"))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          quantile(0.25, col("v"), col("rnk")).as("p25"),
-          quantile(0.50, col("v"), col("rnk")).as("p50"),
-          quantile(0.75, col("v"), col("rnk")).as("p75"),
-          quantile(0.50, col("vq"), col("rnkq")).as("med_qty"))
+
+      quantiles("l_extendedprice", Seq(("p25", 0.25), ("p50", 0.50), ("p75", 0.75)))
+        .join(quantiles("l_quantity", Seq(("med_qty", 0.50))), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"), col("med_qty"))
         .orderBy(col("l_returnflag"))
     })
 

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** Similarity-search extension pack over `embeddings` (Array[Float],
   * 64-dim): vector norms, brute-force cosine top-k (correctness
-  * baseline, exact DuckDB oracle in explicit double arithmetic), and the
-  * LSH-bucketed ANN variant (the scale path; rows-only check since the
-  * bucketing is engine-internal).
+  * baseline), and the LSH-bucketed / IVF-probed ANN variants (the scale
+  * paths). All five are hash-checked: the LSH hyperplanes and the IVF
+  * seed centroids are deterministic and engine-portable, so the DuckDB
+  * oracles replay the bucketing/probing in explicit double arithmetic.
   */
 object SimilarityQ extends QueryPack {
 
@@ -18,6 +19,21 @@ object SimilarityQ extends QueryPack {
 
   private def sqNormSql(c: String): String =
     s"list_sum([CAST(list_extract($c, i) AS DOUBLE) * CAST(list_extract($c, i) AS DOUBLE) FOR i IN range(1, len($c) + 1)])"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE) FOR i IN range(1, len($b) + 1)])"
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${sqNormSql(a)}) * sqrt(${sqNormSql(b)})), 4)"
+
+  /** DuckDB replay of [[Similarity.lshBucket]]: bit-packed signs of the
+    * nPlanes pseudo-random projections, identical weight formula and
+    * left-fold double sum.
+    */
+  private def bucketSql(e: String, nPlanes: Int): String =
+    (0 until nPlanes).map { j =>
+      s"(CASE WHEN list_sum([CAST(list_extract($e, d + 1) AS DOUBLE) * ((($j * 31 + d * 17) % 7) - 3) FOR d IN range(0, len($e))]) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** Vector norms — exercises the higher-order-function math path. */
   val qEmbedNorms: Q = Q(
@@ -59,35 +75,78 @@ object SimilarityQ extends QueryPack {
     })
 
   /** ANN via deterministic signed-random-projection LSH buckets — the
-    * plan shape that replaces the cross join at scale. No SQL oracle
-    * (bucketing is engine-internal); driver records a rows-only check.
+    * plan shape that replaces the cross join at scale (equi-join on short
+    * bucket keys, scoring only within-bucket candidates). The hyperplanes
+    * are a pseudo-random but engine-portable weight formula, so the
+    * oracle replays the full bucket → candidate → top-k pipeline.
     */
   val qLshAnn: Q = Q(
     "q_lsh_ann",
-    None,
+    Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS bucket
+                        FROM embeddings),
+                  q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 50),
+                  scored AS (
+                    SELECT q.q_id, b.vec_id, ${cosSql("q.q_emb", "b.embedding")} AS cos
+                    FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.q_id),
+                  ranked AS (
+                    SELECT q_id, vec_id, cos,
+                           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+                    FROM scored)
+             SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+             FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""),
     (s, dir) => {
       val e = emb(s, dir)
       val queries = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.lshTopK(e.select(col("vec_id"), col("embedding")), queries, k = 5, nPlanes = 6)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("q_id"), col("rank"))
     })
 
-  /** ANN via IVF cells (k-means partition + probe-nearest-cells) — the
-    * second scale path next to LSH. Rows-only check (centroid build is
-    * engine-internal); recall is asserted against brute force in
-    * SimilaritySpec.
+  /** ANN via IVF cells (centroid partition + probe-nearest-cells) — the
+    * second scale path next to LSH. Registered with kmeansIters = 0 so
+    * the cells come from the deterministic seed centroids (the nCells
+    * lowest vec_ids) and the oracle can replay assignment, probing, and
+    * within-cell top-k exactly; the iterative Lloyd build is NOT
+    * hash-checkable cross-engine (float mean accumulation order is
+    * engine-internal) and stays covered by SimilaritySpec's recall and
+    * full-probe==brute-force tests.
     */
   val qIvfAnn: Q = Q(
     "q_ivf_ann",
-    None,
+    Some(s"""WITH cent AS (
+                    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                           embedding AS c_emb,
+                           ${sqNormSql("embedding")} AS sqn
+                    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+                  assigned AS (
+                    SELECT e.vec_id, e.embedding,
+                           (max({'s': ${dotSql("e.embedding", "c.c_emb")} - c.sqn / 2, 'cid': c.cid})).cid AS cell
+                    FROM embeddings e CROSS JOIN cent c GROUP BY e.vec_id, e.embedding),
+                  qprobe AS (
+                    SELECT q_id, q_emb, cell FROM (
+                      SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cid AS cell,
+                             row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY (${dotSql("q.embedding", "c.c_emb")} - c.sqn / 2) DESC, c.cid DESC) AS rn
+                      FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20)
+                    WHERE rn <= 3),
+                  scored AS (
+                    SELECT p.q_id, a.vec_id, ${cosSql("p.q_emb", "a.embedding")} AS cos
+                    FROM assigned a JOIN qprobe p ON a.cell = p.cell AND a.vec_id <> p.q_id),
+                  ranked AS (
+                    SELECT q_id, vec_id, cos,
+                           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+                    FROM scored)
+             SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+             FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""),
     (s, dir) => {
       val e = emb(s, dir)
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.ivfTopK(
         e.select(col("vec_id"), col("embedding")), queries,
-        k = 5, nCells = 8, nProbe = 3)
+        k = 5, nCells = 8, nProbe = 3, kmeansIters = 0)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("q_id"), col("rank"))
     })
 

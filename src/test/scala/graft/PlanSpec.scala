@@ -69,6 +69,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("exact percentiles plan with no window sort on the 3-value group key") {
+    val p = plan("q_percentile_exact")
+    assert(!p.contains("Window"), p)
+  }
+
   test("SemVer parse/compare (F9)") {
     assert(SemVer.parse("1.0.4") === SemVer(1, 0, 4))
     assert(SemVer.parse("2.0.0") > SemVer.parse("1.9.9"))
