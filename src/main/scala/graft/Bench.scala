@@ -41,9 +41,15 @@ object Bench {
         try src.getLines().next().trim.split("\\s+")(8).toLong
         finally src.close()
       } catch { case _: Throwable => -1L }
-    def stealSec(before: Long, after: Long): Double =
-      if (before < 0 || after < 0) -1.0
-      else math.round((after - before) * 10.0 / 100.0) / 10.0 // USER_HZ=100
+    // Jiffy length comes from the kernel, not a hardcoded USER_HZ=100.
+    val clkTck: Long =
+      try scala.sys.process.Process(Seq("getconf", "CLK_TCK")).!!.trim.toLong
+      catch { case _: Throwable => 100L }
+    // None (emitted as JSON null) when /proc/stat was unreadable — a -1.0
+    // sentinel would read as negative steal downstream.
+    def stealSec(before: Long, after: Long): Option[Double] =
+      if (before < 0 || after < 0) None
+      else Some(math.round((after - before) * 10.0 / clkTck) / 10.0)
 
     // Warm the JVM + file metadata once so per-query numbers measure the
     // query, not first-touch classloading; q_time_bucket additionally
@@ -73,7 +79,9 @@ object Bench {
     val suspicious = all.filter(n => p1(n) < 0 || p1(n) > 3.0)
     val p2 = measure(suspicious)
     val s2 = stealJiffies()
-    val (steal1, steal2) = (stealSec(s0, s1), stealSec(s1, s2))
+    val (steal1, steal2) = (
+      stealSec(s0, s1).map(_.toString).getOrElse("null"),
+      stealSec(s1, s2).map(_.toString).getOrElse("null"))
     val results = all.map { name =>
       val best = (p1(name), p2.getOrElse(name, p1(name))) match {
         case (a, b) if a < 0 => b

@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.SimilarityQ,
     graft.queries.TrainOps,
     graft.queries.Advanced,
-    graft.queries.Extras)
+    graft.queries.Extras,
+    graft.queries.Corpus)
 
   private lazy val allQueries: Seq[Q] = packs.flatMap(_.queries)
 

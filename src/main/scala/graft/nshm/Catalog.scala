@@ -48,4 +48,8 @@ final class CatalogNshmStore(val spark: SparkSession, prefix: String) extends Ns
   def append(name: String, rows: DataFrame): Unit =
     conform(name, rows).write.mode(SaveMode.Append)
       .saveAsTable(Catalog.tableName(name, prefix))
+  // merge() materializes df first, so overwriting the source table is safe;
+  // insertInto(overwrite) keeps the table's bucketing metadata intact
+  protected def replace(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).insertInto(Catalog.tableName(name, prefix))
 }

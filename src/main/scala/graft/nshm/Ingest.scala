@@ -206,15 +206,22 @@ object Ingest {
     * (≙ download_composite_solution minus the network fetch,
     * api.py:595-622 + nshm_db_generator.py:81-94).
     */
-  def loadComposite(db: NshmDb, systems: Seq[Solution]): Unit = {
+  def loadComposite(
+      db: NshmDb,
+      systems: Seq[Solution],
+      skipFaults: Boolean = false,
+      skipRuptures: Boolean = false,
+      skipMfds: Boolean = false): Unit = {
     require(systems.nonEmpty, "No solutions to stack.")
     systems.foreach { s =>
-      db.insertManyFaults(s.faults)
-      db.insertManyRuptures(
-        s.ruptureProperties.select("nshm_id", "magnitude", "area", "len", "rate", "fault_system"),
-        s.ruptureJoinTable.select(
-          col("rupture_id"), col("fault_id"), col("fault_system")))
-      s.mfds.foreach(m => db.insertMfds(m.select("nshm_id", "fault_system", "magnitude", "rate")))
+      if (!skipFaults) db.insertManyFaults(s.faults)
+      if (!skipRuptures)
+        db.insertManyRuptures(
+          s.ruptureProperties.select("nshm_id", "magnitude", "area", "len", "rate", "fault_system"),
+          s.ruptureJoinTable.select(
+            col("rupture_id"), col("fault_id"), col("fault_system")))
+      if (!skipMfds)
+        s.mfds.foreach(m => db.insertMfds(m.select("nshm_id", "fault_system", "magnitude", "rate")))
     }
   }
 

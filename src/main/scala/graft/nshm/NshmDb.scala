@@ -331,17 +331,24 @@ final class NshmDb(val store: NshmStore) {
     * §7.D prescribes). Replaces `row_number().over(Window.orderBy(...))`,
     * which serialized every insert batch through a single reducer.
     */
-  private def withDenseId(
+  private def appendWithDenseId(
+      table: String,
       df: DataFrame,
       idCol: String,
       start: Long,
-      orderCols: Seq[String]): DataFrame = {
+      orderCols: Seq[String]): Unit = {
     val ordered = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-    val schema = ordered.schema.add(idCol, LongType, nullable = false)
-    val rows = ordered.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (start + i)) }
-    spark.createDataFrame(rows, schema)
+    // zipWithIndex runs a per-partition count job before the data job, so
+    // without a persist the whole upstream plan (anti-join / nshm-id
+    // translation joins) would be computed twice per insert batch.
+    val orderedRdd = ordered.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val schema = ordered.schema.add(idCol, LongType, nullable = false)
+      val rows = orderedRdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (start + i)) }
+      store.append(table, spark.createDataFrame(rows, schema))
+    } finally orderedRdd.unpersist(blocking = false)
   }
 
   /** ≙ insert_many_faults (nshmdb.py:250-311): upsert parent faults on
@@ -354,9 +361,7 @@ final class NshmDb(val store: NshmStore) {
     val names = faults.map(_.name).distinct.toDF("name")
     val newNames = names.join(parentFault, Seq("name"), "left_anti")
     val startParent = maxId("parent_fault", "parent_id").map(_ + 1).getOrElse(1L)
-    store.append(
-      "parent_fault",
-      withDenseId(newNames, "parent_id", startParent, Seq("name")))
+    appendWithDenseId("parent_fault", newNames, "parent_id", startParent, Seq("name"))
 
     val startFault = maxId("fault", "fault_id").map(_ + 1).getOrElse(0L)
     val faultRows = faults.zipWithIndex.map { case (f, i) =>
@@ -394,20 +399,18 @@ final class NshmDb(val store: NshmStore) {
     */
   def insertManyRuptures(ruptures: DataFrame, ruptureFaultsDf: DataFrame): Unit = {
     val startRupture = maxId("rupture", "rupture_id").map(_ + 1).getOrElse(1L)
-    store.append(
-      "rupture",
-      withDenseId(ruptures, "rupture_id", startRupture, Seq("fault_system", "nshm_id")))
+    appendWithDenseId(
+      "rupture", ruptures, "rupture_id", startRupture, Seq("fault_system", "nshm_id"))
 
     val renamed = ruptureFaultsDf
       .withColumnRenamed("rupture_id", "rupture_nshm_id")
       .withColumnRenamed("fault_id", "fault_nshm_id")
     val translated = nshmIdToRuptureId(nshmIdToFaultId(renamed))
     val startRf = maxId("rupture_faults", "rupture_fault_id").map(_ + 1).getOrElse(1L)
-    store.append(
+    appendWithDenseId(
       "rupture_faults",
-      withDenseId(
-        translated.select("rupture_id", "fault_id"),
-        "rupture_fault_id", startRf, Seq("rupture_id", "fault_id")))
+      translated.select("rupture_id", "fault_id"),
+      "rupture_fault_id", startRf, Seq("rupture_id", "fault_id"))
   }
 
   /** ≙ insert_magnitude_frequency_distribution (nshmdb.py:452-468).
@@ -416,11 +419,10 @@ final class NshmDb(val store: NshmStore) {
   def insertMfds(mfds: DataFrame): Unit = {
     val translated = nshmIdToFaultId(mfds.withColumnRenamed("nshm_id", "fault_nshm_id"))
     val start = maxId("magnitude_frequency_distribution", "entry_id").map(_ + 1).getOrElse(1L)
-    store.append(
+    appendWithDenseId(
       "magnitude_frequency_distribution",
-      withDenseId(
-        translated.select("fault_id", "magnitude", "rate"),
-        "entry_id", start, Seq("fault_id", "magnitude")))
+      translated.select("fault_id", "magnitude", "rate"),
+      "entry_id", start, Seq("fault_id", "magnitude"))
   }
 
   /** ≙ _nshm_id_to_fault_id (nshmdb.py:313-322): left join on the

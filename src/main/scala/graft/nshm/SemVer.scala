@@ -11,7 +11,11 @@ final case class SemVer(major: Int, minor: Int, patch: Int) extends Ordered[SemV
 
 object SemVer {
   def parse(s: String): SemVer = s.split('.') match {
-    case Array(a, b, c) if Seq(a, b, c).forall(_.forall(_.isDigit)) =>
+    // "major.minor" is accepted with patch 0, exactly like the reference
+    // generator's _parse_version (nshm_db_generator.py:41-46)
+    case Array(a, b) if Seq(a, b).forall(p => p.nonEmpty && p.forall(_.isDigit)) =>
+      SemVer(a.toInt, b.toInt, 0)
+    case Array(a, b, c) if Seq(a, b, c).forall(p => p.nonEmpty && p.forall(_.isDigit)) =>
       SemVer(a.toInt, b.toInt, c.toInt)
     case _ => throw new IllegalArgumentException(s"Invalid version string: $s")
   }

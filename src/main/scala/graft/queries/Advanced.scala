@@ -122,6 +122,15 @@ object Advanced extends QueryPack {
     },
     (s, dir) => {
       val li = t(s, dir, "lineitem")
+      // B fixed-width buckets bound the target-bucket collect_list to
+      // ~n/B distinct values ONLY under roughly-uniform value spread
+      // (true for TPC-H prices/quantities). Under heavy skew (near-
+      // constant or heavy-tailed values) one bucket can hold almost the
+      // whole group and the resolution step degenerates to the single-
+      // task hotspot this rewrite avoids; the scale-out fix there is to
+      // re-bucket recursively inside any over-full target bucket (same
+      // min/max+floor arithmetic, one extra pass per level) or to take
+      // the q_approx_sketch path.
       val B = 256
 
       def quantiles(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {

@@ -1,0 +1,350 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 corpus-quality + event-analytics pack: BM25 relevance
+  * ranking, token-distribution entropy, PMI collocations, train/eval
+  * contamination detection, a Zipf power-law fit, normalization-exact
+  * dedup, and the two classic event-funnel / cohort-retention analytics
+  * over the `events` stream table.
+  *
+  * Scale shapes: every corpus query tokenizes once and aggregates on
+  * (doc, term)-sized keys; corpus-wide scalars (N, avgdl) and
+  * vocabulary-sized frames (df, unigram counts) broadcast; the
+  * contamination shingle join is an equi-join on shingle keys (never a
+  * cross product); event analytics are single hash aggregations over
+  * integer-bucketed time. All doubles round through `round(x*1e6)/1e6`
+  * spelled identically in both engines (boundary-safe, see
+  * q_percentile_exact's rationale).
+  */
+object Corpus extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadDistributed(s, dir, "documents", "doc_id")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private def tok(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"), col("source"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("term"))
+
+  private val tokSql =
+    "SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents"
+
+  /** BM25 (k1 = 1.2, b = 0.75, Robertson idf with the +1 floor) for a
+    * fixed conjunctive query, top 20 docs. Document length and the avgdl
+    * scalar come from the same single tokenization as the term
+    * frequencies; df / N / avgdl sides are vocabulary-sized or scalar →
+    * broadcast. The full-corpus ranking never materializes: top-k via
+    * TakeOrderedAndProject.
+    */
+  val qBm25: Q = Q(
+    "q_bm25",
+    Some(s"""WITH tok AS ($tokSql),
+             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+             stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+             tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                     WHERE term IN ('spark', 'table', 'query') GROUP BY doc_id, term),
+             df AS (SELECT term, count(*) AS docfreq FROM tfq GROUP BY term),
+             scored AS (
+               SELECT tfq.doc_id,
+                      sum(ln((stats.n_docs - df.docfreq + 0.5) / (df.docfreq + 0.5) + 1.0)
+                          * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS bm25
+               FROM tfq JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+               GROUP BY tfq.doc_id)
+             SELECT doc_id, round(bm25 * 1e6) / 1e6 AS bm25
+             FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20"""),
+    (s, dir) => {
+      val terms = Seq("spark", "table", "query")
+      val allTok = tok(docs(s, dir)).localCheckpoint(true) // dl + tfq reuse one tokenization
+      val dl = allTok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+      val tfq = allTok.filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("docfreq"))
+      val idf = log((col("n_docs") - col("docfreq") + 0.5) / (col("docfreq") + 0.5) + 1.0)
+      val score = idf * col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      tfq.join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(sum(score).as("raw"))
+        .select(col("doc_id"), (round(col("raw") * 1e6) / 1e6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    })
+
+  /** Shannon entropy of each document's token distribution (nats) — the
+    * lexical-diversity quality signal (low entropy ⇒ repetitive/spammy
+    * text). One tokenization, one (doc, term) aggregation, one per-doc
+    * rollup; ln terms are dimension-local so rounding absorbs sum-order
+    * noise.
+    */
+  val qTokenEntropy: Q = Q(
+    "q_token_entropy",
+    Some(s"""WITH tok AS ($tokSql),
+             tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+             n AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct FROM tf GROUP BY doc_id)
+             SELECT tf.doc_id,
+                    CAST(any_value(n.n_tok) AS BIGINT) AS n_tokens,
+                    CAST(any_value(n.n_distinct) AS BIGINT) AS n_distinct,
+                    round(-sum((c * 1.0 / n.n_tok) * ln(c * 1.0 / n.n_tok)) * 1e6) / 1e6 AS entropy
+             FROM tf JOIN n USING (doc_id)
+             GROUP BY tf.doc_id ORDER BY tf.doc_id"""),
+    (s, dir) => {
+      val tf = tok(docs(s, dir))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val n = tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"))
+      val p = col("c") * 1.0 / col("n_tok")
+      tf.join(n, Seq("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(
+          any_value(col("n_tok")).cast("long").as("n_tokens"),
+          any_value(col("n_distinct")).cast("long").as("n_distinct"),
+          (round(-sum(p * log(p)) * 1e6) / 1e6).as("entropy"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Pointwise mutual information of adjacent token pairs (collocation
+    * mining): bigrams from each token array via an aligned zip (no
+    * positional self-join), unigram/bigram counts are vocabulary-sized
+    * aggregates, PMI = ln(c_xy·N / (c_x·c_y)) over pairs seen ≥ 10
+    * times, top 30.
+    */
+  val qPmiBigrams: Q = Q(
+    "q_pmi_bigrams",
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+                          FROM documents),
+            big AS (SELECT unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS pair
+                    FROM toks WHERE len(t) >= 2),
+            uni AS (SELECT unnest(t) AS term FROM toks),
+            cxy AS (SELECT pair, count(*) AS c_xy FROM big GROUP BY pair),
+            cx AS (SELECT term, count(*) AS c_x FROM uni GROUP BY term),
+            n AS (SELECT count(*) AS n_pairs FROM big)
+            SELECT pair, CAST(c_xy AS BIGINT) AS c_xy,
+                   round(ln(c_xy * 1.0 * n.n_pairs
+                            / (cl.c_x * 1.0 * cr.c_x)) * 1e6) / 1e6 AS pmi
+            FROM cxy
+            JOIN cx cl ON cl.term = string_split(pair, ' ')[1]
+            JOIN cx cr ON cr.term = string_split(pair, ' ')[2]
+            CROSS JOIN n
+            WHERE c_xy >= 10
+            ORDER BY pmi DESC, pair LIMIT 30"""),
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+        .localCheckpoint(true) // bigram + unigram sides share one tokenization
+      val big = toks.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))"))
+          .as("pair"))
+      val uni = toks.select(explode(col("t")).as("term"))
+      val cxy = big.groupBy(col("pair")).agg(count(lit(1)).as("c_xy"))
+      val cx = uni.groupBy(col("term")).agg(count(lit(1)).as("c_x"))
+      val n = big.agg(count(lit(1)).as("n_pairs"))
+      cxy.filter(col("c_xy") >= 10)
+        .withColumn("lterm", split(col("pair"), " ").getItem(0))
+        .withColumn("rterm", split(col("pair"), " ").getItem(1))
+        .join(broadcast(cx.withColumnRenamed("term", "lterm").withColumnRenamed("c_x", "c_l")), Seq("lterm"))
+        .join(broadcast(cx.withColumnRenamed("term", "rterm").withColumnRenamed("c_x", "c_r")), Seq("rterm"))
+        .crossJoin(broadcast(n))
+        .select(
+          col("pair"), col("c_xy"),
+          (round(log(col("c_xy") * 1.0 * col("n_pairs") / (col("c_l") * 1.0 * col("c_r"))) * 1e6) / 1e6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("pair"))
+        .limit(30)
+    })
+
+  /** Train/eval contamination scan (the benchmark-leakage check every
+    * training pipeline needs): docs with doc_id % 10 = 0 form the eval
+    * split; any train doc sharing a word-8-gram shingle with the eval
+    * split is contaminated. The join is an equi-join on distinct shingle
+    * keys — eval-side shingles are the small side and broadcast; nothing
+    * quadratic. Output: per-source contaminated counts + rate.
+    */
+  val qContamination: Q = Q(
+    "q_contamination",
+    Some("""WITH toks AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS t
+                          FROM documents),
+            sh AS (SELECT doc_id, source,
+                          unnest([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]) AS shingle
+                   FROM toks WHERE len(t) >= 8),
+            eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+            train AS (SELECT DISTINCT doc_id, source, shingle FROM sh WHERE doc_id % 10 <> 0),
+            hits AS (SELECT DISTINCT train.doc_id, train.source
+                     FROM train JOIN eval_sh USING (shingle)),
+            base AS (SELECT source, count(*) AS n_train FROM documents
+                     WHERE doc_id % 10 <> 0 GROUP BY source)
+            SELECT base.source, CAST(base.n_train AS BIGINT) AS n_train,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+                   round(coalesce(h.n_hit, 0) * 1e6 / base.n_train) / 1e6 AS rate
+            FROM base LEFT JOIN (SELECT source, count(*) AS n_hit FROM hits GROUP BY source) h
+                 USING (source)
+            ORDER BY source"""),
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+      val sh = toks.filter(size(col("t")) >= 8)
+        .select(col("doc_id"), col("source"),
+          explode(expr("transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))"))
+            .as("shingle"))
+        .localCheckpoint(true) // eval + train sides share one shingling
+      val evalSh = sh.filter(col("doc_id") % 10 === 0).select(col("shingle")).distinct()
+      val train = sh.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("source"), col("shingle")).distinct()
+      val hits = train.join(broadcast(evalSh), Seq("shingle"))
+        .select(col("doc_id"), col("source")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_hit"))
+      val base = docs(s, dir).filter(col("doc_id") % 10 =!= 0)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+      base.join(hits, Seq("source"), "left")
+        .select(
+          col("source"), col("n_train").cast("long").as("n_train"),
+          coalesce(col("n_hit"), lit(0L)).cast("long").as("n_contaminated"),
+          (round(coalesce(col("n_hit"), lit(0L)) * 1e6 / col("n_train")) / 1e6).as("rate"))
+        .orderBy(col("source"))
+    })
+
+  /** Zipf power-law fit: OLS slope of ln(freq) on ln(rank) over the top
+    * 1000 corpus terms (natural text ⇒ slope ≈ −1; synthetic/spammy
+    * corpora deviate). Vocabulary-sized all the way after one
+    * tokenization; the regression is a single scalar aggregate.
+    */
+  val qZipf: Q = Q(
+    "q_zipf",
+    Some(s"""WITH tok AS ($tokSql),
+             freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+             ranked AS (SELECT term, c,
+                               row_number() OVER (ORDER BY c DESC, term) AS rank
+                        FROM freq)
+             SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                    round(regr_slope(ln(c), ln(rank)) * 1e6) / 1e6 AS zipf_slope,
+                    round(regr_r2(ln(c), ln(rank)) * 1e6) / 1e6 AS r2
+             FROM ranked WHERE rank <= 1000"""),
+    (s, dir) => {
+      val freq = tok(docs(s, dir)).groupBy(col("term")).agg(count(lit(1)).as("c"))
+      // vocabulary-sized input: the single-partition rank window is over
+      // ≤ |vocab| rows by construction, not corpus rows
+      val ranked = freq
+        .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("term"))))
+        .filter(col("rank") <= 1000)
+      ranked.agg(
+        count(lit(1)).as("n_terms"),
+        (round(expr("regr_slope(ln(c), ln(rank))") * 1e6) / 1e6).as("zipf_slope"),
+        (round(expr("regr_r2(ln(c), ln(rank))") * 1e6) / 1e6).as("r2"))
+    })
+
+  /** Normalization-exact dedup (the C4-style near-exact pass): lowercase,
+    * strip non-alphanumerics, collapse whitespace, md5-fingerprint, then
+    * cluster on the fingerprint — one shuffle on the hash, no pairwise
+    * comparisons. `is_canonical` keeps the lowest doc_id per cluster.
+    */
+  val qDedupNorm: Q = Q(
+    "q_dedup_norm",
+    Some("""WITH norm AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                             ' +', ' ', 'g'))) AS fp
+              FROM documents),
+            cl AS (SELECT fp, count(*) AS cluster_n, min(doc_id) AS canonical
+                   FROM norm GROUP BY fp)
+            SELECT n.doc_id, n.fp, CAST(cl.cluster_n AS BIGINT) AS cluster_n,
+                   CAST(CASE WHEN n.doc_id = cl.canonical THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+            FROM norm n JOIN cl USING (fp)
+            ORDER BY n.doc_id"""),
+    (s, dir) => {
+      val norm = docs(s, dir)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))).as("fp"))
+      val cl = norm.groupBy(col("fp"))
+        .agg(count(lit(1)).as("cluster_n"), min(col("doc_id")).as("canonical"))
+      norm.join(cl, Seq("fp"))
+        .select(
+          col("doc_id"), col("fp"), col("cluster_n").cast("long").as("cluster_n"),
+          when(col("doc_id") === col("canonical"), 1L).otherwise(0L).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Ordered conversion funnel over the events stream: first view →
+    * first click after it → first purchase after that, per user;
+    * reported as per-step user counts. Three conditional-min aggregates
+    * over one scan — integer µs arithmetic end to end (ns-truncation
+    * portability, see Tables.loadEvents).
+    */
+  val qFunnel: Q = Q(
+    "q_funnel",
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+            v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(ts_us) AS t_click
+                  FROM e JOIN v USING (user_id)
+                  WHERE event_type = 'click' AND ts_us > v.t_view GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(ts_us) AS t_purchase
+                  FROM e JOIN c USING (user_id)
+                  WHERE event_type = 'purchase' AND ts_us > c.t_click GROUP BY e.user_id)
+            SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+                   CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+                   CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel"""),
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        .localCheckpoint(true) // three funnel stages share one scan
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts_us") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts_us") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    })
+
+  /** Weekly cohort retention triangle: cohort = a user's first active
+    * week, one row per (cohort week, week offset) with distinct active
+    * users. Week bucketing is pure integer division on epoch-µs — no
+    * date functions, bit-identical across engines.
+    */
+  val qRetention: Q = Q(
+    "q_retention",
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+            uw AS (SELECT DISTINCT user_id, week FROM e),
+            cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+            SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+                   CAST(uw.week - c.cohort_week AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN cohort c USING (user_id)
+            GROUP BY c.cohort_week, week_offset
+            ORDER BY cohort_week, week_offset"""),
+    (s, dir) => {
+      val uw = events(s, dir)
+        // `div`, not `/`: Column./ on longs promotes to double and corrupts
+        // at epoch-µs magnitudes
+        .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+        .distinct()
+        .localCheckpoint(true) // cohort min + membership share the distinct
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    })
+
+  override def queries: Seq[Q] = Seq(
+    qBm25, qTokenEntropy, qPmiBigrams, qContamination, qZipf, qDedupNorm, qFunnel, qRetention)
+}

@@ -238,27 +238,75 @@ object Relational extends QueryPack {
         .orderBy(col("p_partkey"))
     })
 
-  /** Sketch aggregates (HLL distinct, approximate quantiles): inherently
-    * engine-specific, so no SQL oracle — the driver records a rows-only
-    * check. Sketches only (no exact countDistinct companion): mixing an
-    * exact distinct into the same agg forces an Expand that doubles the
-    * input and defeats the point of sketching at scale — round 1's bench
-    * charged 200 s to exactly that. The sketch-error bound against exact
-    * counts is asserted in QueryPackSpec at small SF instead.
+  /** Sketch aggregates (HLL distinct, approximate quantiles). Raw sketch
+    * estimates are inherently engine-specific (different HLL/t-digest
+    * internals), so the portable output is each sketch's error bound
+    * verified inside the SAME plan: each engine builds its own sketches
+    * AND its own exact companions, and emits 0/1 in-bound flags that
+    * hash-match when both engines' sketches behave. The exact distinct is
+    * a two-stage distinct-then-count (a second scan + shuffle on short
+    * keys), NOT an exact countDistinct alongside the sketches in one agg
+    * — that forces an Expand that doubles the input and defeats the point
+    * of sketching at scale (round 1's bench charged 200 s to exactly
+    * that). Quantile estimates are validated rank-free: the fraction of
+    * rows at-or-below the estimate must straddle the target percentile.
     */
   val qApproxSketch: Q = Q(
     "q_approx_sketch",
-    None,
-    (s, dir) =>
+    Some("""WITH sk AS (
+              SELECT l_returnflag,
+                     approx_count_distinct(l_partkey) AS approx_parts,
+                     approx_quantile(l_quantity, 0.5) AS p50_qty,
+                     approx_quantile(l_extendedprice, 0.95) AS p95_price
+              FROM lineitem GROUP BY l_returnflag),
+            ex AS (
+              SELECT l_returnflag, CAST(count(*) AS BIGINT) AS exact_parts
+              FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)
+              GROUP BY l_returnflag),
+            fr AS (
+              SELECT l.l_returnflag,
+                     avg(CASE WHEN l.l_quantity <= sk.p50_qty THEN 1.0 ELSE 0.0 END) AS f50,
+                     avg(CASE WHEN l.l_extendedprice <= sk.p95_price THEN 1.0 ELSE 0.0 END) AS f95
+              FROM lineitem l JOIN sk ON l.l_returnflag = sk.l_returnflag
+              GROUP BY l.l_returnflag)
+            SELECT sk.l_returnflag,
+                   ex.exact_parts,
+                   CAST(CASE WHEN abs(approx_parts - exact_parts) <= 0.1 * exact_parts
+                        THEN 1 ELSE 0 END AS BIGINT) AS parts_in_bound,
+                   CAST(CASE WHEN f50 BETWEEN 0.45 AND 0.55 THEN 1 ELSE 0 END AS BIGINT) AS p50_in_bound,
+                   CAST(CASE WHEN f95 BETWEEN 0.92 AND 0.98 THEN 1 ELSE 0 END AS BIGINT) AS p95_in_bound
+            FROM sk JOIN ex ON sk.l_returnflag = ex.l_returnflag
+                    JOIN fr ON sk.l_returnflag = fr.l_returnflag
+            ORDER BY sk.l_returnflag"""),
+    (s, dir) => {
       // distribute first: sketch building is per-row-heavy and the
       // single-row-group scan would serialize it on one core
-      Tables.loadDistributed(s, dir, "lineitem", "l_orderkey")
+      val li = Tables.loadDistributed(s, dir, "lineitem", "l_orderkey")
+      val sk = li
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"),
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
-        .orderBy(col("l_returnflag")))
+      val ex = li
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+      val fr = li
+        .join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          avg(when(col("l_quantity") <= col("p50_qty"), 1.0).otherwise(0.0)).as("f50"),
+          avg(when(col("l_extendedprice") <= col("p95_price"), 1.0).otherwise(0.0)).as("f95"))
+      sk.join(ex, Seq("l_returnflag")).join(fr, Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"),
+          col("exact_parts"),
+          when(abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * 0.1, 1L)
+            .otherwise(0L).as("parts_in_bound"),
+          when(col("f50").between(0.45, 0.55), 1L).otherwise(0L).as("p50_in_bound"),
+          when(col("f95").between(0.92, 0.98), 1L).otherwise(0L).as("p95_in_bound"))
+        .orderBy(col("l_returnflag"))
+    })
 
   override def queries: Seq[Q] = Seq(
     q1Agg, qTopk, qJoinStar, qLeftJoin, qDistinctSort, qScalarAgg,

@@ -44,6 +44,40 @@ class CatalogSpec extends SparkSpec {
     assert(db.query("Alpine Fault").keySet === Set(1L))
   }
 
+  test("MERGE upsert: matched rows update, unmatched insert, re-run is idempotent") {
+    val dir = s"/tmp/mergestore_${System.nanoTime()}"
+    val store = new ParquetNshmStore(spark, dir)
+    store.create()
+    store.append(
+      "rupture",
+      Seq((1L, 3, 10L, 100.0, 6.5, 10.0, 0.01), (2L, 3, 11L, 200.0, 7.0, 20.0, 0.02))
+        .toDF("rupture_id", "fault_system", "nshm_id", "area", "magnitude", "len", "rate"))
+
+    // batch updates nshm_id=10 (new rate) and inserts nshm_id=12
+    val batch = Seq((1L, 3, 10L, 100.0, 6.5, 10.0, 0.05), (3L, 3, 12L, 300.0, 7.5, 30.0, 0.03))
+      .toDF("rupture_id", "fault_system", "nshm_id", "area", "magnitude", "len", "rate")
+    def contents() = store.table("rupture")
+      .select("nshm_id", "rate").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    store.merge("rupture", batch, Seq("fault_system", "nshm_id"))
+    assert(contents() === Map(10L -> 0.05, 11L -> 0.02, 12L -> 0.03))
+
+    // concurrent-ish double-insert: replaying the identical batch changes nothing
+    store.merge("rupture", batch, Seq("fault_system", "nshm_id"))
+    assert(contents() === Map(10L -> 0.05, 11L -> 0.02, 12L -> 0.03))
+    assert(store.table("rupture").count() === 3L)
+
+    // same semantics on the in-memory store
+    val mem = new InMemoryNshmStore(spark)
+    mem.append("parent_fault", Seq((1L, "Alpine Fault")).toDF("parent_id", "name"))
+    mem.merge("parent_fault",
+      Seq((1L, "Alpine Fault"), (2L, "Kakapo")).toDF("parent_id", "name"), Seq("name"))
+    mem.merge("parent_fault",
+      Seq((1L, "Alpine Fault"), (2L, "Kakapo")).toDF("parent_id", "name"), Seq("name"))
+    assert(mem.table("parent_fault").count() === 2L)
+  }
+
   test("bucketed fault_id join is co-located: no Exchange on bucketed inputs") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     try {

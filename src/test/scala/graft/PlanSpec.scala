@@ -77,7 +77,11 @@ class PlanSpec extends SparkSpec {
   test("SemVer parse/compare (F9)") {
     assert(SemVer.parse("1.0.4") === SemVer(1, 0, 4))
     assert(SemVer.parse("2.0.0") > SemVer.parse("1.9.9"))
-    intercept[IllegalArgumentException](SemVer.parse("1.0"))
+    // two-part form gets patch 0, like the reference generator
+    // (nshm_db_generator.py:41-46)
+    assert(SemVer.parse("1.0") === SemVer(1, 0, 0))
+    intercept[IllegalArgumentException](SemVer.parse("1"))
+    intercept[IllegalArgumentException](SemVer.parse("1.0.4.2"))
     intercept[IllegalArgumentException](SemVer.parse("a.b.c"))
   }
 }

@@ -79,4 +79,47 @@ class ZipIngestSpec extends SparkSpec {
     val only = db.query("Kakapo & !Alpine Fault")
     assert(only.keySet === Set(1L))
   }
+
+  test("CLI generator: manifest → merged branches → parquet store round-trip " +
+    "(≙ nshm_db_generator.py:49-94)") {
+    import graft.nshm.NshmDbGenerator
+    val z1 = writeBranchZip(rate0 = 0.01, rate1 = 0.002, mfdRate = 0.4)
+    val z2 = writeBranchZip(rate0 = 0.03, rate1 = 0.004, mfdRate = 0.8)
+    val manifest = s"/tmp/manifest_${System.nanoTime()}.csv"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(manifest),
+      s"""# group,weight,path
+         |group,weight,path
+         |CRU,0.25,$z1
+         |CRU,0.75,$z2
+         |CRU,0.99,$z2
+         |""".stripMargin) // header + duplicate path both ignored
+    val outDir = s"/tmp/gendb_${System.nanoTime()}"
+
+    val cfg = NshmDbGenerator.parseArgs(
+      Seq("1.0.4", outDir, "--manifest", manifest))
+    assert(cfg.version === graft.nshm.SemVer(1, 0, 4))
+    val db = NshmDbGenerator.run(spark, cfg)
+
+    // binary zip path end-to-end: weighted rates landed in parquet
+    val reopened = NshmDb.open(spark, outDir)
+    assert(reopened.getFaultNames === Set("Alpine Fault", "Kakapo"))
+    val r0 = reopened.getRupture(FaultSystem.Crustal, 0L)
+    assert(math.abs(r0.rate.get - (0.25 * 0.01 + 0.75 * 0.03)) < 1e-12)
+    assert(r0.faults.keySet === Set("Alpine Fault", "Kakapo"))
+    assert(db.store.table("magnitude_frequency_distribution").count() === 2)
+
+    // skip flags suppress exactly their insert (fresh store)
+    val outDir2 = s"/tmp/gendb_${System.nanoTime()}"
+    NshmDbGenerator.run(spark, NshmDbGenerator.parseArgs(Seq(
+      "1.0", outDir2, "--manifest", manifest,
+      "--skip-rupture-creation", "--skip-mfds-creation")))
+    val db2 = NshmDb.open(spark, outDir2)
+    assert(db2.getFaultNames === Set("Alpine Fault", "Kakapo"))
+    assert(db2.store.table("rupture").count() === 0)
+    assert(db2.store.table("magnitude_frequency_distribution").count() === 0)
+
+    intercept[IllegalArgumentException](
+      NshmDbGenerator.parseArgs(Seq("1.0.4", outDir, "--bogus")))
+  }
 }
