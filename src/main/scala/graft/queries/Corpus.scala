@@ -345,6 +345,118 @@ object Corpus extends QueryPack {
         .orderBy(col("cohort_week"), col("week_offset"))
     })
 
+  /** Exponentially-weighted moving average of `value` per user (α = 0.2),
+    * computed as a sequential left fold over the time-ordered value list:
+    * Spark `aggregate(...)` and DuckDB `list_reduce` both fold
+    * left-to-right in doubles, so the recursive s_i = αv_i + (1-α)s_{i-1}
+    * is bit-identical cross-engine (unordered SUM of the closed form
+    * would not be). State per user is its event list — bounded by
+    * per-user activity, the same bound any sessionizer already assumes.
+    */
+  val qEwma: Q = Q(
+    "q_ewma",
+    Some("""WITH folded AS (
+              SELECT user_id, count(*) AS n_events,
+                     list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+                                 (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma
+              FROM events GROUP BY user_id)
+            SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                   round(ewma * 1e6) / 1e6 AS ewma
+            FROM folded ORDER BY user_id"""),
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sort_array(collect_list(struct(
+            unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value")))).as("evs"),
+          count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"), col("n_events"),
+          expr("transform(evs, e -> e.value)").as("vvs"))
+        .select(
+          col("user_id"), col("n_events"),
+          (round(expr(
+            """aggregate(
+                 slice(vvs, 2, size(vvs) - 1),
+                 element_at(vvs, 1),
+                 (acc, x) -> 0.2 * x + 0.8 * acc)""") * 1e6) / 1e6).as("ewma"))
+        .orderBy(col("user_id")))
+
+  /** Per-user z-score anomaly scan: population σ spelled as
+    * sqrt(avg(v²) − avg(v)²) identically in both engines (built-in
+    * stddev variants differ in correction and accumulation), anomaly =
+    * |v − μ| > 2σ. One stats aggregation joined back to one scan.
+    */
+  val qZscoreAnomaly: Q = Q(
+    "q_zscore_anomaly",
+    Some("""WITH stats AS (
+              SELECT user_id, count(*) AS n, avg(value) AS mu,
+                     sqrt(avg(value * value) - avg(value) * avg(value)) AS sigma
+              FROM events GROUP BY user_id)
+            SELECT e.user_id, CAST(any_value(stats.n) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN abs(e.value - stats.mu) > 2 * stats.sigma
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+                   round(max(abs(e.value - stats.mu) / stats.sigma) * 1e4) / 1e4 AS max_z
+            FROM events e JOIN stats USING (user_id)
+            WHERE stats.sigma > 0
+            GROUP BY e.user_id ORDER BY e.user_id"""),
+    (s, dir) => {
+      val e = events(s, dir)
+      val stats = e.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"), avg(col("value")).as("mu"),
+          sqrt(avg(col("value") * col("value")) - avg(col("value")) * avg(col("value")))
+            .as("sigma"))
+      e.join(broadcast(stats), Seq("user_id"))
+        .filter(col("sigma") > 0)
+        .groupBy(col("user_id"))
+        .agg(
+          any_value(col("n")).cast("long").as("n_events"),
+          sum(when(abs(col("value") - col("mu")) > lit(2) * col("sigma"), 1L).otherwise(0L))
+            .cast("long").as("n_anomalies"),
+          (round(max(abs(col("value") - col("mu")) / col("sigma")) * 1e4) / 1e4).as("max_z"))
+        .orderBy(col("user_id"))
+    })
+
+  /** Shuffle-key skew profiler — the diagnostic every 100 TB pipeline
+    * runs before picking join/agg keys: per-key group sizes for
+    * lineitem's order key, rolled up to max/avg/skew-factor plus the
+    * heaviest keys. Two hash aggregations; the second input is
+    * #distinct-keys-sized.
+    */
+  val qKeySkew: Q = Q(
+    "q_key_skew",
+    Some("""WITH sizes AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey),
+            stats AS (SELECT count(*) AS n_keys, max(n) AS max_n, avg(n) AS avg_n FROM sizes),
+            top AS (SELECT l_orderkey, n,
+                           row_number() OVER (ORDER BY n DESC, l_orderkey) AS rnk
+                    FROM sizes)
+            SELECT CAST(stats.n_keys AS BIGINT) AS n_keys,
+                   CAST(stats.max_n AS BIGINT) AS max_n,
+                   round(stats.avg_n * 1e4) / 1e4 AS avg_n,
+                   round(stats.max_n * 1e4 / stats.avg_n) / 1e4 AS skew_factor,
+                   CAST(top.l_orderkey AS BIGINT) AS heaviest_key,
+                   CAST(top.n AS BIGINT) AS heaviest_n
+            FROM stats CROSS JOIN top WHERE top.rnk = 1"""),
+    (s, dir) => {
+      val sizes = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // stats + top share the size table
+      val stats = sizes.agg(
+        count(lit(1)).as("n_keys"), max(col("n")).as("max_n"), avg(col("n")).as("avg_n"))
+      val top = sizes.orderBy(col("n").desc, col("l_orderkey")).limit(1)
+        .select(col("l_orderkey").as("heaviest_key"), col("n").as("heaviest_n"))
+      stats.crossJoin(top)
+        .select(
+          col("n_keys").cast("long").as("n_keys"),
+          col("max_n").cast("long").as("max_n"),
+          (round(col("avg_n") * 1e4) / 1e4).as("avg_n"),
+          (round(col("max_n") * 1e4 / col("avg_n")) / 1e4).as("skew_factor"),
+          col("heaviest_key").cast("long").as("heaviest_key"),
+          col("heaviest_n").cast("long").as("heaviest_n"))
+    })
+
   override def queries: Seq[Q] = Seq(
-    qBm25, qTokenEntropy, qPmiBigrams, qContamination, qZipf, qDedupNorm, qFunnel, qRetention)
+    qBm25, qTokenEntropy, qPmiBigrams, qContamination, qZipf, qDedupNorm, qFunnel, qRetention,
+    qEwma, qZscoreAnomaly, qKeySkew)
 }
