@@ -74,6 +74,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("contamination scan joins shingles by key — no cartesian pair blowup") {
+    val p = plan("q_contamination")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
+  test("BM25 broadcasts the vocabulary-sized df and scalar stats sides") {
+    val p = plan("q_bm25")
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+    // the only unconditional-broadcast join is the 1-row stats frame
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("key-skew profiler is two hash aggregations, no window over all rows") {
+    val p = plan("q_key_skew")
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("SemVer parse/compare (F9)") {
     assert(SemVer.parse("1.0.4") === SemVer(1, 0, 4))
     assert(SemVer.parse("2.0.0") > SemVer.parse("1.9.9"))
