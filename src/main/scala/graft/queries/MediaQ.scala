@@ -85,5 +85,42 @@ object MediaQ extends QueryPack {
         .orderBy(col("media_id"))
     })
 
-  override def queries: Seq[Q] = Seq(qMediaMeta, qMediaStats, qFrameSample)
+  /** Chunk sharding — the transport step before any decode fan-out:
+    * every payload split into fixed 64-byte chunks with offsets and
+    * per-chunk fingerprints, one output row per (media, chunk). The
+    * Spark side slices the BINARY payload (byte-based substring +
+    * md5-over-bytes); the oracle slices the source text — identical
+    * bytes because payloads are the UTF-8 encoding of ASCII text. At
+    * scale this is the explode that re-partitions work from documents
+    * to chunk-level parallelism; everything stays codegen'd column ops.
+    */
+  val qMediaChunks: Q = Q(
+    "q_media_chunks",
+    Some("""SELECT doc_id AS media_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(1 + 64 * i AS BIGINT) AS offset,
+                   CAST(octet_length(encode(substr(text, CAST(1 + 64 * i AS INT), 64))) AS BIGINT) AS chunk_bytes,
+                   substr(md5(substr(text, CAST(1 + 64 * i AS INT), 64)), 1, 16) AS chunk_fp
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS i
+                  FROM documents WHERE length(text) > 0)
+            ORDER BY media_id, chunk_idx"""),
+    (s, dir) =>
+      Media.syntheticMedia(Tables.loadDistributed(s, dir, "documents", "doc_id"))
+        .filter(octet_length(col("payload")) > 0)
+        .select(
+          col("media_id"), col("payload"),
+          explode(sequence(lit(0),
+            ceil(octet_length(col("payload")) / lit(64.0)).cast("int") - 1)).as("i"))
+        .select(
+          col("media_id"),
+          col("i").cast("long").as("chunk_idx"),
+          (lit(1) + lit(64) * col("i")).cast("long").as("offset"),
+          octet_length(col("payload").substr(lit(1) + lit(64) * col("i"), lit(64)))
+            .cast("long").as("chunk_bytes"),
+          substring(md5(col("payload").substr(lit(1) + lit(64) * col("i"), lit(64))), 1, 16)
+            .as("chunk_fp"))
+        .orderBy(col("media_id"), col("chunk_idx")))
+
+  override def queries: Seq[Q] = Seq(qMediaMeta, qMediaStats, qFrameSample, qMediaChunks)
 }
