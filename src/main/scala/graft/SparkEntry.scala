@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.TrainOps,
     graft.queries.Advanced,
     graft.queries.Extras,
-    graft.queries.Corpus)
+    graft.queries.Corpus,
+    graft.queries.PipelineQ)
 
   private lazy val allQueries: Seq[Q] = packs.flatMap(_.queries)
 

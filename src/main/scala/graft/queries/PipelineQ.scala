@@ -1,0 +1,457 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.functions.VectorFunctions
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 training-pipeline + star-analytics pack.
+  *
+  * LLM-data side: Gopher-style repetition signals (dup-word / top-word /
+  * dup-n-gram fractions, ≙ the quality filters of Rae et al. 2021 §A1.1),
+  * DSIR-style importance weights (hashed-n-gram log-ratio scoring of
+  * Xie et al. 2023, spelled with exact unigram tables so both engines
+  * agree bit-for-bit), SemDeDup-style keep-best embedding dedup
+  * (Abbas et al. 2023: drop the lower-norm member of every
+  * above-threshold same-cluster pair), and SimHash banded near-dup
+  * candidates (Charikar 2002 / Manku et al. 2007: band-bucket equi-join,
+  * never all-pairs, then a codegen'd `bit_count(a^b)` Hamming refine).
+  *
+  * Relational side: interval-overlap peak concurrency via the classic
+  * +1/−1 sweep (no self-join — the scale-out alternative to
+  * `q_range_join`'s banded interval join), gaps-and-islands run-length
+  * analysis, and two reference star shapes (market-share ratio ≙ TPC-H
+  * Q8, top-supplier scalar-max join ≙ TPC-H Q15).
+  *
+  * Scale shapes: every text query tokenizes once and aggregates on
+  * (doc, term) keys; vocabulary-sized frequency tables broadcast; the
+  * SimHash candidate join is an equi-join on (band, value) buckets; the
+  * sweep's window input is two rows per (type, user) — interval-
+  * endpoint cardinality, not event cardinality. Doubles round through
+  * `round(x*1e6)/1e6` (or `round(x*100)/100` for money) spelled
+  * identically in both engines — see q_percentile_exact's rationale.
+  */
+object PipelineQ extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadDistributed(s, dir, "documents", "doc_id")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Per-document repetition signals (the Gopher repetition filters):
+    * duplicate-word fraction, most-frequent-word fraction, and
+    * duplicate-word-3-gram fraction. One corpus tokenization feeds both
+    * the unigram and the 3-gram side; all aggregation is keyed on
+    * (doc, term) / (doc, gram) — embarrassingly partitionable, no
+    * corpus-wide state. Docs under 3 words carry no 3-gram signal and
+    * are dropped by the inner join in both engines.
+    */
+  val qRepetition: Q = Q(
+    "q_repetition",
+    Some("""WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split(text, ' '), w -> w <> '') AS t
+                          FROM documents),
+            w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            tf AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+            ws AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS m
+                   FROM tf GROUP BY doc_id),
+            g AS (SELECT doc_id,
+                         unnest([t[i - 1] || ' ' || t[i] || ' ' || t[i + 1]
+                                 FOR i IN range(2, len(t))]) AS g3
+                  FROM toks WHERE len(t) >= 3),
+            gf AS (SELECT doc_id, g3, count(*) AS c FROM g GROUP BY doc_id, g3),
+            gs AS (SELECT doc_id, sum(c) AS n3, count(*) AS d3 FROM gf GROUP BY doc_id)
+            SELECT ws.doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   round((1 - d * 1.0 / n) * 1e6) / 1e6 AS dup_word_frac,
+                   round(m * 1.0 / n * 1e6) / 1e6 AS top_word_frac,
+                   round((1 - d3 * 1.0 / n3) * 1e6) / 1e6 AS dup_3gram_frac
+            FROM ws JOIN gs ON ws.doc_id = gs.doc_id
+            ORDER BY ws.doc_id"""),
+    (s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
+      val tf = toks
+        .select(col("doc_id"), explode(col("t")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val ws = tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("d"), max(col("c")).as("m"))
+      val gf = toks
+        .filter(size(col("t")) >= 3)
+        .select(
+          col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i - 1], t[i], t[i + 1]))"))
+            .as("g3"))
+        .groupBy(col("doc_id"), col("g3")).agg(count(lit(1)).as("c"))
+      val gs = gf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n3"), count(lit(1)).as("d3"))
+      ws.join(gs, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("n").cast("long").as("n_words"),
+          (round((lit(1) - col("d") * lit(1.0) / col("n")) * 1e6) / 1e6).as("dup_word_frac"),
+          (round(col("m") * lit(1.0) / col("n") * 1e6) / 1e6).as("top_word_frac"),
+          (round((lit(1) - col("d3") * lit(1.0) / col("n3")) * 1e6) / 1e6).as("dup_3gram_frac"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** DSIR-style importance weights: score each document by the mean
+    * log-ratio of target-domain vs whole-corpus unigram frequency
+    * (target = the `en` slice), top 50. The two frequency tables are
+    * vocabulary-sized → broadcast; the per-doc score is one (doc, term)
+    * aggregation over the same single tokenization. Laplace +1 keeps
+    * unseen-in-target terms finite, exactly as in the paper's hashed
+    * variant (here the vocab is small enough to skip the hashing).
+    */
+  val qDsirWeights: Q = Q(
+    "q_dsir_weights",
+    Some("""WITH tok AS (SELECT doc_id, lang,
+                                unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+                         FROM documents),
+            tf AS (SELECT doc_id, any_value(lang) AS lang, w, count(*) AS c
+                   FROM tok GROUP BY doc_id, w),
+            allf AS (SELECT w, sum(c) AS c_all FROM tf GROUP BY w),
+            enf AS (SELECT w, sum(c) AS c_en FROM tf WHERE lang = 'en' GROUP BY w),
+            scored AS (
+              SELECT tf.doc_id, any_value(tf.lang) AS lang,
+                     sum(tf.c * ln((coalesce(enf.c_en, 0) + 1.0) / (allf.c_all + 1.0)))
+                       / sum(tf.c) AS raw
+              FROM tf JOIN allf USING (w) LEFT JOIN enf USING (w)
+              GROUP BY tf.doc_id)
+            SELECT doc_id, lang, round(raw * 1e6) / 1e6 AS dsir_score
+            FROM scored ORDER BY dsir_score DESC, doc_id LIMIT 50"""),
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(any_value(col("lang")).as("lang"), count(lit(1)).as("c"))
+      val allf = tf.groupBy(col("w")).agg(sum(col("c")).as("c_all"))
+      val enf = tf.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(sum(col("c")).as("c_en"))
+      tf.join(broadcast(allf), Seq("w"))
+        .join(broadcast(enf), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          any_value(col("lang")).as("lang"),
+          (sum(col("c") * log((coalesce(col("c_en"), lit(0)) + 1.0) / (col("c_all") + 1.0)))
+            / sum(col("c"))).as("raw"))
+        .select(col("doc_id"), col("lang"), (round(col("raw") * 1e6) / 1e6).as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(50)
+    })
+
+  /** SemDeDup-style keep-best semantic dedup: within each label cluster
+    * (the blocking key — pairs never cross clusters), any pair with
+    * cosine ≥ 0.3 drops its lower-norm member (ties: higher vec_id).
+    * Label blocking is what bounds the pair count at scale — the
+    * all-pairs work is per-cluster, and clusters come from the IVF/LSH
+    * path, not from a corpus-wide cross join. Reported per label:
+    * total, dropped, kept.
+    */
+  val qSemDedup: Q = Q(
+    "q_semdedup", {
+      def sq(c: String) =
+        s"list_sum([CAST(list_extract($c, i) AS DOUBLE) * CAST(list_extract($c, i) AS DOUBLE) FOR i IN range(1, len($c) + 1)])"
+      val dot =
+        "list_sum([CAST(list_extract(a.embedding, i) AS DOUBLE) * CAST(list_extract(b.embedding, i) AS DOUBLE) FOR i IN range(1, len(a.embedding) + 1)])"
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 500),
+               pairs AS (
+                 SELECT a.vec_id AS va, b.vec_id AS vb,
+                        sqrt(${sq("a.embedding")}) AS na, sqrt(${sq("b.embedding")}) AS nb,
+                        a.label AS label,
+                        $dot / (sqrt(${sq("a.embedding")}) * sqrt(${sq("b.embedding")})) AS cos
+                 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+               dropped AS (
+                 SELECT DISTINCT label,
+                        CASE WHEN na < nb THEN va
+                             WHEN nb < na THEN vb
+                             ELSE vb END AS victim
+                 FROM pairs WHERE cos >= 0.3),
+               totals AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label),
+               drops AS (SELECT label, count(*) AS n_dropped FROM dropped GROUP BY label)
+               SELECT totals.label, n_vecs,
+                      CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped,
+                      CAST(n_vecs - coalesce(n_dropped, 0) AS BIGINT) AS n_kept
+               FROM totals LEFT JOIN drops ON totals.label = drops.label
+               ORDER BY totals.label""")
+    },
+    (s, dir) => {
+      val e = Tables.loadDistributed(s, dir, "embeddings", "vec_id")
+        .filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val a = e.select(
+        col("label"), col("vec_id").as("va"), col("embedding").as("ea"),
+        VectorFunctions.vecNorm(col("embedding")).as("na"))
+      val b = e.select(
+        col("label").as("lb"), col("vec_id").as("vb"), col("embedding").as("eb"),
+        VectorFunctions.vecNorm(col("embedding")).as("nb"))
+      val dropped = a
+        .join(b, col("label") === col("lb") && col("va") < col("vb"))
+        .filter(VectorFunctions.vecDot(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.3)
+        .select(
+          col("label"),
+          when(col("na") < col("nb"), col("va"))
+            .when(col("nb") < col("na"), col("vb"))
+            .otherwise(col("vb")).as("victim"))
+        .distinct()
+        .groupBy(col("label")).agg(count(lit(1)).as("n_dropped"))
+      e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+        .join(dropped, Seq("label"), "left")
+        .select(
+          col("label"), col("n_vecs"),
+          coalesce(col("n_dropped"), lit(0L)).cast("long").as("n_dropped"),
+          (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).cast("long").as("n_kept"))
+        .orderBy(col("label"))
+    })
+
+  /** SimHash banded near-dup candidates: split the 16-bit signature into
+    * two 8-bit bands, bucket-join on (band, value) — any pair within
+    * Hamming distance 1 shares an intact band by pigeonhole; wider radii
+    * trade recall, as in any LSH scheme — then refine the candidates
+    * with an exact `bit_count(a ^ b) ≤ 3` Hamming check. The join is an
+    * equi-join on short bucket keys (the q_lsh_buckets shape), never
+    * all-pairs, and both the banding arithmetic and the popcount refine
+    * are codegen'd integer built-ins.
+    */
+  val qSimhashBand: Q = Q(
+    "q_simhash_band", {
+      val bitSums = (0 until 16)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS __bit$b")
+        .mkString(", ")
+      val combine = (0 until 16)
+        .map(b => s"CASE WHEN __bit$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+                 FROM documents),
+               h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks),
+               bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+               sh AS (SELECT doc_id, $combine AS simhash FROM bits),
+               bands AS (
+                 SELECT doc_id, simhash, 0 AS band, simhash & 255 AS v FROM sh
+                 UNION ALL
+                 SELECT doc_id, simhash, 1 AS band, (simhash >> 8) & 255 AS v FROM sh),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sa, b.simhash AS sb
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+               SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+               FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+               ORDER BY doc_a, doc_b""")
+    },
+    (s, dir) => {
+      val h = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .select(col("doc_id"), md5Hash32(col("w")).as("h"))
+      val aggs = simhashBitAggs(col("h"))
+      val sh = h.groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), simhashFromBits().as("simhash"))
+      val bands = sh.select(
+        col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("band"), col("simhash").bitwiseAND(lit(255L)).as("v")),
+          struct(lit(1).as("band"), shiftright(col("simhash"), 8).bitwiseAND(lit(255L)).as("v"))))
+          .as("bv"))
+        .select(col("doc_id"), col("simhash"), col("bv.band").as("band"), col("bv.v").as("v"))
+      val a = bands.select(
+        col("band"), col("v"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
+      val b = bands.select(
+        col("band").as("band_b"), col("v").as("v_b"),
+        col("doc_id").as("doc_b"), col("simhash").as("sb"))
+      a.join(b, col("band") === col("band_b") && col("v") === col("v_b") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+
+  /** Peak concurrent user-sessions per event type via the +1/−1 sweep:
+    * each (type, user) contributes one [first, last] interval, interval
+    * ends release before starts at the same instant (half-open
+    * semantics, encoded by the `delta` sort tiebreak), and the peak is
+    * the max running sum. The window input is two rows per (type, user)
+    * — endpoint cardinality — which is what makes this the scale-out
+    * alternative to a self-join interval overlap; ties share identical
+    * delta values, so the prefix-sum multiset (and hence the max) is
+    * order-independent within a tie block.
+    */
+  val qIntervalSweep: Q = Q(
+    "q_interval_sweep",
+    Some("""WITH iv AS (SELECT event_type, user_id, min(ts) AS s, max(ts) AS e
+                        FROM events GROUP BY event_type, user_id),
+            deltas AS (
+              SELECT event_type, s AS t, 1 AS delta FROM iv
+              UNION ALL
+              SELECT event_type, e AS t, -1 AS delta FROM iv),
+            run AS (
+              SELECT event_type,
+                     sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                                      ROWS UNBOUNDED PRECEDING) AS live
+              FROM deltas)
+            SELECT event_type, CAST(max(live) AS BIGINT) AS peak_concurrent
+            FROM run GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) => {
+      val iv = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      val deltas = iv.select(col("event_type"), col("s").as("t"), lit(1).as("delta"))
+        .unionAll(iv.select(col("event_type"), col("e").as("t"), lit(-1).as("delta")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("live", sum(col("delta")).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(col("live")).cast("long").as("peak_concurrent"))
+        .orderBy(col("event_type"))
+    })
+
+  /** Gaps-and-islands: runs of consecutive order days per customer via
+    * the date-minus-row_number anchor trick. Distinct (customer, day)
+    * first, the window partitions on the high-cardinality customer key,
+    * and the island rollup is one hash aggregation on (customer, anchor).
+    */
+  val qGapsIslands: Q = Q(
+    "q_gaps_islands",
+    Some("""WITH d AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS dt FROM orders),
+            r AS (SELECT o_custkey, dt,
+                         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY dt) AS INTEGER) AS rn
+                  FROM d),
+            isl AS (SELECT o_custkey, dt - rn AS anchor, count(*) AS run_len
+                    FROM r GROUP BY o_custkey, dt - rn)
+            SELECT o_custkey,
+                   CAST(sum(run_len) AS BIGINT) AS n_order_days,
+                   count(*) AS n_islands,
+                   CAST(max(run_len) AS BIGINT) AS max_run
+            FROM isl GROUP BY o_custkey ORDER BY o_custkey"""),
+    (s, dir) => {
+      val d = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("dt"))
+        .distinct()
+      val rn = row_number().over(Window.partitionBy(col("o_custkey")).orderBy(col("dt")))
+      d.withColumn("anchor", date_sub(col("dt"), rn.cast("int")))
+        .groupBy(col("o_custkey"), col("anchor"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(col("run_len")).cast("long").as("n_order_days"),
+          count(lit(1)).as("n_islands"),
+          max(col("run_len")).cast("long").as("max_run"))
+        .orderBy(col("o_custkey"))
+    })
+
+  /** Market share (TPC-H Q8 shape): ASIA's fraction of yearly gross
+    * revenue through the customer→nation→region star. Dimension sides
+    * broadcast; the fact scan aggregates once on the year key; the share
+    * divides the ROUNDED components so both engines divide identical
+    * doubles.
+    */
+  val qMarketShare: Q = Q(
+    "q_market_share",
+    Some("""WITH rev AS (
+              SELECT year(o.o_orderdate) AS order_year,
+                     r.r_name,
+                     l.l_extendedprice * (1 - l.l_discount) AS v
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey),
+            yearly AS (
+              SELECT order_year,
+                     round(sum(CASE WHEN r_name = 'ASIA' THEN v ELSE 0 END) * 100) / 100 AS asia_rev,
+                     round(sum(v) * 100) / 100 AS total_rev
+              FROM rev GROUP BY order_year)
+            SELECT order_year, asia_rev, total_rev,
+                   round(asia_rev / total_rev * 1e6) / 1e6 AS asia_share
+            FROM yearly ORDER BY order_year"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val v = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(
+          (round(sum(when(col("r_name") === "ASIA", v).otherwise(lit(0))) * 100) / 100)
+            .as("asia_rev"),
+          (round(sum(v) * 100) / 100).as("total_rev"))
+        .select(
+          col("order_year"), col("asia_rev"), col("total_rev"),
+          (round(col("asia_rev") / col("total_rev") * 1e6) / 1e6).as("asia_share"))
+        .orderBy(col("order_year"))
+    })
+
+  /** Top supplier (TPC-H Q15 shape): revenue per supplier over one
+    * quarter, then the supplier(s) hitting the scalar max. The revenue
+    * view aggregates the filtered fact scan once (filter pushed to the
+    * scan); the max is a broadcast scalar joined back — no second fact
+    * pass, no correlated re-execution. Equality compares the ROUNDED
+    * revenue in both engines.
+    */
+  val qTopSupplier: Q = Q(
+    "q_top_supplier",
+    Some("""WITH rev AS (
+              SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, rev.total_rev
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+            ORDER BY s.s_suppkey"""),
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg((round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100) / 100)
+          .as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      rev.join(broadcast(mx), col("total_rev") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
+    })
+
+  /** Relative-rank battery: percent_rank and cume_dist of each order's
+    * price within its customer — the two rank-normalizing window
+    * functions not covered by q_lead_lag/q_frame_funcs. Partitioned on
+    * the high-cardinality customer key with a deterministic
+    * (price, orderkey) order; both are exact small rationals, rounded
+    * identically.
+    */
+  val qRankBattery: Q = Q(
+    "q_rank_battery",
+    Some("""SELECT o_orderkey, o_custkey,
+                   round(percent_rank() OVER w * 1e6) / 1e6 AS pr,
+                   round(cume_dist() OVER w * 1e6) / 1e6 AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          (round(percent_rank().over(w) * 1e6) / 1e6).as("pr"),
+          (round(cume_dist().over(w) * 1e6) / 1e6).as("cd"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  override def queries: Seq[Q] = Seq(
+    qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
+    qGapsIslands, qMarketShare, qTopSupplier, qRankBattery)
+}

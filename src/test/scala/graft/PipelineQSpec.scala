@@ -1,0 +1,168 @@
+package graft
+
+import graft.queries.PipelineQ
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan-shape checks for the round-5 pipeline pack, against
+  * brute-force recomputations at sf0.001 (the DuckDB hash gate covers
+  * sf0.01; these pin the semantics independently of the oracle SQL).
+  */
+class PipelineQSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: Q): String =
+    q.run(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_repetition matches a direct per-doc recomputation") {
+    val out = PipelineQ.qRepetition.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    for ((docId, row) <- out.take(25)) {
+      val words = texts(docId).split(" ").filter(_.nonEmpty)
+      val grams = words.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      assert(row.getLong(1) == words.length.toLong, s"doc $docId n_words")
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      assert(row.getDouble(2) == r6(1.0 - words.distinct.length.toDouble / words.length),
+        s"doc $docId dup_word_frac")
+      assert(row.getDouble(3) ==
+        r6(words.groupBy(identity).values.map(_.length).max.toDouble / words.length),
+        s"doc $docId top_word_frac")
+      assert(row.getDouble(4) == r6(1.0 - grams.distinct.length.toDouble / grams.length),
+        s"doc $docId dup_3gram_frac")
+    }
+    // every ≥3-word doc is present
+    assert(out.size == texts.count(_._2.split(" ").count(_.nonEmpty) >= 3))
+  }
+
+  test("q_dsir_weights: en docs dominate the top of the ranking") {
+    val out = PipelineQ.qDsirWeights.run(spark, dir).collect()
+    assert(out.length == 50)
+    // scores are a descending ranking and the target slice scores higher
+    // on average than non-target docs (the whole point of the weights)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val enShare = out.count(_.getString(1) == "en").toDouble / out.length
+    val corpusEnShare = {
+      val langs = Tables.load(spark, dir, "documents").select("lang").collect().map(_.getString(0))
+      langs.count(_ == "en").toDouble / langs.length
+    }
+    assert(enShare > corpusEnShare, s"top-50 en share $enShare <= corpus share $corpusEnShare")
+  }
+
+  test("q_semdedup: per-label accounting is consistent and victims exist") {
+    val out = PipelineQ.qSemDedup.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (n, d, k) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d + k == n, s"label ${r.getInt(0)}: dropped+kept != total")
+      assert(k >= 1, s"label ${r.getInt(0)}: keep-best must keep at least one")
+    }
+  }
+
+  test("q_simhash_band: all reported pairs within Hamming 3; Hamming-1 recall is total") {
+    val out = PipelineQ.qSimhashBand.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.values.forall(_ <= 3))
+    // brute-force simhashes, check the pigeonhole guarantee: with two
+    // 8-bit bands any pair at Hamming ≤ 1 shares an intact band and MUST
+    // be a candidate, hence reported
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .select(col("doc_id"), graft.text.TextFunctions.md5Hash32(col("w")).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.text.TextFunctions.simhashBitAggs(col("h")).head,
+        graft.text.TextFunctions.simhashBitAggs(col("h")).tail: _*)
+      .select(col("doc_id"), graft.text.TextFunctions.simhashFromBits().as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      ham = java.lang.Long.bitCount(sa ^ sb) if ham <= 1
+    } assert(out.get((a, b)).contains(ham.toLong), s"missed Hamming-$ham pair ($a,$b)")
+  }
+
+  test("q_interval_sweep matches a driver-side timeline scan") {
+    val out = PipelineQ.qIntervalSweep.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val iv = Tables.load(spark, dir, "events")
+      .groupBy("event_type", "user_id")
+      .agg(min("ts").as("s"), max("ts").as("e"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(2).getTime, r.getTimestamp(3).getTime))
+    val expected = iv.groupBy(_._1).map { case (tpe, ivs) =>
+      val deltas = ivs.flatMap(i => Seq((i._2, 1), (i._3, -1))).sortBy(d => (d._1, d._2))
+      tpe -> deltas.scanLeft(0)(_ + _._2).max.toLong
+    }
+    assert(out == expected)
+  }
+
+  test("q_gaps_islands matches per-customer run-length recomputation") {
+    val out = PipelineQ.qGapsIslands.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byCust = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("dt"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate.toEpochDay)
+      .groupBy(_._1)
+    for ((cust, rows) <- byCust.take(50)) {
+      val days = rows.map(_._2).sorted
+      val runLens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = 1L
+      for (i <- 1 until days.length) {
+        if (days(i) == days(i - 1) + 1) cur += 1
+        else { runLens += cur; cur = 1 }
+      }
+      runLens += cur
+      val (nDays, nIslands, maxRun) = out(cust)
+      assert(nDays == days.length.toLong, s"cust $cust n_order_days")
+      assert(nIslands == runLens.length.toLong, s"cust $cust n_islands")
+      assert(maxRun == runLens.max, s"cust $cust max_run")
+    }
+  }
+
+  test("q_market_share: shares in [0,1], components consistent") {
+    val out = PipelineQ.qMarketShare.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getDouble(1) <= r.getDouble(2) + 1e-9)
+      val share = r.getDouble(3)
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("q_top_supplier revenue equals the independently computed max") {
+    val out = PipelineQ.qTopSupplier.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    val mx = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg((round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100) / 100)
+        .as("rev"))
+      .agg(max("rev")).collect()(0).getDouble(0)
+    assert(out.forall(_.getDouble(2) == mx))
+  }
+
+  test("q_rank_battery: ranks normalized, cume_dist tops out at 1 per customer") {
+    val df = PipelineQ.qRankBattery.run(spark, dir)
+    val bad = df.filter(col("pr") < 0 || col("pr") > 1 || col("cd") <= 0 || col("cd") > 1).count()
+    assert(bad == 0)
+    val tops = df.groupBy("o_custkey").agg(max("cd").as("m")).filter(col("m") =!= 1.0).count()
+    assert(tops == 0)
+  }
+
+  test("plan guards: star broadcasts, banded joins never cartesian") {
+    val ms = plan(PipelineQ.qMarketShare)
+    assert("BroadcastHashJoin".r.findAllIn(ms).length >= 3, ms)
+    val sb = plan(PipelineQ.qSimhashBand)
+    assert(!sb.contains("CartesianProduct"), sb)
+    val sd = plan(PipelineQ.qSemDedup)
+    assert(!sd.contains("CartesianProduct"), sd)
+    val ds = plan(PipelineQ.qDsirWeights)
+    assert("BroadcastHashJoin".r.findAllIn(ds).length >= 2, ds)
+  }
+}
