@@ -72,7 +72,11 @@ object PipelineQ extends QueryPack {
             FROM ws JOIN gs ON ws.doc_id = gs.doc_id
             ORDER BY ws.doc_id"""),
     (s, dir) => {
+      // one tokenization feeds the unigram AND 3-gram branches (q_bm25's
+      // reuse pattern; the cached frame is token-array-sized — at cluster
+      // scale this is a reliable checkpoint, not executor-local blocks)
       val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
+        .localCheckpoint(true)
       val tf = toks
         .select(col("doc_id"), explode(col("t")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
@@ -124,10 +128,13 @@ object PipelineQ extends QueryPack {
             SELECT doc_id, lang, round(raw * 1e6) / 1e6 AS dsir_score
             FROM scored ORDER BY dsir_score DESC, doc_id LIMIT 50"""),
     (s, dir) => {
+      // (doc, term) counts feed the corpus table, the target table, and
+      // the scoring join — materialize once instead of tokenizing 3×
       val tf = docs(s, dir)
         .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
         .groupBy(col("doc_id"), col("w"))
         .agg(any_value(col("lang")).as("lang"), count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val allf = tf.groupBy(col("w")).agg(sum(col("c")).as("c_all"))
       val enf = tf.filter(col("lang") === "en")
         .groupBy(col("w")).agg(sum(col("c")).as("c_en"))
@@ -248,9 +255,12 @@ object PipelineQ extends QueryPack {
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         .select(col("doc_id"), md5Hash32(col("w")).as("h"))
       val aggs = simhashBitAggs(col("h"))
+      // the banded self-join reads the signature frame twice; signatures
+      // are one long per doc, so materializing once halves the pipeline
       val sh = h.groupBy(col("doc_id"))
         .agg(aggs.head, aggs.tail: _*)
         .select(col("doc_id"), simhashFromBits().as("simhash"))
+        .localCheckpoint(true)
       val bands = sh.select(
         col("doc_id"), col("simhash"),
         explode(array(
@@ -277,11 +287,21 @@ object PipelineQ extends QueryPack {
     * each (type, user) contributes one [first, last] interval, interval
     * ends release before starts at the same instant (half-open
     * semantics, encoded by the `delta` sort tiebreak), and the peak is
-    * the max running sum. The window input is two rows per (type, user)
-    * — endpoint cardinality — which is what makes this the scale-out
-    * alternative to a self-join interval overlap; ties share identical
-    * delta values, so the prefix-sum multiset (and hence the max) is
-    * order-independent within a tie block.
+    * the max running sum. Ties share identical delta values, so the
+    * prefix-sum multiset (and hence the max) is order-independent
+    * within a tie block.
+    *
+    * The sweep is SEGMENTED, not a single per-type window: event_type
+    * has ~5 values, so `PARTITION BY event_type ORDER BY t` alone would
+    * sort every endpoint on a handful of reducers (the q_percentile
+    * low-cardinality-window trap). Instead local prefix sums run inside
+    * (type, day) segments — high-cardinality keys — and a second window
+    * over the per-day aggregates (one row per (type, day)) carries the
+    * cumulative offset: peak = max over days of (carry-in + local max).
+    * The only low-cardinality-partitioned window touches day-count rows,
+    * not endpoint-count rows. The oracle spells the equivalent naive
+    * global sweep — the segmented decomposition is exact, not
+    * approximate.
     */
   val qIntervalSweep: Q = Q(
     "q_interval_sweep",
@@ -304,12 +324,20 @@ object PipelineQ extends QueryPack {
         .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
       val deltas = iv.select(col("event_type"), col("s").as("t"), lit(1).as("delta"))
         .unionAll(iv.select(col("event_type"), col("e").as("t"), lit(-1).as("delta")))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+        .withColumn("day", to_date(col("t")))
+      val wLocal = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("t"), col("delta"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      deltas
-        .withColumn("live", sum(col("delta")).over(w))
+      val perDay = deltas
+        .withColumn("local_run", sum(col("delta")).over(wLocal))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("delta")).as("day_sum"), max(col("local_run")).as("day_max"))
+      val wCarry = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perDay
+        .withColumn("carry", coalesce(sum(col("day_sum")).over(wCarry), lit(0L)))
         .groupBy(col("event_type"))
-        .agg(max(col("live")).cast("long").as("peak_concurrent"))
+        .agg(max(col("carry") + col("day_max")).cast("long").as("peak_concurrent"))
         .orderBy(col("event_type"))
     })
 
