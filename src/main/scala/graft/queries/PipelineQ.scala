@@ -479,7 +479,52 @@ object PipelineQ extends QueryPack {
         .orderBy(col("o_orderkey"))
     })
 
+  /** Within-corpus duplicate-span profile (the exact-substring dedup
+    * measurement of Lee et al. 2022): per document, the fraction of its
+    * word-8-gram positions whose shingle also occurs in at least one
+    * OTHER document — the spans such a dedup pass would cut. One
+    * shingling feeds both the per-shingle doc-count table and the
+    * position join; both aggregate/join on the shingle key, so the
+    * groupBy's hash partitioning is reused by the join (one shuffle of
+    * the big frame, no pairwise doc×doc work).
+    */
+  val qDupSpans: Q = Q(
+    "q_dup_spans",
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+                          FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]) AS shingle
+                   FROM toks WHERE len(t) >= 8),
+            dc AS (SELECT shingle, count(DISTINCT doc_id) AS nd FROM sh GROUP BY shingle)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                   round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1e6 / count(*)) / 1e6 AS shared_frac
+            FROM sh JOIN dc USING (shingle)
+            GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))"))
+            .as("shingle"))
+        .localCheckpoint(true) // doc-count side + position side share one shingling
+      val dc = sh.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      sh.join(dc, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_grams"),
+          sum(when(col("nd") >= 2, 1).otherwise(0)).cast("long").as("n_shared"))
+        .select(
+          col("doc_id"), col("n_grams"), col("n_shared"),
+          (round(col("n_shared") * 1e6 / col("n_grams")) / 1e6).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
-    qGapsIslands, qMarketShare, qTopSupplier, qRankBattery)
+    qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans)
 }

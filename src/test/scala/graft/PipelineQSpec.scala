@@ -155,6 +155,26 @@ class PipelineQSpec extends SparkSpec {
     assert(tops == 0)
   }
 
+  test("q_dup_spans matches a driver-side shingle recount") {
+    val out = PipelineQ.qDupSpans.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toArray)
+      .filter(_._2.length >= 8)
+    val docShingles = texts.map { case (id, t) =>
+      id -> t.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toArray
+    }
+    val docsPerShingle = docShingles.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (sh, xs) => sh -> xs.length }
+    assert(out.keySet == docShingles.map(_._1).toSet)
+    for ((id, ss) <- docShingles.take(40)) {
+      val (nGrams, nShared) = out(id)
+      assert(nGrams == ss.length.toLong, s"doc $id n_grams")
+      assert(nShared == ss.count(docsPerShingle(_) >= 2).toLong, s"doc $id n_shared")
+    }
+  }
+
   test("plan guards: star broadcasts, banded joins never cartesian") {
     val ms = plan(PipelineQ.qMarketShare)
     assert("BroadcastHashJoin".r.findAllIn(ms).length >= 3, ms)
