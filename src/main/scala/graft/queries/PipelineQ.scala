@@ -524,7 +524,36 @@ object PipelineQ extends QueryPack {
         .orderBy(col("doc_id"))
     })
 
+  /** Recursive-CTE hierarchy walk (`WITH RECURSIVE` → Spark's
+    * `UnionLoopExec`, new in Spark 4.x): every nation climbs a derived
+    * parent chain (parent = key − 5, the synthetic region cycle) to its
+    * root; outputs root key and chain length. The recursion has bounded
+    * depth (≤ key/5) and monotonically decreasing keys — the acyclic,
+    * bounded-fan-out shape recursive CTEs are for; unbounded path
+    * enumeration stays with the iterative checkpointed loop
+    * (q_lsh_clusters). Both engines run the IDENTICAL SQL text.
+    */
+  val qRecursiveWalk: Q = {
+    val sql =
+      """WITH RECURSIVE walk(nkey, cur, depth) AS (
+        |  SELECT n_nationkey, n_nationkey, 0 FROM nation
+        |  UNION ALL
+        |  SELECT nkey, cur - 5, depth + 1 FROM walk WHERE cur - 5 >= 0)
+        |SELECT CAST(nkey AS BIGINT) AS n_nationkey,
+        |       CAST(min(cur) AS BIGINT) AS root_key,
+        |       CAST(max(depth) AS BIGINT) AS chain_len
+        |FROM walk GROUP BY nkey ORDER BY nkey""".stripMargin
+    Q(
+      "q_recursive_walk",
+      Some(sql),
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql(sql)
+      })
+  }
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
-    qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans)
+    qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
+    qRecursiveWalk)
 }

@@ -175,6 +175,19 @@ class PipelineQSpec extends SparkSpec {
     }
   }
 
+  test("q_recursive_walk: closed-form chain arithmetic, UnionLoop in the plan") {
+    val df = PipelineQ.qRecursiveWalk.run(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val k = r.getLong(0)
+      assert(r.getLong(1) == k % 5, s"nation $k root")
+      assert(r.getLong(2) == k / 5, s"nation $k chain length")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop"), p)
+  }
+
   test("plan guards: star broadcasts, banded joins never cartesian") {
     val ms = plan(PipelineQ.qMarketShare)
     assert("BroadcastHashJoin".r.findAllIn(ms).length >= 3, ms)
