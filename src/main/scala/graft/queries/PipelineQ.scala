@@ -552,8 +552,46 @@ object PipelineQ extends QueryPack {
       })
   }
 
+  /** First-order Markov transition matrix over per-user event sequences
+    * (the sequential-pattern complement of q_funnel's fixed-order scan):
+    * consecutive event-type pairs via lead() on the high-cardinality
+    * user partition, then pair counts and row-normalized transition
+    * probabilities. The per-state totals frame is state-cardinality →
+    * broadcast; probabilities divide integer counts, so both engines
+    * divide identical values.
+    */
+  val qMarkovTransitions: Q = Q(
+    "q_markov_transitions",
+    Some("""WITH seq AS (
+              SELECT user_id, event_type AS cur,
+                     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+              FROM events),
+            pairs AS (SELECT cur, nxt, count(*) AS c FROM seq
+                      WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+            tot AS (SELECT cur, sum(c) AS tc FROM pairs GROUP BY cur)
+            SELECT cur AS cur_type, nxt AS next_type,
+                   CAST(c AS BIGINT) AS n_trans,
+                   round(c * 1e6 / tc) / 1e6 AS p_next
+            FROM pairs JOIN tot USING (cur)
+            ORDER BY cur_type, next_type"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("c"))
+      val tot = pairs.groupBy(col("cur")).agg(sum(col("c")).as("tc"))
+      pairs.join(broadcast(tot), Seq("cur"))
+        .select(
+          col("cur").as("cur_type"), col("nxt").as("next_type"),
+          col("c").cast("long").as("n_trans"),
+          (round(col("c") * 1e6 / col("tc")) / 1e6).as("p_next"))
+        .orderBy(col("cur_type"), col("next_type"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
-    qRecursiveWalk)
+    qRecursiveWalk, qMarkovTransitions)
 }

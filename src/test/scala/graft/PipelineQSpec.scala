@@ -188,6 +188,20 @@ class PipelineQSpec extends SparkSpec {
     assert(p.contains("UnionLoop"), p)
   }
 
+  test("q_markov_transitions: rows are a proper stochastic matrix") {
+    val rows = PipelineQ.qMarkovTransitions.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCur = rows.groupBy(_.getString(0))
+    for ((cur, rs) <- byCur) {
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-3, s"$cur transition probs sum to $pSum")
+    }
+    // transition counts conserve: total transitions = total events - users
+    val ev = Tables.load(spark, dir, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
   test("plan guards: star broadcasts, banded joins never cartesian") {
     val ms = plan(PipelineQ.qMarketShare)
     assert("BroadcastHashJoin".r.findAllIn(ms).length >= 3, ms)
