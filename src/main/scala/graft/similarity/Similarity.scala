@@ -76,40 +76,50 @@ object Similarity {
     * Deterministic: initial centroids are the first k vectors by id, and
     * iteration count is fixed.
     */
-  def ivfTopK(
-      corpus: DataFrame,  // (vec_id, embedding)
-      queries: DataFrame, // (q_id, q_emb)
-      k: Int,
-      nCells: Int = 16,
-      nProbe: Int = 4,
-      kmeansIters: Int = 3): DataFrame = {
+  /** Nearest-centroid assignment: argmin over squared distance ≡ argmax
+    * over (dot − ||c||²/2); centroid literals inline into codegen.
+    */
+  private def nearestCell(emb: Column, cents: Array[(Int, Array[Float])]): Column = {
+    val dotF = graft.functions.VectorFunctions.vecDot _
+    val scored = cents.map { case (cid, c) =>
+      val cLit = typedLit(c.toSeq)
+      val sqNorm = c.map(x => x.toDouble * x.toDouble).sum
+      struct((dotF(emb, cLit) - lit(sqNorm / 2)).as("score"), lit(cid).as("cid"))
+    }
+    greatest(scored.toSeq: _*).getField("cid")
+  }
+
+  /** The per-query probe list: each query's nProbe nearest centroids. */
+  private def probedCells(
+      queries: DataFrame, centroids: Array[(Int, Array[Float])], nProbe: Int): DataFrame = {
+    val dotF = graft.functions.VectorFunctions.vecDot _
+    queries.withColumn(
+      "cells",
+      array(centroids.sortBy(_._1).map { case (cid, c) =>
+        val cLit = typedLit(c.toSeq)
+        val sqNorm = c.map(x => x.toDouble * x.toDouble).sum
+        struct((dotF(col("q_emb"), cLit) - lit(sqNorm / 2)).as("score"), lit(cid).as("cid"))
+      }: _*))
+      .withColumn("probed", slice(sort_array(col("cells"), asc = false), 1, nProbe))
+      .select(col("q_id"), col("q_emb"), explode(col("probed.cid")).as("cell"))
+  }
+
+  /** Deterministic distributed k-means (seeds = the nCells lowest
+    * vec_ids, fixed iteration count; typed [[CentroidAggregator]] does
+    * the per-cell mean). The corpus frame should be cached by the caller
+    * when iters > 0 — the loop rescans it once per iteration.
+    */
+  def trainCentroids(
+      corpus: DataFrame, nCells: Int, iters: Int): Array[(Int, Array[Float])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dotF = graft.functions.VectorFunctions.vecDot _
-
-    // the iterative build rescans the corpus (kmeansIters + 1) times —
-    // cache the working set like any iterative ML job
-    val cached = corpus.cache()
-
-    // deterministic seeds: the nCells lowest vec_ids
-    var centroids: Array[(Int, Array[Float])] = cached
+    var centroids: Array[(Int, Array[Float])] = corpus
       .orderBy(col("vec_id")).limit(nCells)
       .select(col("embedding")).as[Array[Float]].collect()
       .zipWithIndex.map { case (v, i) => (i, v) }
-
-    def nearestCell(emb: Column, cents: Array[(Int, Array[Float])]): Column = {
-      // argmin over squared distance ≡ argmax over (dot - ||c||²/2)
-      val scored = cents.map { case (cid, c) =>
-        val cLit = typedLit(c.toSeq)
-        val sqNorm = c.map(x => x.toDouble * x.toDouble).sum
-        struct((dotF(emb, cLit) - lit(sqNorm / 2)).as("score"), lit(cid).as("cid"))
-      }
-      greatest(scored.toSeq: _*).getField("cid")
-    }
-
     var iter = 0
-    while (iter < kmeansIters) {
-      val assigned = cached.withColumn("cell", nearestCell(col("embedding"), centroids))
+    while (iter < iters) {
+      val assigned = corpus.withColumn("cell", nearestCell(col("embedding"), centroids))
       val centroidUdaf = udaf(
         CentroidAggregator,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
@@ -122,19 +132,72 @@ object Similarity {
       centroids = centroids.map { case (cid, c) => (cid, byId.getOrElse(cid, c)) }
       iter += 1
     }
+    centroids
+  }
 
+  def ivfTopK(
+      corpus: DataFrame,  // (vec_id, embedding)
+      queries: DataFrame, // (q_id, q_emb)
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      kmeansIters: Int = 3): DataFrame = {
+    // the iterative build rescans the corpus (kmeansIters + 1) times —
+    // cache the working set like any iterative ML job
+    val cached = corpus.cache()
+    val centroids = trainCentroids(cached, nCells, kmeansIters)
     val cells = cached.withColumn("cell", nearestCell(col("embedding"), centroids))
-    // each query probes its nProbe nearest cells
-    val qCells = queries.withColumn(
-      "cells",
-      array(centroids.sortBy(_._1).map { case (cid, c) =>
-        val cLit = typedLit(c.toSeq)
-        val sqNorm = c.map(x => x.toDouble * x.toDouble).sum
-        struct((dotF(col("q_emb"), cLit) - lit(sqNorm / 2)).as("score"), lit(cid).as("cid"))
-      }: _*))
-      .withColumn("probed", slice(sort_array(col("cells"), asc = false), 1, nProbe))
-      .select(col("q_id"), col("q_emb"), explode(col("probed.cid")).as("cell"))
+    val qCells = probedCells(queries, centroids, nProbe)
+    val scored = cells
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn(
+        "cos",
+        round(graft.functions.VectorFunctions.vecCosine(col("q_emb"), col("embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+  }
 
+  /** Persist an IVF index: `<path>/centroids` (cid, centroid) plus the
+    * corpus written cell-PARTITIONED under `<path>/cells` — each cell
+    * directory is an inverted-file posting list. Build once, probe many:
+    * the serving path never re-trains and reads only probed cells.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, path: String, nCells: Int = 16, kmeansIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cached = corpus.cache()
+    val centroids = trainCentroids(cached, nCells, kmeansIters)
+    centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cached.withColumn("cell", nearestCell(col("embedding"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    cached.unpersist(blocking = false)
+  }
+
+  /** Probe a persisted IVF index. The probe joins the cell-partitioned
+    * corpus on `cell` against the broadcast per-query probe list, so
+    * dynamic partition pruning restricts the scan to probed cell
+    * directories — the disk analogue of "touch nProbe/nCells of the
+    * data", with no driver-side cell bookkeeping.
+    */
+  def probeIvfIndex(
+      path: String,
+      queries: DataFrame, // (q_id, q_emb)
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("centroid").cast("array<float>"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    val cells = spark.read.parquet(s"$path/cells")
+    val qCells = probedCells(queries, centroids, nProbe)
     val scored = cells
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -38,4 +38,16 @@ class SimilaritySpec extends SparkSpec {
     val shared = brute.keySet & lsh.keySet
     shared.foreach(k => assert(brute(k) === lsh(k), k))
   }
+
+  test("persisted IVF index: probe equals the inline build; scan prunes to probed cells") {
+    val path = s"/tmp/graft-ivf-index-${System.nanoTime()}"
+    Similarity.writeIvfIndex(e, path, nCells = 8, kmeansIters = 3)
+    val probed = Similarity.probeIvfIndex(path, queries, k = 5, nProbe = 3)
+    val inline = Similarity.ivfTopK(e, queries, k = 5, nCells = 8, nProbe = 3, kmeansIters = 3)
+    assert(resultSet(probed) === resultSet(inline))
+    // the probe join on the partition column must prune cell directories
+    // at runtime (dynamic partition pruning), not scan all cells
+    val p = probed.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("PartitionFilters: [dynamicpruning"), p)
+  }
 }
