@@ -590,8 +590,50 @@ object PipelineQ extends QueryPack {
         .orderBy(col("cur_type"), col("next_type"))
     })
 
+  /** Banded range join — the equi-join scale path for interval joins.
+    * q_range_join's broadcast nested-loop is right when the interval
+    * table is tiny; when BOTH sides are large the scalable plan expands
+    * each interval to the coarse buckets it overlaps (bounded by
+    * interval width / bucket width), equi-joins on the bucket key, and
+    * refines with the exact predicate. Here the plan is a
+    * BroadcastHashJoin on `bucket` — a hash join, never a nested loop —
+    * and the oracle spells the naive non-equi join, proving the
+    * decomposition exact.
+    */
+  val qBandedRange: Q = {
+    val bands = Seq((0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0), (3, 30.0, 40.0), (4, 40.0, 55.0))
+    val W = 5.0
+    Q(
+      "q_banded_range", {
+        val values = bands.map { case (b, lo, hi) => s"($b, $lo, $hi)" }.mkString(", ")
+        Some(s"""SELECT b.band_id, CAST(count(*) AS BIGINT) AS n,
+                        round(sum(l.l_extendedprice) * 100) / 100 AS band_revenue
+                 FROM lineitem l
+                 JOIN (VALUES $values) AS b(band_id, lo, hi)
+                   ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+                 GROUP BY b.band_id ORDER BY b.band_id""")
+      },
+      (s, dir) => {
+        val b = s.createDataFrame(bands).toDF("band_id", "lo", "hi")
+          .withColumn(
+            "bucket",
+            explode(sequence(
+              floor(col("lo") / W).cast("long"),
+              floor((col("hi") - lit(1e-9)) / W).cast("long"))))
+        val l = t(s, dir, "lineitem")
+          .withColumn("bucket", floor(col("l_quantity") / W).cast("long"))
+        l.join(broadcast(b), Seq("bucket"))
+          .filter(col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+          .groupBy(col("band_id"))
+          .agg(
+            count(lit(1)).as("n"),
+            (round(sum(col("l_extendedprice")) * 100) / 100).as("band_revenue"))
+          .orderBy(col("band_id"))
+      })
+  }
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
-    qRecursiveWalk, qMarkovTransitions)
+    qRecursiveWalk, qMarkovTransitions, qBandedRange)
 }

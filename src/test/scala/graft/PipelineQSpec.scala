@@ -212,4 +212,22 @@ class PipelineQSpec extends SparkSpec {
     val ds = plan(PipelineQ.qDsirWeights)
     assert("BroadcastHashJoin".r.findAllIn(ds).length >= 2, ds)
   }
+
+  test("q_banded_range: equi hash join on buckets, matches the naive non-equi join") {
+    val p = plan(PipelineQ.qBandedRange)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // semantics equal the direct non-equi broadcast join
+    val got = PipelineQ.qBandedRange.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val bands = Seq((0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0), (3, 30.0, 40.0), (4, 40.0, 55.0))
+    val b = spark.createDataFrame(bands).toDF("band_id", "lo", "hi")
+    val l = Tables.load(spark, dir, "lineitem")
+    val naive = l.join(broadcast(b), l("l_quantity") >= b("lo") && l("l_quantity") < b("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"), (round(sum(col("l_extendedprice")) * 100) / 100).as("rev"))
+      .orderBy(col("band_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == naive.toSeq)
+  }
 }
