@@ -632,8 +632,61 @@ object PipelineQ extends QueryPack {
       })
   }
 
+  /** SCD2-style state-run collapsing: each user's event stream becomes
+    * its run-length-encoded state history — one row per maximal run of
+    * the same event_type, with validity bounds (the change-detection →
+    * slowly-changing-dimension build). Change flags come from lag() on
+    * the high-cardinality user partition; the run id is the running sum
+    * of change flags; runs collapse in one hash aggregation.
+    */
+  val qStateRuns: Q = Q(
+    "q_state_runs",
+    Some("""WITH seq AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                               OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            runs AS (
+              SELECT user_id, ts, event_type,
+                     sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run_idx
+              FROM seq)
+            SELECT user_id, CAST(run_idx AS BIGINT) AS run_idx,
+                   any_value(event_type) AS state,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS valid_from, max(ts) AS valid_to
+            FROM runs GROUP BY user_id, run_idx
+            ORDER BY user_id, run_idx"""),
+    (s, dir) => {
+      val wLag = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val seq = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn(
+          "chg",
+          when(lag(col("event_type"), 1).over(wLag).isNull ||
+            lag(col("event_type"), 1).over(wLag) =!= col("event_type"), 1).otherwise(0))
+      // both windows order by the UNIQUE (ts, event_id) key, so change
+      // flags and their running sum see the same total order and every
+      // run group is single-typed even under same-timestamp ties
+      val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      seq
+        .withColumn("run_idx", sum(col("chg")).over(wRun))
+        .groupBy(col("user_id"), col("run_idx"))
+        .agg(
+          any_value(col("event_type")).as("state"),
+          count(lit(1)).cast("long").as("n_events"),
+          min(col("ts")).as("valid_from"),
+          max(col("ts")).as("valid_to"))
+        .select(col("user_id"), col("run_idx").cast("long").as("run_idx"),
+          col("state"), col("n_events"), col("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("run_idx"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
-    qRecursiveWalk, qMarkovTransitions, qBandedRange)
+    qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns)
 }

@@ -213,6 +213,23 @@ class PipelineQSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(ds).length >= 2, ds)
   }
 
+  test("q_state_runs: runs are maximal, contiguous, and conserve events") {
+    val rows = PipelineQ.qStateRuns.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    for ((u, rs) <- byUser) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"user $u run_idx gap")
+      // maximality: adjacent runs never share a state
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 != b._3, s"user $u adjacent runs same state")
+        case _ =>
+      }
+    }
+    assert(rows.map(_._4).sum == Tables.load(spark, dir, "events").count())
+  }
+
   test("q_banded_range: equi hash join on buckets, matches the naive non-equi join") {
     val p = plan(PipelineQ.qBandedRange)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
