@@ -685,8 +685,29 @@ object PipelineQ extends QueryPack {
         .orderBy(col("user_id"), col("run_idx"))
     })
 
+  /** Per-key top-k via the bounded-heap [[graft.operators.TopKAggregator]]
+    * instead of a `row_number()` window: map-side partial buffers never
+    * exceed k entries, so the shuffle moves k rows per (mapper, key)
+    * where the window plan sorts whole key-partitions. The oracle IS the
+    * window formulation — proving the aggregator picks exactly the rows
+    * `row_number() ≤ k` keeps, ties and all.
+    */
+  val qTopkPerKey: Q = Q(
+    "q_topk_per_key",
+    Some("""SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                  FROM orders)
+            WHERE rank <= 3 ORDER BY o_custkey, rank"""),
+    (s, dir) =>
+      graft.operators.TopKPerKey(
+        t(s, dir, "orders"), "o_custkey", "o_totalprice", "o_orderkey", k = 3)
+        .orderBy(col("o_custkey"), col("rank")))
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
-    qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns)
+    qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
+    qTopkPerKey)
 }

@@ -230,6 +230,34 @@ class PipelineQSpec extends SparkSpec {
     assert(rows.map(_._4).sum == Tables.load(spark, dir, "events").count())
   }
 
+  test("TopKAggregator: bounded buffer, order-insensitive, equals the window plan") {
+    val agg = new graft.operators.TopKAggregator(3)
+    // unit-level: any insertion order and any merge split yield the same top-3
+    val entries = Seq((5.0, 2L), (5.0, 1L), (3.0, 7L), (9.0, 4L), (1.0, 9L), (9.0, 5L))
+    val expected = Seq((9.0, 4L), (9.0, 5L), (5.0, 1L))
+    for (perm <- entries.permutations.take(40)) {
+      val whole = perm.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(whole) == expected, s"perm $perm")
+      val (l, r) = perm.splitAt(perm.length / 2)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == expected, s"split-merge $perm")
+      assert(merged.entries.length <= 3)
+    }
+    // query-level: exact row set of the row_number window, no Window in the plan
+    val df = queries.PipelineQ.qTopkPerKey.run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = Tables.load(spark, dir, "orders")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank").cast("long"), col("o_orderkey"))
+      .orderBy(col("o_custkey"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == win)
+  }
+
   test("q_banded_range: equi hash join on buckets, matches the naive non-equi join") {
     val p = plan(PipelineQ.qBandedRange)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
