@@ -705,9 +705,58 @@ object PipelineQ extends QueryPack {
         t(s, dir, "orders"), "o_custkey", "o_totalprice", "o_orderkey", k = 3)
         .orderBy(col("o_custkey"), col("rank")))
 
+  /** Weighted quantiles (price-weighted quantity p25/median/p75 per
+    * flag) — the mixture-sampling primitive. Weights become integer
+    * cents, so every cumulative comparison is exact integer arithmetic
+    * in both engines (`m·cum ≥ f·total`, no FP threshold flips). The
+    * group state is the per-DISTINCT-VALUE weight list (l_quantity has a
+    * ~50-value domain), folded without any window; for unbounded value
+    * domains the q_percentile_exact bucket pass is the scale path.
+    */
+  val qWeightedMedian: Q = Q(
+    "q_weighted_median",
+    Some("""WITH s AS (SELECT l_returnflag, l_quantity AS v,
+                              CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+                       FROM lineitem),
+            g AS (SELECT l_returnflag, v, sum(w) AS wv FROM s GROUP BY l_returnflag, v),
+            o AS (SELECT l_returnflag, v,
+                         sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING) AS cw,
+                         sum(wv) OVER (PARTITION BY l_returnflag) AS tw
+                  FROM g)
+            SELECT l_returnflag,
+                   min(CASE WHEN 4 * cw >= tw THEN v END) AS wp25,
+                   min(CASE WHEN 2 * cw >= tw THEN v END) AS wmedian,
+                   min(CASE WHEN 4 * cw >= 3 * tw THEN v END) AS wp75
+            FROM o GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) => {
+      val g = t(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"), col("l_quantity").as("v"),
+          round(col("l_extendedprice") * 100).cast("long").as("w"))
+        .groupBy(col("l_returnflag"), col("v")).agg(sum(col("w")).as("wv"))
+      val g2 = g.groupBy(col("l_returnflag"))
+        .agg(
+          sort_array(collect_list(struct(col("v"), col("wv")))).as("vs"),
+          sum(col("wv")).as("tw"))
+      // first v whose scaled cumulative weight crosses the threshold:
+      // m·cum ≥ f·tw picks quantile f/m with pure integer comparisons
+      def pick(m: Int, f: Int) = expr(
+        s"""aggregate(vs,
+              named_struct('c', 0L, 'pick', CAST(NULL AS DOUBLE)),
+              (acc, x) -> IF(acc.pick IS NOT NULL, acc,
+                named_struct('c', acc.c + x.wv,
+                  'pick', IF($m * (acc.c + x.wv) >= $f * tw, x.v, CAST(NULL AS DOUBLE)))),
+              acc -> acc.pick)""")
+      g2.select(
+        col("l_returnflag"),
+        pick(4, 1).as("wp25"), pick(2, 1).as("wmedian"), pick(4, 3).as("wp75"))
+        .orderBy(col("l_returnflag"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
-    qTopkPerKey)
+    qTopkPerKey, qWeightedMedian)
 }

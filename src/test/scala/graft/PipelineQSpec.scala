@@ -258,6 +258,27 @@ class PipelineQSpec extends SparkSpec {
     assert(got == win)
   }
 
+  test("q_weighted_median matches a driver-side weighted-cumulative scan; no Window") {
+    val df = PipelineQ.qWeightedMedian.run(spark, dir)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    val out = df.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val rows = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), math.round(r.getDouble(2) * 100)))
+    for ((flag, rs) <- rows.groupBy(_._1)) {
+      val byV = rs.groupBy(_._2).map { case (v, xs) => v -> xs.map(_._3).sum }.toSeq.sortBy(_._1)
+      val tw = byV.map(_._2).sum
+      def q(m: Long, f: Long): Double = {
+        var c = 0L
+        byV.find { case (_, wv) => c += wv; m * c >= f * tw }.get._1
+      }
+      val (p25, med, p75) = out(flag)
+      assert(p25 == q(4, 1), s"$flag wp25"); assert(med == q(2, 1), s"$flag wmedian")
+      assert(p75 == q(4, 3), s"$flag wp75")
+    }
+  }
+
   test("q_banded_range: equi hash join on buckets, matches the naive non-equi join") {
     val p = plan(PipelineQ.qBandedRange)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
