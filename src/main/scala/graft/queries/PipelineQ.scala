@@ -754,9 +754,88 @@ object PipelineQ extends QueryPack {
         .orderBy(col("l_returnflag"))
     })
 
+  /** Self-trained bigram LM scoring — the perplexity-proxy quality
+    * filter (CCNet-style) with no external model: per-doc mean log-prob
+    * of its word bigrams under the corpus's own add-1-smoothed MLE,
+    * ln((c_xy + 1) / (c_x + V)). The LM "training" is two
+    * vocabulary-sized count tables (broadcast); scoring is one
+    * (doc, bigram) aggregation over a single corpus bigram pass.
+    * Low scores flag machine-generated/shuffled text whose bigrams
+    * never co-occur elsewhere.
+    */
+  val qBigramLm: Q = Q(
+    "q_bigram_lm",
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+                          FROM documents),
+            big AS (SELECT doc_id,
+                           unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS xy,
+                           unnest([t[i] FOR i IN range(1, len(t))]) AS x
+                    FROM toks WHERE len(t) >= 2),
+            dbig AS (SELECT doc_id, xy, x, count(*) AS c FROM big GROUP BY doc_id, xy, x),
+            cxy AS (SELECT xy, sum(c) AS c_xy FROM dbig GROUP BY xy),
+            cx AS (SELECT x, sum(c) AS c_x FROM dbig GROUP BY x),
+            v AS (SELECT count(DISTINCT x) AS vocab FROM dbig)
+            SELECT doc_id,
+                   round(sum(c * ln((c_xy + 1.0) / (c_x + vocab))) / sum(c) * 1e6) / 1e6
+                     AS mean_logprob
+            FROM dbig JOIN cxy USING (xy) JOIN cx USING (x) CROSS JOIN v
+            GROUP BY doc_id ORDER BY doc_id"""),
+    (s, dir) => {
+      // one bigram pass; both count tables and the scoring join reuse it
+      val dbig = docs(s, dir)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+                        (a, b) -> named_struct('xy', concat(a, ' ', b), 'x', a))""")).as("p"))
+        .select(col("doc_id"), col("p.xy").as("xy"), col("p.x").as("x"))
+        .groupBy(col("doc_id"), col("xy"), col("x")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val cxy = dbig.groupBy(col("xy")).agg(sum(col("c")).as("c_xy"))
+      val cx = dbig.groupBy(col("x")).agg(sum(col("c")).as("c_x"))
+      val v = dbig.agg(countDistinct(col("x")).as("vocab"))
+      dbig.join(broadcast(cxy), Seq("xy"))
+        .join(broadcast(cx), Seq("x"))
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg((round(
+          sum(col("c") * log((col("c_xy") + 1.0) / (col("c_x") + col("vocab"))))
+            / sum(col("c")) * 1e6) / 1e6).as("mean_logprob"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Null-safe equality join (`<=>` ≙ IS NOT DISTINCT FROM): priority
+    * codes with the urgent class nulled out on both sides still pair up
+    * null-to-null — the semantics plain `=` silently drops. The join
+    * stays a hash join (null-safe equality is still an equi-key).
+    */
+  val qNullSafeJoin: Q = Q(
+    "q_null_safe_join",
+    Some("""WITH l AS (SELECT nullif(o_orderpriority, '1-URGENT') AS pk,
+                              count(*) AS n_orders
+                       FROM orders GROUP BY nullif(o_orderpriority, '1-URGENT')),
+            r AS (SELECT nullif(o_orderpriority, '1-URGENT') AS pk,
+                         round(sum(o_totalprice) * 100) / 100 AS revenue
+                  FROM orders GROUP BY nullif(o_orderpriority, '1-URGENT'))
+            SELECT l.pk AS priority, l.n_orders, r.revenue
+            FROM l JOIN r ON l.pk IS NOT DISTINCT FROM r.pk
+            ORDER BY priority NULLS FIRST"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = o.groupBy(nullif(col("o_orderpriority"), lit("1-URGENT")).as("pk"))
+        .agg(count(lit(1)).as("n_orders"))
+      val r = o.groupBy(nullif(col("o_orderpriority"), lit("1-URGENT")).as("pk2"))
+        .agg((round(sum(col("o_totalprice")) * 100) / 100).as("revenue"))
+      l.join(r, col("pk") <=> col("pk2"))
+        .select(col("pk").as("priority"), col("n_orders"), col("revenue"))
+        .orderBy(col("priority").asc_nulls_first)
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
-    qTopkPerKey, qWeightedMedian)
+    qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin)
 }

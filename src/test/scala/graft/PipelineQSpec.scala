@@ -279,6 +279,36 @@ class PipelineQSpec extends SparkSpec {
     }
   }
 
+  test("q_bigram_lm matches a driver-side add-1 MLE recomputation") {
+    val out = PipelineQ.qBigramLm.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val toks = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toArray)
+      .filter(_._2.length >= 2)
+    val bigs = toks.map { case (id, t) => id -> t.sliding(2).filter(_.length == 2).toArray }
+    val cxy = bigs.flatMap(_._2).groupBy(p => (p(0), p(1))).map { case (k, v) => k -> v.length }
+    val cx = bigs.flatMap(_._2.map(_(0))).groupBy(identity).map { case (k, v) => k -> v.length }
+    val vocab = cx.size
+    assert(out.keySet == bigs.map(_._1).toSet)
+    for ((id, bs) <- bigs.take(25)) {
+      val expected = bs.map(p =>
+        math.log((cxy((p(0), p(1))) + 1.0) / (cx(p(0)) + vocab))).sum / bs.length
+      assert(out(id) == math.round(expected * 1e6) / 1e6, s"doc $id")
+    }
+  }
+
+  test("q_null_safe_join: the nulled key still pairs; plan stays a hash join") {
+    val df = PipelineQ.qNullSafeJoin.run(spark, dir)
+    val rows = df.collect()
+    // 4 surviving priorities + the NULL bucket (nulled '1-URGENT') all joined
+    assert(rows.length == 5)
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getDouble(2) > 0))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_banded_range: equi hash join on buckets, matches the naive non-equi join") {
     val p = plan(PipelineQ.qBandedRange)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
