@@ -833,9 +833,54 @@ object PipelineQ extends QueryPack {
         .orderBy(col("priority").asc_nulls_first)
     })
 
+  /** Embedding-drift monitor: per-label cosine between the centroids of
+    * two interleaved corpus halves (vec_id parity — a deterministic
+    * split). Centroid means round to 5 decimals BEFORE the cosine so
+    * both engines fold identical values; cosine ≈ 1 means the halves
+    * agree (no drift). Everything is (label, dim)-keyed aggregation —
+    * centroid-table-sized, never vector-count-sized, so the monitor
+    * costs two passes over the embedding column at any scale.
+    */
+  val qCentroidDrift: Q = Q(
+    "q_centroid_drift",
+    Some("""WITH m AS (
+              SELECT label, vec_id % 2 AS half, t.dim, round(avg(t.v), 5) AS mv
+              FROM (SELECT label, vec_id,
+                      unnest([{'dim': i, 'v': CAST(embedding[i] AS DOUBLE)}
+                              FOR i IN range(1, len(embedding) + 1)],
+                             recursive := true)
+                    FROM embeddings) AS t(label, vec_id, dim, v)
+              GROUP BY label, vec_id % 2, t.dim),
+            j AS (SELECT a.label, a.dim, a.mv AS va, b.mv AS vb
+                  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+                  WHERE a.half = 0 AND b.half = 1)
+            SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+                   round(sum(va * vb) / (sqrt(sum(va * va)) * sqrt(sum(vb * vb))) * 1e6) / 1e6
+                     AS drift_cos
+            FROM j GROUP BY label ORDER BY label"""),
+    (s, dir) => {
+      val m = Tables.loadDistributed(s, dir, "embeddings", "vec_id")
+        .select(col("label"), (col("vec_id") % 2).as("half"), posexplode(col("embedding")))
+        .select(col("label"), col("half"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").cast("double").as("v"))
+        .groupBy(col("label"), col("half"), col("dim"))
+        .agg(round(avg(col("v")), 5).as("mv"))
+      val a = m.filter(col("half") === 0).select(col("label"), col("dim"), col("mv").as("va"))
+      val b = m.filter(col("half") === 1)
+        .select(col("label").as("lb"), col("dim").as("db"), col("mv").as("vb"))
+      a.join(b, col("label") === col("lb") && col("dim") === col("db"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).cast("long").as("n_dims"),
+          (round(sum(col("va") * col("vb"))
+            / (sqrt(sum(col("va") * col("va"))) * sqrt(sum(col("vb") * col("vb")))) * 1e6) / 1e6)
+            .as("drift_cos"))
+        .orderBy(col("label"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
-    qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin)
+    qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift)
 }

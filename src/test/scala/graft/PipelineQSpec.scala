@@ -309,6 +309,29 @@ class PipelineQSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_centroid_drift: full label coverage, valid cosines, matches one recompute") {
+    val rows = PipelineQ.qCentroidDrift.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(1) == 64L, s"label ${r.getInt(0)} dims")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+    // recompute one label driver-side from rounded half-centroids
+    val label0 = rows.find(_.getInt(0) == rows.head.getInt(0)).get
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .filter(col("label") === label0.getInt(0))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val halves = vecs.groupBy(_._1 % 2).map { case (h, vs) =>
+      h -> (0 until 64).map(d =>
+        math.round(vs.map(_._2(d).toDouble).sum / vs.length * 1e5) / 1e5).toArray
+    }
+    val (a, b) = (halves(0L), halves(1L))
+    val cos = a.zip(b).map { case (x, y) => x * y }.sum /
+      (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    assert(label0.getDouble(2) == math.round(cos * 1e6) / 1e6)
+  }
+
   test("q_banded_range: equi hash join on buckets, matches the naive non-equi join") {
     val p = plan(PipelineQ.qBandedRange)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

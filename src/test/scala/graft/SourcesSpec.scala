@@ -37,6 +37,23 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("nshm_id").collect().map(_.getString(2)).toSeq === Seq("x y", "z,w"))
   }
 
+  test("compaction shrinks a fragmented parquet dir, preserves data, rolls up sizes") {
+    import spark.implicits._
+    val dir = s"/tmp/graft-compact-${System.nanoTime()}"
+    // 20 tiny files
+    (1 to 2000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+      .repartition(20).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val expected = before.orderBy("id").collect().toSeq
+    val (nBefore, nAfter) = graft.sources.Maintenance.compact(spark, dir, targetBytes = 1L << 20)
+    assert(nBefore == 20)
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+    assert(after.orderBy("id").collect().toSeq == expected)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".compact-tmp")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".compact-bak")))
+  }
+
   test("JSON lines round-trip nested structs") {
     val dir = tmp("graft-json")
     val df = Seq((1L, ("a", 2.0)), (2L, ("b", 3.0))).toDF("id", "payload")
