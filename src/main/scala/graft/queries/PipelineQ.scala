@@ -878,9 +878,52 @@ object PipelineQ extends QueryPack {
         .orderBy(col("label"))
     })
 
+  /** MATCH_RECOGNIZE-style contiguous pattern detection: count strictly
+    * consecutive click→view→purchase triples in each user's event
+    * stream (q_funnel's ordered-subsequence scan allows gaps; this
+    * does not). The per-user sequence folds to a delimited string —
+    * bounded by per-user activity, the same state bound any CEP engine
+    * needs — and the pattern count is one regexp pass. No event type is
+    * a prefix or suffix of another, so the unwrapped pattern only
+    * matches at token boundaries — and back-to-back triples share no
+    * characters, so the non-overlapping left-to-right scan (identical
+    * in both engines) counts them all.
+    */
+  val qEventPattern: Q = Q(
+    "q_event_pattern",
+    Some("""WITH seq AS (
+              SELECT user_id,
+                     string_agg(event_type, ',' ORDER BY ts, event_id) AS s,
+                     count(*) AS n_events
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(s, 'click,view,purchase')) AS BIGINT)
+                     AS n_matches,
+                   CAST(n_events AS BIGINT) AS n_events
+            FROM seq
+            WHERE len(regexp_extract_all(s, 'click,view,purchase')) > 0
+            ORDER BY user_id"""),
+    (s, dir) => {
+      val seq = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(expr(
+            "transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+            ",").as("s"),
+          count(lit(1)).as("n_events"))
+      seq
+        .withColumn(
+          "n_matches",
+          size(regexp_extract_all(col("s"), lit("click,view,purchase"), lit(0))).cast("long"))
+        .filter(col("n_matches") > 0)
+        .select(col("user_id"), col("n_matches"), col("n_events").cast("long").as("n_events"))
+        .orderBy(col("user_id"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
-    qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift)
+    qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
+    qEventPattern)
 }

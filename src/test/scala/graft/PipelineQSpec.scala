@@ -332,6 +332,23 @@ class PipelineQSpec extends SparkSpec {
     assert(label0.getDouble(2) == math.round(cos * 1e6) / 1e6)
   }
 
+  test("q_event_pattern counts contiguous triples, matches a driver-side scan") {
+    val out = PipelineQ.qEventPattern.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seqs = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (u, rs) => u -> rs.sortBy(x => (x._2, x._3)).map(_._4).toSeq }
+    val expected = seqs.flatMap { case (u, types) =>
+      val n = types.sliding(3).count(_ == Seq("click", "view", "purchase"))
+      if (n > 0) Some(u -> n.toLong) else None
+    }
+    // sliding(3) counts overlapping windows; contiguous triples of 3
+    // distinct types can't overlap, so the counts coincide
+    assert(out == expected)
+  }
+
   test("q_banded_range: equi hash join on buckets, matches the naive non-equi join") {
     val p = plan(PipelineQ.qBandedRange)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
