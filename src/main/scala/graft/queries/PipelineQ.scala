@@ -793,10 +793,14 @@ object PipelineQ extends QueryPack {
         .select(col("doc_id"), col("p.xy").as("xy"), col("p.x").as("x"))
         .groupBy(col("doc_id"), col("xy"), col("x")).agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
+      // cxy is BIGRAM-vocabulary-sized — quadratic in the unigram vocab,
+      // NOT broadcastable at corpus scale: it shuffle-joins on the xy
+      // key (co-partitioned with its own groupBy). Only the unigram
+      // table and the scalar vocab count broadcast.
       val cxy = dbig.groupBy(col("xy")).agg(sum(col("c")).as("c_xy"))
       val cx = dbig.groupBy(col("x")).agg(sum(col("c")).as("c_x"))
       val v = dbig.agg(countDistinct(col("x")).as("vocab"))
-      dbig.join(broadcast(cxy), Seq("xy"))
+      dbig.join(cxy, Seq("xy"))
         .join(broadcast(cx), Seq("x"))
         .crossJoin(broadcast(v))
         .groupBy(col("doc_id"))
