@@ -924,10 +924,71 @@ object PipelineQ extends QueryPack {
         .orderBy(col("user_id"))
     })
 
+  /** 2-D skyline (Pareto frontier): urgent orders not dominated by any
+    * other (price ≥, date ≤, strict in one) — maximize price, minimize
+    * date. The oracle is the naive quadratic NOT EXISTS scan; the Spark
+    * plan is the bucketed decomposition that survives scale: price
+    * buckets strictly order across buckets, so cross-bucket dominance
+    * collapses to ONE value per bucket (the running min date over
+    * higher buckets — a 64-row window), and within-bucket dominance
+    * needs only per-(bucket, price) group minima plus a window over the
+    * bucket's DISTINCT prices. No pairwise comparison anywhere; bucket
+    * count scales with data so each within-bucket window stays bounded.
+    */
+  val qSkyline: Q = Q(
+    "q_skyline",
+    Some("""WITH s AS (SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d
+                       FROM orders WHERE o_orderpriority = '1-URGENT')
+            SELECT a.o_orderkey, a.o_totalprice, a.d AS o_orderdate
+            FROM s a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM s b
+              WHERE b.o_totalprice >= a.o_totalprice AND b.d <= a.d
+                AND (b.o_totalprice > a.o_totalprice OR b.d < a.d))
+            ORDER BY a.o_totalprice DESC, a.o_orderkey"""),
+    (s, dir) => {
+      val B = 64
+      val rows = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice").as("p"),
+          col("o_orderdate").cast("date").as("d"))
+      val stats = rows.agg(min(col("p")).as("pmin"), max(col("p")).as("pmax"))
+      val bucketed = rows.crossJoin(broadcast(stats))
+        .withColumn(
+          "bucket",
+          when(col("pmax") <= col("pmin"), lit(0L))
+            .otherwise(least(
+              lit((B - 1).toLong),
+              floor((col("p") - col("pmin")) / ((col("pmax") - col("pmin")) / B)))))
+        .drop("pmin", "pmax")
+      // cross-bucket: min date of all strictly-higher buckets (higher
+      // bucket ⇒ strictly higher price), one row per bucket
+      val wHigher = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bucketMin = bucketed.groupBy(col("bucket")).agg(min(col("d")).as("bmin"))
+        .withColumn("hmin", min(col("bmin")).over(wHigher))
+        .select(col("bucket"), col("hmin"))
+      // within-bucket: per-(bucket, price) min date, then the running
+      // min over the bucket's strictly higher DISTINCT prices
+      val grp = bucketed.groupBy(col("bucket"), col("p")).agg(min(col("d")).as("gmin"))
+      val wStrict = Window.partitionBy(col("bucket")).orderBy(col("p").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val grpW = grp.withColumn("smin", min(col("gmin")).over(wStrict))
+      bucketed
+        .join(grpW, Seq("bucket", "p"))
+        .join(broadcast(bucketMin), Seq("bucket"))
+        .filter(
+          col("d") === col("gmin") &&
+            (col("smin").isNull || col("smin") > col("d")) &&
+            (col("hmin").isNull || col("hmin") > col("d")))
+        .select(col("o_orderkey"), col("p").as("o_totalprice"), col("d").as("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
-    qEventPattern)
+    qEventPattern, qSkyline)
 }

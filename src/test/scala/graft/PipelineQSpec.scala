@@ -349,6 +349,20 @@ class PipelineQSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("q_skyline equals the brute-force Pareto frontier") {
+    val got = PipelineQ.qSkyline.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDate(2).toLocalDate.toEpochDay)).toSet
+    val pts = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDate(2).toLocalDate.toEpochDay))
+    val expected = pts.filter { case (_, p, d) =>
+      !pts.exists { case (_, p2, d2) => p2 >= p && d2 <= d && (p2 > p || d2 < d) }
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("q_banded_range: equi hash join on buckets, matches the naive non-equi join") {
     val p = plan(PipelineQ.qBandedRange)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
