@@ -25,8 +25,13 @@ final case class TopKBuf(entries: Seq[(Double, Long)])
 final class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java.lang.Double.compare gives a TOTAL order (NaN greatest, matching
+  // Spark's descending sort) — `>` alone would break the sorted-buffer
+  // invariant the moment a NaN score appears
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: TopKBuf = TopKBuf(Vector.empty)
 
@@ -63,10 +68,16 @@ object TopKPerKey {
     * (`scoreCol` DESC, `idCol` ASC). Returns (key, rank, id, score) —
     * the exact rows `row_number() ≤ k` would keep, with no per-key
     * full sort anywhere in the plan.
+    *
+    * Null scores/ids are DROPPED (the tuple encoder is primitive): in
+    * the window form a null score sorts last under `desc` and can only
+    * be kept when a group has fewer than k non-null rows — callers
+    * needing that semantics should `coalesce` a sentinel first.
     */
   def apply(df: DataFrame, keyCol: String, scoreCol: String, idCol: String, k: Int): DataFrame = {
     val agg = udaf(new TopKAggregator(k))
-    df.groupBy(col(keyCol))
+    df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long")).as("topk"))
       .select(col(keyCol), posexplode(col("topk")).as(Seq("pos", "entry")))
       .select(

@@ -73,8 +73,9 @@ object PipelineQ extends QueryPack {
             ORDER BY ws.doc_id"""),
     (s, dir) => {
       // one tokenization feeds the unigram AND 3-gram branches (q_bm25's
-      // reuse pattern; the cached frame is token-array-sized — at cluster
-      // scale this is a reliable checkpoint, not executor-local blocks)
+      // reuse pattern). localCheckpoint = executor-local blocks, NOT
+      // fault-tolerant — on a real cluster swap for checkpoint() with a
+      // reliable dir (same note as the label-propagation loop)
       val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
         .localCheckpoint(true)
       val tf = toks
@@ -531,7 +532,9 @@ object PipelineQ extends QueryPack {
     * depth (≤ key/5) and monotonically decreasing keys — the acyclic,
     * bounded-fan-out shape recursive CTEs are for; unbounded path
     * enumeration stays with the iterative checkpointed loop
-    * (q_lsh_clusters). Both engines run the IDENTICAL SQL text.
+    * (q_lsh_clusters). Both engines run the same SQL text; the Spark
+    * side swaps in a query-private view name so the run never clobbers
+    * a session-level `nation` view some other consumer registered.
     */
   val qRecursiveWalk: Q = {
     val sql =
@@ -547,8 +550,9 @@ object PipelineQ extends QueryPack {
       "q_recursive_walk",
       Some(sql),
       (s, dir) => {
-        t(s, dir, "nation").createOrReplaceTempView("nation")
-        s.sql(sql)
+        val view = "graft_recursive_walk_nation"
+        t(s, dir, "nation").createOrReplaceTempView(view)
+        s.sql(sql.replace("FROM nation", s"FROM $view"))
       })
   }
 

@@ -21,18 +21,35 @@ import scala.jdk.CollectionConverters._
   */
 object Maintenance {
 
-  /** Returns (filesBefore, filesAfter). */
+  /** Returns (filesBefore, filesAfter). Self-healing on re-entry:
+    * stale tmp/bak from a crashed prior run are recovered (a stranded
+    * bak with no live dir is moved back) or cleared before starting.
+    * The window between the two renames can still strand the live dir
+    * at `<dir>.compact-bak` if the process dies exactly there — the
+    * next call recovers it; readers in that window fail, which is the
+    * local-FS approximation of a table-format commit (object stores
+    * flip a catalog pointer instead and have no such window).
+    */
   def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val path = Paths.get(dir)
+    val tmp = Paths.get(dir + ".compact-tmp")
+    val bak = Paths.get(dir + ".compact-bak")
+    // recover/clear leftovers from a crashed prior run
+    if (Files.exists(bak)) {
+      if (!Files.exists(path)) Files.move(bak, path, StandardCopyOption.ATOMIC_MOVE)
+      else deleteRecursively(bak)
+    }
+    if (Files.exists(tmp)) deleteRecursively(tmp)
+
     val parts = listParquet(path)
     val totalBytes = parts.map(Files.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    val tmp = Paths.get(dir + ".compact-tmp")
-    spark.read.parquet(dir).repartition(nOut)
+    // mergeSchema: append/streaming dirs are exactly where later batches
+    // add columns — a single-file inferred schema would silently drop them
+    spark.read.option("mergeSchema", "true").parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
 
-    val bak = Paths.get(dir + ".compact-bak")
     Files.move(path, bak, StandardCopyOption.ATOMIC_MOVE)
     try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
     catch {
@@ -44,12 +61,14 @@ object Maintenance {
     (parts.length, listParquet(path).length)
   }
 
+  private def withWalk[A](p: Path)(f: Iterator[Path] => A): A = {
+    val stream = Files.walk(p)
+    try f(stream.iterator().asScala) finally stream.close()
+  }
+
   private def listParquet(p: Path): Seq[Path] =
-    Files.walk(p).iterator().asScala
-      .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
-      .toSeq
+    withWalk(p)(_.filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f)).toSeq)
 
   private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).iterator().asScala.toSeq.reverseIterator
-      .foreach(Files.deleteIfExists(_))
+    withWalk(p)(_.toSeq).reverseIterator.foreach(Files.deleteIfExists(_))
 }
