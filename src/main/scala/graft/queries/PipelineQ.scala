@@ -6,6 +6,7 @@ import graft.text.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Round-5 training-pipeline + star-analytics pack.
   *
@@ -989,10 +990,66 @@ object PipelineQ extends QueryPack {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     })
 
+  /** Contingency table via the DataFrameStatFunctions API
+    * (`df.stat.crosstab`) — priority × return-flag counts through the
+    * order→lineitem join. Crosstab pivots distinct right-column values
+    * into columns (one hash aggregation under the hood); the oracle
+    * spells the same table as conditional aggregation with the exact
+    * column names crosstab emits.
+    */
+  val qCrosstab: Q = Q(
+    "q_crosstab",
+    Some("""SELECT o_orderpriority AS o_orderpriority_l_returnflag,
+                   CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS A,
+                   CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS N,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS R
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority_l_returnflag"""),
+    (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .stat.crosstab("o_orderpriority", "l_returnflag")
+        .orderBy(col("o_orderpriority_l_returnflag")))
+
+  /** XML field extraction: `from_xml` (new in Spark 4.x) over XML built
+    * from row values; the oracle extracts the same attribute/element
+    * with regexes. Parsing stays a per-row columnar expression — the
+    * same shape any semi-structured decode takes in this engine.
+    */
+  val qXmlExtract: Q = Q(
+    "q_xml_extract",
+    Some("""WITH x AS (SELECT o_orderkey,
+                              '<o k="' || o_orderkey || '"><s>' || o_orderstatus || '</s><p>'
+                                || o_orderpriority || '</p></o>' AS xml
+                       FROM orders WHERE o_orderkey < 500)
+            SELECT o_orderkey,
+                   CAST(regexp_extract(xml, 'k="(\d+)"', 1) AS BIGINT) AS k,
+                   regexp_extract(xml, '<s>(.*?)</s>', 1) AS status,
+                   regexp_extract(xml, '<p>(.*?)</p>', 1) AS priority
+            FROM x ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val x = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          concat(
+            lit("<o k=\""), col("o_orderkey"), lit("\"><s>"), col("o_orderstatus"),
+            lit("</s><p>"), col("o_orderpriority"), lit("</p></o>")).as("xml"))
+      x.select(
+        col("o_orderkey"),
+        from_xml(col("xml"), lit("STRUCT<_k: BIGINT, s: STRING, p: STRING>"),
+          Map.empty[String, String].asJava).as("o"))
+        .select(
+          col("o_orderkey"), col("o._k").as("k"),
+          col("o.s").as("status"), col("o.p").as("priority"))
+        .orderBy(col("o_orderkey"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
-    qEventPattern, qSkyline)
+    qEventPattern, qSkyline, qCrosstab, qXmlExtract)
 }
