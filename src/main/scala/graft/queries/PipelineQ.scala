@@ -1046,10 +1046,43 @@ object PipelineQ extends QueryPack {
         .orderBy(col("o_orderkey"))
     })
 
+  /** Edit-distance near-dup refinement: normalized Levenshtein over a
+    * bounded candidate block (doc_id < 60) — the exact last-mile check
+    * a fuzzy-dedup pipeline runs AFTER MinHash/SimHash banding has cut
+    * candidates to a manageable set (the quadratic cost is explicit and
+    * candidate-bounded, exactly like q_ngram_jaccard's role). Both
+    * engines implement the identical Wagner–Fischer `levenshtein`.
+    */
+  val qEditDistance: Q = Q(
+    "q_edit_distance",
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+                   round(levenshtein(a.text, b.text) * 1e6
+                         / greatest(length(a.text), length(b.text))) / 1e6 AS dist_norm
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.text, b.text) * 1.0
+                    / greatest(length(a.text), length(b.text)) <= 0.6
+            ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+      val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      val dist = levenshtein(col("ta"), col("tb"))
+      val norm = dist * lit(1.0) / greatest(length(col("ta")), length(col("tb")))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .filter(norm <= 0.6)
+        .select(
+          col("doc_a"), col("doc_b"), dist.cast("long").as("dist"),
+          (round(dist * 1e6 / greatest(length(col("ta")), length(col("tb")))) / 1e6)
+            .as("dist_norm"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
-    qEventPattern, qSkyline, qCrosstab, qXmlExtract)
+    qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance)
 }
