@@ -1079,10 +1079,40 @@ object PipelineQ extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     })
 
+  /** Rolling exact median (robust trend stat) over each customer's last
+    * ≤4 orders: the frame's values fold through sort_array + midpoint
+    * interpolation — per-row state bounded by the FRAME size (4), not
+    * the partition, so the robust statistic costs the same as any
+    * windowed sum. The oracle is DuckDB's native windowed median
+    * (quantile_cont 0.5), whose even-count interpolation `(a+b)/2` is
+    * spelled out verbatim on the Spark side.
+    */
+  val qMovingMedian: Q = Q(
+    "q_moving_median",
+    Some("""SELECT o_orderkey, o_custkey,
+                   round(median(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 1e6) / 1e6 AS med4
+            FROM orders ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("arr", sort_array(collect_list(col("o_totalprice")).over(w)))
+        .withColumn("n", size(col("arr")))
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          (round((element_at(col("arr"), ((col("n") + 1) / 2).cast("int"))
+            + element_at(col("arr"), (col("n") / 2 + 1).cast("int"))) / 2 * 1e6) / 1e6)
+            .as("med4"))
+        .orderBy(col("o_orderkey"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
-    qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance)
+    qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
+    qMovingMedian)
 }
