@@ -1108,11 +1108,56 @@ object PipelineQ extends QueryPack {
         .orderBy(col("o_orderkey"))
     })
 
+  /** Source-pair vocabulary overlap (Jaccard over distinct-word sets):
+    * the corpus-level near-duplication detector — two sources sharing
+    * almost all vocabulary are candidates for being the same crawl.
+    * The join is word-keyed over DISTINCT (source, word) rows: a word
+    * in k sources yields C(k,2) pair rows, so total work is bounded by
+    * sources² × vocab, never documents². Per-source set sizes
+    * broadcast.
+    */
+  val qVocabOverlap: Q = Q(
+    "q_vocab_overlap",
+    Some("""WITH v AS (SELECT DISTINCT source,
+                              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                       FROM documents),
+            sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+            shared AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
+                       FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+                       GROUP BY a.source, b.source)
+            SELECT source_a, source_b,
+                   CAST(c AS BIGINT) AS n_shared,
+                   round(c * 1e6 / (sa.n + sb.n - c)) / 1e6 AS jaccard
+            FROM shared
+            JOIN sz sa ON sa.source = source_a
+            JOIN sz sb ON sb.source = source_b
+            ORDER BY source_a, source_b"""),
+    (s, dir) => {
+      val v = docs(s, dir)
+        .select(col("source"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+        .distinct()
+        .localCheckpoint(true) // sizes + both join sides share one tokenization
+      val sz = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val a = v.select(col("source").as("source_a"), col("w"))
+      val b = v.select(col("source").as("source_b"), col("w").as("wb"))
+      a.join(b, col("w") === col("wb") && col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("na"))), Seq("source_a"))
+        .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("nb"))), Seq("source_b"))
+        .select(
+          col("source_a"), col("source_b"),
+          col("c").cast("long").as("n_shared"),
+          (round(col("c") * 1e6 / (col("na") + col("nb") - col("c"))) / 1e6).as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
-    qMovingMedian)
+    qMovingMedian, qVocabOverlap)
 }
