@@ -1153,11 +1153,68 @@ object PipelineQ extends QueryPack {
         .orderBy(col("source_a"), col("source_b"))
     })
 
+  /** k-center greedy diversity sampling (coreset selection for training
+    * data): seed = lowest id, then twice pick the point farthest from
+    * the selected set (max of min squared L2, ties to lowest id). Each
+    * selection is one scan with the tiny selected set broadcast —
+    * O(k·n) total, the standard 2-approximation. Unrolled to k = 3 so
+    * the oracle can spell the identical greedy steps as chained CTEs
+    * (the general k stays a driver loop over the same per-step plan);
+    * both engines fold the squared distance left-to-right over
+    * dimensions, so the argmax comparisons see identical doubles.
+    */
+  val qKcenterSeed: Q = {
+    def sqd(a: String, b: String) =
+      s"""list_sum([(CAST(list_extract($a, i) AS DOUBLE) - CAST(list_extract($b, i) AS DOUBLE))
+                    * (CAST(list_extract($a, i) AS DOUBLE) - CAST(list_extract($b, i) AS DOUBLE))
+                    FOR i IN range(1, len($a) + 1)])"""
+    Q(
+      "q_kcenter_seed",
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+               s1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+               d1 AS (SELECT e.vec_id, e.embedding, ${sqd("e.embedding", "s1.embedding")} AS dist1
+                      FROM e, s1 WHERE e.vec_id <> s1.vec_id),
+               s2 AS (SELECT vec_id, embedding, dist1 FROM d1 ORDER BY dist1 DESC, vec_id LIMIT 1),
+               d2 AS (SELECT d1.vec_id,
+                             least(d1.dist1, ${sqd("d1.embedding", "s2.embedding")}) AS mind
+                      FROM d1, s2 WHERE d1.vec_id <> s2.vec_id),
+               s3 AS (SELECT vec_id, mind FROM d2 ORDER BY mind DESC, vec_id LIMIT 1)
+               SELECT 1 AS rank, vec_id, 0.0 AS sep FROM s1
+               UNION ALL SELECT 2, vec_id, round(dist1 * 1e4) / 1e4 FROM s2
+               UNION ALL SELECT 3, vec_id, round(mind * 1e4) / 1e4 FROM s3
+               ORDER BY rank"""),
+      (s, dir) => {
+        def sqDist(a: Column, b: Column): Column =
+          aggregate(
+            zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
+              * (x.cast("double") - y.cast("double"))),
+            lit(0.0), (acc, x) => acc + x)
+        val e = Tables.loadDistributed(s, dir, "embeddings", "vec_id")
+          .filter(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
+        val s1 = e.orderBy(col("vec_id")).limit(1)
+          .select(col("vec_id").as("id1"), col("embedding").as("e1"))
+        val d1 = e.crossJoin(broadcast(s1)).filter(col("vec_id") =!= col("id1"))
+          .withColumn("dist1", sqDist(col("embedding"), col("e1")))
+        val s2 = d1.orderBy(col("dist1").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("id2"), col("embedding").as("e2"), col("dist1").as("sep2"))
+        val d2 = d1.crossJoin(broadcast(s2)).filter(col("vec_id") =!= col("id2"))
+          .withColumn("mind", least(col("dist1"), sqDist(col("embedding"), col("e2"))))
+        val s3 = d2.orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("id3"), col("mind").as("sep3"))
+        s1.select(lit(1).as("rank"), col("id1").as("vec_id"), lit(0.0).as("sep"))
+          .unionAll(s2.select(lit(2).as("rank"), col("id2").as("vec_id"),
+            (round(col("sep2") * 1e4) / 1e4).as("sep")))
+          .unionAll(s3.select(lit(3).as("rank"), col("id3").as("vec_id"),
+            (round(col("sep3") * 1e4) / 1e4).as("sep")))
+          .orderBy(col("rank"))
+      })
+  }
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
-    qMovingMedian, qVocabOverlap)
+    qMovingMedian, qVocabOverlap, qKcenterSeed)
 }

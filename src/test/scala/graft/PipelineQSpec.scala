@@ -363,6 +363,28 @@ class PipelineQSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_kcenter_seed matches a driver-side greedy farthest-point run") {
+    val out = PipelineQ.qKcenterSeed.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 300).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def sqd(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val (id1, e1) = vecs.head
+    val d1 = vecs.filter(_._1 != id1).map { case (id, e) => (id, e, sqd(e, e1)) }
+    val (id2, e2, sep2) = d1.maxBy { case (id, _, d) => (d, -id) }
+    val d2 = d1.filter(_._1 != id2).map { case (id, e, d) => (id, math.min(d, sqd(e, e2))) }
+    val (id3, sep3) = d2.maxBy { case (id, d) => (d, -id) }
+    assert(out(0)._2 == id1)
+    assert(out(1)._2 == id2 && out(1)._3 == math.round(sep2 * 1e4) / 1e4)
+    assert(out(2)._2 == id3 && out(2)._3 == math.round(sep3 * 1e4) / 1e4)
+    // separations shrink as the cover grows
+    assert(out(2)._3 <= out(1)._3)
+  }
+
   test("q_banded_range: equi hash join on buckets, matches the naive non-equi join") {
     val p = plan(PipelineQ.qBandedRange)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
