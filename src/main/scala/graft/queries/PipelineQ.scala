@@ -8,31 +8,38 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
-/** Round-5 training-pipeline + star-analytics pack.
+/** Round-5 training-pipeline + star-analytics pack (28 queries).
   *
-  * LLM-data side: Gopher-style repetition signals (dup-word / top-word /
-  * dup-n-gram fractions, ≙ the quality filters of Rae et al. 2021 §A1.1),
-  * DSIR-style importance weights (hashed-n-gram log-ratio scoring of
-  * Xie et al. 2023, spelled with exact unigram tables so both engines
-  * agree bit-for-bit), SemDeDup-style keep-best embedding dedup
-  * (Abbas et al. 2023: drop the lower-norm member of every
-  * above-threshold same-cluster pair), and SimHash banded near-dup
-  * candidates (Charikar 2002 / Manku et al. 2007: band-bucket equi-join,
-  * never all-pairs, then a codegen'd `bit_count(a^b)` Hamming refine).
+  * LLM-data curation: Gopher repetition signals (Rae et al. 2021),
+  * DSIR importance weights (Xie et al. 2023), SemDeDup keep-best
+  * embedding dedup (Abbas et al. 2023), SimHash banded near-dup
+  * candidates (Charikar 2002 / Manku et al. 2007), duplicate-span
+  * profile (Lee et al. 2022 exact-substring dedup), self-trained
+  * bigram-LM quality scoring (CCNet-style perplexity proxy),
+  * Levenshtein fuzzy-dedup refinement, source-pair vocabulary-Jaccard
+  * overlap, k-center greedy diversity sampling, centroid-drift
+  * monitoring, exact weighted quantiles (mixture sampling), and AUC
+  * calibration of quality features.
   *
-  * Relational side: interval-overlap peak concurrency via the classic
-  * +1/−1 sweep (no self-join — the scale-out alternative to
-  * `q_range_join`'s banded interval join), gaps-and-islands run-length
-  * analysis, and two reference star shapes (market-share ratio ≙ TPC-H
-  * Q8, top-supplier scalar-max join ≙ TPC-H Q15).
+  * Event/sequence analytics: segmented +1/−1 interval sweep,
+  * gaps-and-islands, Markov transitions, SCD2 state runs, contiguous
+  * CEP pattern counts, rolling exact median.
   *
-  * Scale shapes: every text query tokenizes once and aggregates on
-  * (doc, term) keys; vocabulary-sized frequency tables broadcast; the
-  * SimHash candidate join is an equi-join on (band, value) buckets; the
-  * sweep's window input is two rows per (type, user) — interval-
-  * endpoint cardinality, not event cardinality. Doubles round through
-  * `round(x*1e6)/1e6` (or `round(x*100)/100` for money) spelled
-  * identically in both engines — see q_percentile_exact's rationale.
+  * Relational/engine surface: TPC-H Q8/Q15 star shapes, percent_rank /
+  * cume_dist, recursive CTE (`UnionLoopExec`), banded range join,
+  * bounded-heap per-key top-k (custom `Aggregator`), null-safe join,
+  * bucketed 2-D skyline, `stat.crosstab`, `from_xml`.
+  *
+  * Scale invariants: corpora tokenize once per query and aggregate on
+  * (doc, term)-grain keys; only vocabulary-or-smaller frames broadcast
+  * (the quadratic bigram table shuffle-joins); candidate-set work
+  * (pairwise cosine/Levenshtein/Jaccard) is explicitly blocked or
+  * bounded; windows partition on high-cardinality keys or on bounded
+  * value domains, with low-cardinality carries segmented (sweep,
+  * skyline, AUC). Doubles round through `round(x*1e6)/1e6` (or `*100`
+  * for money) spelled identically in both engines, and threshold
+  * comparisons use integer or decimal-free arithmetic where a flip
+  * would change rows — see q_percentile_exact / q_weighted_median.
   */
 object PipelineQ extends QueryPack {
 
@@ -1210,11 +1217,51 @@ object PipelineQ extends QueryPack {
       })
   }
 
+  /** AUC of a feature as a classifier (here: does document length
+    * predict the `en` slice?) — the calibration metric every quality
+    * filter needs. The oracle is the naive Mann-Whitney pair count
+    * (#[s_pos > s_neg] + ½#[ties] over all pos×neg pairs); the Spark
+    * plan is the scale-safe equivalent over DISTINCT score values:
+    * per-value (n_pos, n_neg) counts, a cumulative negative count over
+    * the value domain, and U = Σ_v n_pos(v)·(cum_neg_below + ½·n_neg(v)).
+    * State is bounded by score cardinality, never by row pairs.
+    */
+  val qAuc: Q = Q(
+    "q_auc",
+    Some("""WITH s AS (SELECT n_chars AS score, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                       FROM documents),
+            u AS (SELECT sum(CASE WHEN p.score > n.score THEN 1.0
+                                  WHEN p.score = n.score THEN 0.5
+                                  ELSE 0.0 END) AS u
+                  FROM s p JOIN s n ON p.y = 1 AND n.y = 0),
+            c AS (SELECT sum(y) AS np, sum(1 - y) AS nn FROM s)
+            SELECT CAST(c.np AS BIGINT) AS n_pos, CAST(c.nn AS BIGINT) AS n_neg,
+                   round(u.u * 1e6 / (c.np * c.nn)) / 1e6 AS auc
+            FROM u, c"""),
+    (s, dir) => {
+      val sc = docs(s, dir)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"))
+      val byV = sc.groupBy(col("score"))
+        .agg(sum(col("y")).as("np_v"), sum(lit(1) - col("y")).as("nn_v"))
+      // cumulative negatives strictly below each value: the window runs
+      // over DISTINCT scores (value-domain-bounded, like q_weighted_median)
+      val w = Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, -1)
+      val u = byV
+        .withColumn("cum_nn", coalesce(sum(col("nn_v")).over(w), lit(0L)))
+        .agg(sum(col("np_v") * (col("cum_nn") + col("nn_v") * lit(0.5))).as("u"))
+      val c = sc.agg(sum(col("y")).as("np"), sum(lit(1) - col("y")).as("nn"))
+      u.crossJoin(broadcast(c))
+        .select(
+          col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"),
+          (round(col("u") * 1e6 / (col("np") * col("nn"))) / 1e6).as("auc"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
-    qMovingMedian, qVocabOverlap, qKcenterSeed)
+    qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc)
 }
