@@ -211,10 +211,12 @@ object Dedup extends QueryPack {
     * bipartite graph via min-label propagation WITH pointer jumping —
     * each round (a) pulls the min label through buckets (one hop) and
     * (b) path-compresses (label := label's label), so reachable distance
-    * grows exponentially and 6 fixed rounds cover any component diameter
-    * up to ~2^6. Both engines run the identical 6 rounds (the oracle
+    * grows exponentially and 4 fixed rounds cover any component diameter
+    * up to ~2^4 (empirically, 3 rounds already reach fixpoint at both
+    * gate SFs — LSH components are shallow — so 4 carries one safety
+    * round). Both engines run the identical 4 rounds (the oracle
     * unrolls them as a CTE chain), so gate equality holds by
-    * construction; DedupClusterSpec asserts round 6 is a semantic
+    * construction; DedupClusterSpec asserts round 4 is a semantic
     * fixpoint. Each round is two key-partitioned aggregations and a
     * self-join — no pairwise candidate explosion, no driver-side graph.
     */
@@ -226,8 +228,8 @@ object Dedup extends QueryPack {
       // AS MATERIALIZED everywhere a CTE is referenced more than once:
       // DuckDB inlines CTEs by default, which replicates the whole
       // upstream subtree (and its parquet scans) exponentially across
-      // the 6 rounds
-      val rounds = (1 to 6).map { i =>
+      // the 4 rounds
+      val rounds = (1 to 4).map { i =>
         s"""b$i AS MATERIALIZED (SELECT m.bkey, min(d${i - 1}.lbl) AS blbl
                     FROM m JOIN d${i - 1} USING (doc_id) GROUP BY m.bkey),
             h$i AS MATERIALIZED (SELECT d.doc_id, least(d.lbl, coalesce(min(b$i.blbl), d.lbl)) AS lbl
@@ -250,13 +252,13 @@ object Dedup extends QueryPack {
                  SELECT doc_id, concat_ws('_', '1', sig2, sig3) AS bkey FROM sig),
                d0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
                $rounds,
-               sizes AS (SELECT lbl, count(*) AS cluster_size FROM d6 GROUP BY lbl)
+               sizes AS (SELECT lbl, count(*) AS cluster_size FROM d4 GROUP BY lbl)
                SELECT d.doc_id, d.lbl AS cluster_id, s.cluster_size
-               FROM d6 d JOIN sizes s USING (lbl)
+               FROM d4 d JOIN sizes s USING (lbl)
                WHERE s.cluster_size > 1
                ORDER BY cluster_id, doc_id""")
     },
-    (s, dir) => clusterRun(s, dir, rounds = 6))
+    (s, dir) => clusterRun(s, dir, rounds = 4))
 
   /** The Spark side of [[qLshClusters]], parameterized on round count so
     * the spec can assert convergence (rounds vs rounds+1).
@@ -286,7 +288,7 @@ object Dedup extends QueryPack {
     // The rounds reference the membership on both keys — doc_id (label
     // pull) and bkey (bucket min) — so keep one checkpointed copy
     // PRE-PARTITIONED per key: localCheckpoint preserves the physical
-    // partitioning in the LogicalRDD, so none of the 6 rounds re-shuffles
+    // partitioning in the LogicalRDD, so none of the rounds re-shuffles
     // the membership side of its joins/aggregations.
     val mByBkey = mAll
       .withColumn("__n", count(lit(1)).over(bucketDocs))
