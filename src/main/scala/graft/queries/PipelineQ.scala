@@ -1257,11 +1257,39 @@ object PipelineQ extends QueryPack {
           (round(col("u") * 1e6 / (col("np") * col("nn"))) / 1e6).as("auc"))
     })
 
+  /** Order-independent table checksum (data-integrity / migration-diff
+    * primitive): per group, the sum of per-row md5-derived uint32
+    * fingerprints over the engine-portable columns — integers and
+    * strings only, since float/timestamp → string formatting is
+    * engine-specific. Commutative sum ⇒ partition- and order-invariant;
+    * one scan, one hash aggregation; two stores agree iff every row
+    * multiset agrees (modulo 2³²-sum collisions).
+    */
+  val qTableChecksum: Q = Q(
+    "q_table_checksum",
+    Some("""SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(('0x' || substr(md5(
+                          concat_ws('|', l_orderkey, l_partkey, l_suppkey,
+                                    l_linenumber, l_returnflag, l_linestatus)),
+                        1, 8))::BIGINT) AS BIGINT) AS checksum
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(md5Hash32(concat_ws("|",
+            col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_linenumber"), col("l_returnflag"), col("l_linestatus"))))
+            .cast("long").as("checksum"))
+        .orderBy(col("l_returnflag")))
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
-    qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc)
+    qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum)
 }
