@@ -385,6 +385,47 @@ class PipelineQSpec extends SparkSpec {
     assert(out(2)._3 <= out(1)._3)
   }
 
+  test("q_auc matches the brute-force Mann-Whitney pair count") {
+    val r = PipelineQ.qAuc.run(spark, dir).collect()(0)
+    val docsL = Tables.load(spark, dir, "documents")
+      .select("n_chars", "lang").collect()
+      .map(x => (x.getLong(0), x.getString(1) == "en"))
+    val pos = docsL.filter(_._2).map(_._1); val neg = docsL.filterNot(_._2).map(_._1)
+    val u = (for (p <- pos; n <- neg) yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    assert(r.getLong(0) == pos.length.toLong && r.getLong(1) == neg.length.toLong)
+    assert(r.getDouble(2) == math.round(u * 1e6 / (pos.length.toLong * neg.length)) / 1e6)
+  }
+
+  test("q_vocab_overlap: jaccards in (0,1], symmetric-free pair list") {
+    val rows = PipelineQ.qVocabOverlap.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getString(0) < r.getString(1))
+      val j = r.getDouble(3)
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("q_table_checksum matches a driver-side commutative hash sum") {
+    val out = PipelineQ.qTableChecksum.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      .collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = rows.groupBy(_.getString(4)).map { case (flag, rs) =>
+      flag -> ((rs.length.toLong, rs.map(r =>
+        h32(Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getString(4), r.getString(5)).mkString("|"))).sum))
+    }
+    assert(out == expected)
+  }
+
   test("q_banded_range: equi hash join on buckets, matches the naive non-equi join") {
     val p = plan(PipelineQ.qBandedRange)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
