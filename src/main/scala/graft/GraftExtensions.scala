@@ -23,7 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_vec_dot" -> ((exprs: Seq[Expression]) =>
-      graft.functions.FloatVecDot(exprs(0), exprs(1))))
+      graft.functions.FloatVecDot(exprs(0), exprs(1))),
+    "float_vec_sqdist" -> ((exprs: Seq[Expression]) =>
+      graft.functions.FloatVecSqDist(exprs(0), exprs(1))))
 
   /** Register on an already-built session (temp functions). */
   def install(spark: SparkSession): Unit =

@@ -1191,11 +1191,9 @@ object PipelineQ extends QueryPack {
                UNION ALL SELECT 3, vec_id, round(mind * 1e4) / 1e4 FROM s3
                ORDER BY rank"""),
       (s, dir) => {
-        def sqDist(a: Column, b: Column): Column =
-          aggregate(
-            zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
-              * (x.cast("double") - y.cast("double"))),
-            lit(0.0), (acc, x) => acc + x)
+        // native codegen'd expression; identical left-to-right (x−y)²
+        // accumulation as the oracle's list comprehension
+        def sqDist(a: Column, b: Column): Column = VectorFunctions.vecSqDist(a, b)
         val e = Tables.loadDistributed(s, dir, "embeddings", "vec_id")
           .filter(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
         val s1 = e.orderBy(col("vec_id")).limit(1)

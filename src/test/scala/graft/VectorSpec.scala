@@ -32,6 +32,27 @@ class VectorSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("FloatVecSqDist matches the HOF formulation and codegen on/off agree") {
+    def hofSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    val rows = pairs.select(
+      VectorFunctions.vecSqDist(col("a"), col("b")).as("fast"),
+      hofSq(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(8.0, 101.0625, 2.0))
+    val expr = VectorFunctions.vecSqDist(col("a"), col("b"))
+    val on = pairs.select(expr).collect().map(_.getDouble(0)).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = pairs.select(expr).collect().map(_.getDouble(0)).toSeq
+      assert(on === off)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("vecCosine on real embeddings equals the double-array HOF cosine") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(20).cache()
     val a = e.select(col("vec_id"), col("embedding"))
