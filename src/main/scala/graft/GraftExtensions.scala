@@ -25,7 +25,9 @@ object GraftExtensions {
     "float_vec_dot" -> ((exprs: Seq[Expression]) =>
       graft.functions.FloatVecDot(exprs(0), exprs(1))),
     "float_vec_sqdist" -> ((exprs: Seq[Expression]) =>
-      graft.functions.FloatVecSqDist(exprs(0), exprs(1))))
+      graft.functions.FloatVecSqDist(exprs(0), exprs(1))),
+    "jaro_winkler" -> ((exprs: Seq[Expression]) =>
+      graft.functions.JaroWinkler(exprs(0), exprs(1))))
 
   /** Register on an already-built session (temp functions). */
   def install(spark: SparkSession): Unit =
