@@ -1323,6 +1323,40 @@ object PipelineQ extends QueryPack {
         .orderBy(col("pk_a"), col("pk_b"))
     })
 
+  /** Runtime-filter semi join ([[graft.operators.BloomJoin]]): a selective
+    * dim predicate (one nation × one segment ≈ 0.8% of customers) is
+    * collapsed into a broadcast Bloom sketch that drops non-matching
+    * orders AT THE SCAN, before the shuffle; the exact semi join then
+    * removes the sketch's false positives, so the result is identical to
+    * the plain `IN (subquery)` the oracle runs — the sketch changes how
+    * many rows reach the shuffle, never the answer.
+    */
+  val qBloomJoin: Q = Q(
+    "q_bloom_join",
+    Some("""SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o.o_totalprice) * 100) / 100 AS revenue
+            FROM orders o
+            WHERE o.o_custkey IN (
+              SELECT c_custkey FROM customer
+              WHERE c_nationkey = 5 AND c_mktsegment = 'BUILDING')
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
+    (s, dir) => {
+      val dim = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 5 && col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val filtered = graft.operators.BloomJoin.semiFiltered(
+        t(s, dir, "orders"), dim,
+        factKey = "o_custkey", dimKey = "c_custkey",
+        expectedKeys = 1L << 16)
+      filtered
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          (round(sum(col("o_totalprice")) * 100) / 100).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1330,5 +1364,5 @@ object PipelineQ extends QueryPack {
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
-    qJaroFuzzy)
+    qJaroFuzzy, qBloomJoin)
 }
