@@ -1357,6 +1357,46 @@ object PipelineQ extends QueryPack {
         .orderBy(col("o_orderpriority"))
     })
 
+  /** Z-order layout audit ([[graft.operators.ZOrder]]): Morton-interleave
+    * the (customer, order-day) bucket ids and aggregate per 16×16 tile
+    * (code >> 8). The per-tile min/max spans ARE the parquet footer
+    * stats a z-ordered writer would produce — each tile bounds both
+    * dimensions at once, which is what lets a scan filtered on either
+    * dimension prune files. The interleave is composed bitwise
+    * arithmetic (no UDF), spelled identically in the DuckDB oracle via
+    * [[graft.operators.ZOrder.interleave2Sql]].
+    */
+  val qZorder: Q = Q(
+    "q_zorder", {
+      val z = graft.operators.ZOrder.interleave2Sql(
+        "(o_custkey & 1023)",
+        "(datediff('day', DATE '1992-01-01', o_orderdate) & 1023)", 10)
+      Some(s"""WITH z AS (
+                 SELECT (o_custkey & 1023) AS x,
+                        (datediff('day', DATE '1992-01-01', o_orderdate) & 1023) AS y,
+                        ($z) AS zcode
+                 FROM orders)
+               SELECT CAST(zcode >> 8 AS BIGINT) AS z_tile,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+                      CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+               FROM z GROUP BY 1 ORDER BY z_tile""")
+    },
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(
+          col("o_custkey").bitwiseAND(lit(1023L)).as("x"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+            .bitwiseAND(lit(1023L)).as("y"))
+      o.withColumn("zcode", graft.operators.ZOrder.interleave2(col("x"), col("y"), 10))
+        .groupBy(shiftright(col("zcode"), 8).cast("long").as("z_tile"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          min(col("x")).cast("long").as("x_min"), max(col("x")).cast("long").as("x_max"),
+          min(col("y")).cast("long").as("y_min"), max(col("y")).cast("long").as("y_max"))
+        .orderBy(col("z_tile"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1364,5 +1404,5 @@ object PipelineQ extends QueryPack {
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
-    qJaroFuzzy, qBloomJoin)
+    qJaroFuzzy, qBloomJoin, qZorder)
 }
