@@ -1397,6 +1397,68 @@ object PipelineQ extends QueryPack {
         .orderBy(col("z_tile"))
     })
 
+  /** Linear time-series interpolation — the gap-fill companion to
+    * q_locf's step-fill: per user, 'purchase' events are knots and every
+    * event between two knots gets the time-weighted blend of the
+    * surrounding knot values (endpoints stay null: no extrapolation).
+    * Two frame-bounded window passes (last-before via the preceding
+    * frame, first-after via the following frame) — one shuffle on
+    * user_id, state bounded by the frame, never a self-join on time.
+    * The blend arithmetic is spelled as the identical expression tree in
+    * both engines so the 1e-6-rounded doubles hash-match.
+    */
+  val qInterpLinear: Q = Q(
+    "q_interp_linear",
+    Some("""WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t,
+                     CASE WHEN event_type = 'purchase' THEN value END AS knot
+              FROM events),
+            f AS (
+              SELECT user_id, event_id, t,
+                     last_value(knot IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                     last_value(CASE WHEN knot IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                     first_value(knot IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                     first_value(CASE WHEN knot IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+              FROM e)
+            SELECT user_id, event_id,
+                   round((CASE WHEN pt IS NULL OR nt IS NULL THEN NULL
+                               WHEN nt = pt THEN pv
+                               ELSE pv + (nv - pv) * ((t - pt) * 1.0 / (nt - pt))
+                          END) * 1e6) / 1e6 AS interp
+            FROM f ORDER BY user_id, event_id"""),
+    (s, dir) => {
+      val knot = when(col("event_type") === "purchase", col("value"))
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+          knot.as("knot"))
+      val back = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val knotT = when(col("knot").isNotNull, col("t"))
+      val f = e
+        .withColumn("pv", last(col("knot"), ignoreNulls = true).over(back))
+        .withColumn("pt", last(knotT, ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("knot"), ignoreNulls = true).over(fwd))
+        .withColumn("nt", first(knotT, ignoreNulls = true).over(fwd))
+      val interp = when(col("pt").isNull || col("nt").isNull, lit(null))
+        .when(col("nt") === col("pt"), col("pv"))
+        .otherwise(col("pv") +
+          (col("nv") - col("pv")) *
+            ((col("t") - col("pt")) * lit(1.0) / (col("nt") - col("pt"))))
+      f.select(col("user_id"), col("event_id"),
+        (round(interp * 1e6) / 1e6).as("interp"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1404,5 +1466,5 @@ object PipelineQ extends QueryPack {
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
-    qJaroFuzzy, qBloomJoin, qZorder)
+    qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear)
 }

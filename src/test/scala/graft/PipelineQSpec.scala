@@ -443,4 +443,38 @@ class PipelineQSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == naive.toSeq)
   }
+
+  test("q_interp_linear: knots keep their own value, endpoints stay null, gaps blend") {
+    val rows = PipelineQ.qInterpLinear.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val byUser = events.groupBy(_._1)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    var knots = 0; var nulls = 0; var blends = 0
+    for ((uid, eid, got) <- rows.take(2000)) {
+      val seq = byUser(uid).sortBy(e => (e._3, e._2))
+      val idx = seq.indexWhere(_._2 == eid)
+      val (_, _, t, typ, v) = seq(idx)
+      val prev = seq.take(idx + 1).reverse.find(_._4 == "purchase")
+      val next = seq.drop(idx).find(_._4 == "purchase")
+      (prev, next) match {
+        case (Some(p), Some(n)) if p._3 == n._3 =>
+          assert(got.contains(r6(p._5)), s"knot/coincident at ($uid,$eid)")
+          if (typ == "purchase") { assert(got.contains(r6(v))); knots += 1 }
+        case (Some(p), Some(n)) =>
+          val want = p._5 + (n._5 - p._5) * ((t - p._3) * 1.0 / (n._3 - p._3))
+          assert(got.contains(r6(want)), s"blend at ($uid,$eid)")
+          blends += 1
+        case _ =>
+          assert(got.isEmpty, s"no extrapolation at ($uid,$eid)")
+          nulls += 1
+      }
+    }
+    assert(knots > 0 && nulls > 0 && blends > 0, s"degenerate coverage: $knots/$nulls/$blends")
+  }
 }
