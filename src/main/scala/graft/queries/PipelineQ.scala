@@ -1459,6 +1459,68 @@ object PipelineQ extends QueryPack {
         .orderBy(col("user_id"), col("event_id"))
     })
 
+  /** Exact corpus-level heavy hitters ([[graft.operators.HeavyHitters]]):
+    * Misra–Gries candidate summaries per partition (bounded memory, one
+    * pass), broadcast candidate semi-join, exact recount of candidates
+    * only — top-k token frequencies WITHOUT shuffling the whole
+    * vocabulary, the 100 TB-viable form of "what are the most common
+    * tokens". The oracle runs the naive full GROUP BY and must
+    * hash-match: the sketch phase only bounds what gets recounted, the
+    * answer is exact (k=20 at capacity 4096 clears the N/(cap+1)
+    * survival floor by ~20× on natural text).
+    */
+  val qHeavyHitters: Q = Q(
+    "q_heavy_hitters",
+    Some("""WITH tok AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS value
+              FROM documents),
+            cnt AS (SELECT value, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+            ranked AS (
+              SELECT value, n,
+                     row_number() OVER (ORDER BY n DESC, value) AS rank
+              FROM cnt)
+            SELECT CAST(rank AS BIGINT) AS rank, value, n
+            FROM ranked WHERE rank <= 20 ORDER BY rank"""),
+    (s, dir) => {
+      val tok = docs(s, dir).select(
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("value"))
+      graft.operators.HeavyHitters.topKFrequent(tok, col("value"), k = 20)
+    })
+
+  /** Weighted PageRank over the nation→nation trade graph
+    * ([[graft.operators.PageRank]]): authority propagation through a
+    * link graph, the crawl-curation primitive. The Spark side is the
+    * driver-coordinated iterative loop (broadcast rank frame, edge list
+    * scanned in place each sweep); the oracle unrolls the SAME 10 damped
+    * sweeps as chained CTEs via [[graft.operators.PageRank.unrolledSql]],
+    * so both engines execute the identical arithmetic and the
+    * 1e-6-rounded ranks hash-match.
+    */
+  val qPagerank: Q = Q(
+    "q_pagerank", {
+      val edges =
+        """SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2"""
+      Some(s"""${graft.operators.PageRank.unrolledSql(edges).replace("SELECT node, rank FROM r10",
+        "SELECT node, round(rank * 1e6) / 1e6 AS rank FROM r10 ORDER BY node")}""")
+    },
+    (s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.PageRank.run(edges)
+        .select(col("node"), (round(col("rank") * 1e6) / 1e6).as("rank"))
+        .orderBy(col("node"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1466,5 +1528,6 @@ object PipelineQ extends QueryPack {
     qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
-    qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear)
+    qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
+    qPagerank)
 }
