@@ -1521,6 +1521,31 @@ object PipelineQ extends QueryPack {
         .orderBy(col("node"))
     })
 
+  /** Quartile + equal-width bucketing — ntile(4) per order priority (the
+    * one window normalizer q_rank_battery doesn't exercise) next to an
+    * arithmetic equal-width bucket spelled identically in both engines
+    * (DuckDB 1.0 has no width_bucket; the explicit least/greatest/floor
+    * form is portable and stays in codegen).
+    */
+  val qNtileBucket: Q = Q(
+    "q_ntile_bucket",
+    Some("""SELECT o_orderkey,
+                   CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+                   CAST(least(9, greatest(0, CAST(floor(o_totalprice / 60000.0) AS BIGINT))) AS BIGINT) AS price_bucket
+            FROM orders ORDER BY o_orderkey"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          least(lit(9L), greatest(lit(0L),
+            floor(col("o_totalprice") / 60000.0).cast("long"))).as("price_bucket"))
+        .orderBy(col("o_orderkey"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1529,5 +1554,5 @@ object PipelineQ extends QueryPack {
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
-    qPagerank)
+    qPagerank, qNtileBucket)
 }
