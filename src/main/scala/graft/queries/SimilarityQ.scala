@@ -203,6 +203,85 @@ object SimilarityQ extends QueryPack {
         .agg(round(avg(col("v")), 5).as("centroid_v"), count(lit(1)).as("n_vecs"))
         .orderBy(col("label"), col("dim")))
 
+  private def sqDistSql(a: String, b: String): String =
+    s"list_sum([(CAST(list_extract($a, i) AS DOUBLE) - CAST(list_extract($b, i) AS DOUBLE)) * " +
+      s"(CAST(list_extract($a, i) AS DOUBLE) - CAST(list_extract($b, i) AS DOUBLE)) " +
+      s"FOR i IN range(1, len($b) + 1)])"
+
+  /** DuckDB replay of the full PQ seed path (m subspaces × k centroids,
+    * iters = 0): per-subspace codebooks from the k lowest vec_ids,
+    * argmin encoding via the same max-struct idiom as q_ivf_ann, exact
+    * per-query ADC tables, and the left-associated m-term distance sum —
+    * every float op in the same order as the Spark side.
+    */
+  private def pqOracleSql(m: Int, k: Int, subDim: Int, nQ: Int, topK: Int): String = {
+    def sl(c: String, s: Int) = s"list_slice($c, ${s * subDim + 1}, ${(s + 1) * subDim})"
+    val cents = (0 until m).map { s =>
+      s"""cent$s AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |         ${sl("embedding", s)} AS c,
+         |         ${sqNormSql(sl("embedding", s))} AS sqn
+         |  FROM seeds)""".stripMargin
+    }.mkString(",\n")
+    val codes = (0 until m).map { s =>
+      s"""code$s AS (
+         |  SELECT e.vec_id,
+         |         -((max({'s': ${dotSql(sl("e.embedding", s), "c.c")} - c.sqn / 2,
+         |                 'n': -c.cid})).n) AS k$s
+         |  FROM embeddings e CROSS JOIN cent$s c GROUP BY e.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = "code0" + (1 until m).map(s => s" JOIN code$s USING (vec_id)").mkString
+    val tabs = (0 until m).map { s =>
+      s"""tab$s AS (
+         |  SELECT q.q_id, c.cid, ${sqDistSql(sl("q.q_emb", s), "c.c")} AS d
+         |  FROM q CROSS JOIN cent$s c)""".stripMargin
+    }.mkString(",\n")
+    val tabJoins = (0 until m)
+      .map(s => s"JOIN tab$s t$s ON t$s.q_id = q.q_id AND t$s.cid = cd.k$s").mkString("\n  ")
+    val distSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH seeds AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k),
+       |$cents,
+       |$codes,
+       |cd AS (SELECT * FROM $codeJoin),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $nQ),
+       |$tabs,
+       |scored AS (
+       |  SELECT q.q_id, cd.vec_id, round(($distSum) * 1e6) / 1e6 AS adc_dist
+       |  FROM q CROSS JOIN cd
+       |  $tabJoins
+       |  WHERE cd.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc_dist,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** PQ/ADC ANN ([[graft.similarity.ProductQuantizer]]) — the memory-side
+    * scale path next to LSH (candidate pruning) and IVF (scan pruning):
+    * 64 floats compress to 4 codebook ids and each candidate costs 4
+    * table lookups instead of 64 multiplies. Registered with iters = 0
+    * (seed codebooks) so the ENTIRE train→encode→ADC-search pipeline is
+    * replayed and hash-checked by the DuckDB oracle; the iterative
+    * codebook build stays covered by ProductQuantizerSpec (same
+    * convention as q_ivf_ann / q_ivf_ann_iter).
+    */
+  val qPqAnn: Q = Q(
+    "q_pq_ann",
+    Some(pqOracleSql(m = 4, k = 4, subDim = 16, nQ = 10, topK = 5)),
+    (s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cb = graft.similarity.ProductQuantizer.train(corpus, dim = 64, m = 4, k = 4, iters = 0)
+      val encoded = graft.similarity.ProductQuantizer.encode(corpus, cb)
+      graft.similarity.ProductQuantizer.adcTopK(encoded, queries, cb, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    })
+
   override def queries: Seq[Q] =
-    Seq(qEmbedNorms, qCosineTopk, qLshAnn, qIvfAnn, qIvfAnnIter, qEmbedCentroids)
+    Seq(qEmbedNorms, qCosineTopk, qLshAnn, qIvfAnn, qIvfAnnIter, qEmbedCentroids,
+      qPqAnn)
 }
