@@ -1546,6 +1546,51 @@ object PipelineQ extends QueryPack {
         .orderBy(col("o_orderkey"))
     })
 
+  /** In-engine quality-classifier training
+    * ([[graft.operators.LogisticRegression]]): fit P(lang = 'en') from
+    * two text-stat features by 5 full-batch gradient sweeps — each sweep
+    * is ONE distributed aggregation (map-side partial sums), the driver
+    * carries only the 3 coefficients, the CCNet-style pattern of
+    * training the quality filter inside the data engine. The oracle
+    * replays the identical unrolled sweeps in SQL
+    * ([[graft.operators.LogisticRegression.unrolledSql]], all-DOUBLE
+    * arithmetic in the same order), so the fitted coefficients
+    * hash-match at 1e-6.
+    */
+  val qLogregQuality: Q = Q(
+    "q_logreg_quality", {
+      val dataSql =
+        """SELECT CAST(1.0 AS DOUBLE) AS x0,
+                  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE)
+                    / CAST(100.0 AS DOUBLE) AS x1,
+                  CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS x2,
+                  CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END AS y
+           FROM documents"""
+      val fit = graft.operators.LogisticRegression.unrolledSql(
+        dataSql, p = 3, lr = 0.5, iterations = 5)
+      Some(s"""WITH fit AS ($fit)
+               SELECT CAST(fidx AS BIGINT) AS fidx, round(beta * 1e6) / 1e6 AS beta
+               FROM fit ORDER BY fidx""")
+    },
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val beta = graft.operators.LogisticRegression.train(
+        d,
+        features = Seq(
+          lit(1.0),
+          size(tokens(col("text"))).cast("double") / lit(100.0).cast("double"),
+          col("n_chars").cast("double") / lit(1000.0).cast("double")),
+        label = when(col("lang") === "en", 1.0).otherwise(0.0),
+        lr = 0.5, iterations = 5)
+      beta.zipWithIndex
+        .map { case (b, j) => (j.toLong, b) }.toSeq
+        .toDF("fidx", "beta")
+        .select(col("fidx"), (round(col("beta") * 1e6) / 1e6).as("beta"))
+        .orderBy(col("fidx"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1554,5 +1599,5 @@ object PipelineQ extends QueryPack {
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
-    qPagerank, qNtileBucket)
+    qPagerank, qNtileBucket, qLogregQuality)
 }
