@@ -1591,6 +1591,134 @@ object PipelineQ extends QueryPack {
         .orderBy(col("fidx"))
     })
 
+  /** Market-basket co-occurrence: part pairs bought together in ≥ 3
+    * orders, with lift against independence. The pair generation
+    * self-joins WITHIN each order (baskets average ~4 items, so pair
+    * count is Σ k²/2 per basket — linear-ish in rows, never corpus²);
+    * the per-item totals broadcast into the lift computation. The same
+    * shape computes token co-occurrence / PMI at corpus scale
+    * (q_pmi_bigrams is the adjacent-token variant; this is the
+    * within-container variant).
+    */
+  val qCopurchase: Q = Q(
+    "q_copurchase",
+    Some("""WITH items AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM lineitem),
+            freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
+            pairs AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     CAST(count(*) AS BIGINT) AS n_both
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 3)
+            SELECT p.part_a, p.part_b, p.n_both,
+                   round((p.n_both * n.n_orders) * 1e6
+                         / (fa.n * CAST(fb.n AS DOUBLE))) / 1e6 AS lift
+            FROM pairs p
+            JOIN freq fa ON fa.l_partkey = p.part_a
+            JOIN freq fb ON fb.l_partkey = p.part_b
+            CROSS JOIN n
+            ORDER BY part_a, part_b"""),
+    (s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(true) // three consumers: pair join (both sides) + totals
+      val nOrders = items.select(countDistinct(col("l_orderkey")).cast("double").as("n_orders"))
+      val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val pairs = a.join(b, Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 3)
+      pairs
+        .join(broadcast(freq.select(col("l_partkey").as("part_a"), col("n").as("fa"))), Seq("part_a"))
+        .join(broadcast(freq.select(col("l_partkey").as("part_b"), col("n").as("fb"))), Seq("part_b"))
+        .crossJoin(broadcast(nOrders))
+        .select(
+          col("part_a"), col("part_b"), col("n_both"),
+          (round((col("n_both") * col("n_orders")) * 1e6
+            / (col("fa") * col("fb").cast("double"))) / 1e6).as("lift"))
+        .orderBy(col("part_a"), col("part_b"))
+    })
+
+  /** Table profile ([[graft.operators.Profile]]): nulls / exact distinct
+    * / lexical min-max for five lineitem columns in ONE scan (the
+    * unpivot to per-column rows happens on the single aggregated row).
+    * Values min/max AS STRINGS — cast-then-compare spelled identically
+    * in the oracle so heterogeneous types share one output schema.
+    */
+  val qProfile: Q = Q(
+    "q_profile", {
+      val cols = Seq("l_orderkey", "l_returnflag", "l_shipdate", "l_quantity", "l_suppkey")
+      Some(cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                   min(CAST($c AS VARCHAR)) AS min_s,
+                   max(CAST($c AS VARCHAR)) AS max_s
+            FROM lineitem"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+    },
+    (s, dir) =>
+      graft.operators.Profile.table(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_returnflag", "l_shipdate", "l_quantity", "l_suppkey"))
+        .orderBy(col("col_name")))
+
+  /** Snapshot diff ([[graft.operators.TableDiff]]): classify keys as
+    * added / removed / changed between orders and a deterministically
+    * simulated next release (drop every 97th key, reprice every 31st,
+    * re-key every 53rd as new) — one full outer join with struct-packed
+    * payloads and a null-safe `<=>` change test. The oracle replays the
+    * same simulation and FULL OUTER JOIN with IS DISTINCT FROM.
+    */
+  val qTableDiff: Q = Q(
+    "q_table_diff",
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+            a AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 31 = 0
+                          THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                          ELSE o_totalprice END AS o_totalprice
+              FROM o WHERE o_orderkey % 97 <> 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+              FROM o WHERE o_orderkey % 53 = 0),
+            j AS (
+              SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+                     CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                          WHEN a.o_orderkey IS NULL THEN 'removed'
+                          WHEN b.o_custkey IS DISTINCT FROM a.o_custkey
+                            OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+                          THEN 'changed' END AS status,
+                     b.o_totalprice AS pb, a.o_totalprice AS pa
+              FROM o b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+            SELECT status, o_orderkey,
+                   round(pb * 100) / 100 AS price_before,
+                   round(pa * 100) / 100 AS price_after
+            FROM j WHERE status IS NOT NULL ORDER BY o_orderkey, status"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val kept = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 31 === 0, col("o_totalprice") * lit(1.1))
+            .otherwise(col("o_totalprice")))
+      val added = o.filter(col("o_orderkey") % 53 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      val after = kept.unionByName(added)
+      graft.operators.TableDiff.diff(o, after, Seq("o_orderkey"))
+        .select(
+          col("status"), col("o_orderkey"),
+          (round(col("before.o_totalprice") * 100) / 100).as("price_before"),
+          (round(col("after.o_totalprice") * 100) / 100).as("price_after"))
+        .orderBy(col("o_orderkey"), col("status"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1599,5 +1727,6 @@ object PipelineQ extends QueryPack {
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
-    qPagerank, qNtileBucket, qLogregQuality)
+    qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
+    qTableDiff)
 }
