@@ -1719,6 +1719,47 @@ object PipelineQ extends QueryPack {
         .orderBy(col("o_orderkey"), col("status"))
     })
 
+  /** Declarative data-quality suite ([[graft.operators.DataChecks]]):
+    * PK uniqueness, FK orphans (anti-join), accepted values, and a range
+    * rule — each reduced to a violation count; `quantity_le_49` is
+    * deliberately failing (TPC-H quantities reach 50) so the report
+    * shape under violations is exercised, not just the all-zero row.
+    */
+  val qDataTests: Q = Q(
+    "q_data_tests",
+    Some("""SELECT 'fk_orders_customer' AS rule, CAST(count(*) AS BIGINT) AS n_violations
+            FROM orders o WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'nonneg_price', CAST(sum(CASE WHEN NOT coalesce(o_totalprice >= 0, false)
+                                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'quantity_le_49', CAST(sum(CASE WHEN NOT coalesce(l_quantity <= 49, false)
+                                                   THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'status_accepted', CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), false)
+                                                    THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'unique_orderkey', CAST(coalesce(sum(n), 0) AS BIGINT)
+            FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1) t
+            ORDER BY rule"""),
+    (s, dir) => {
+      import graft.operators.DataChecks._
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val li = t(s, dir, "lineitem")
+      run(Seq(
+        Unique("unique_orderkey", o, Seq("o_orderkey")),
+        RefersTo("fk_orders_customer", o, "o_custkey", c, "c_custkey"),
+        Holds("status_accepted", o, col("o_orderstatus").isin("O", "F", "P")),
+        Holds("nonneg_price", o, col("o_totalprice") >= 0),
+        Holds("quantity_le_49", li, col("l_quantity") <= 49)))
+        .orderBy(col("rule"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1728,5 +1769,5 @@ object PipelineQ extends QueryPack {
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
     qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
-    qTableDiff)
+    qTableDiff, qDataTests)
 }
