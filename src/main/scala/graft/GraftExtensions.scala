@@ -11,13 +11,17 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   * [[GraftExtensions.install]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[graft.functions.FloatVecDot].getName, name),
         builder))
     }
+    // Expression-level optimizations Catalyst can't infer for opaque
+    // scalars (see each rule's soundness note).
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPruning)
+  }
 }
 
 object GraftExtensions {
