@@ -1760,6 +1760,69 @@ object PipelineQ extends QueryPack {
         .orderBy(col("rule"))
     })
 
+  /** Incremental aggregate maintenance: yesterday's materialized rollup
+    * merges with today's delta WITHOUT rescanning history — counts and
+    * sums are mergeable state, avg re-derives from them (never average
+    * the averages). At 100 TB this is the difference between a nightly
+    * full scan and touching only the new partition. The oracle computes
+    * the same rollup from scratch over everything, so the merge path is
+    * proven equivalent to recomputation.
+    */
+  val qIncrementalAgg: Q = Q(
+    "q_incremental_agg",
+    Some("""SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice) * 100) / 100 AS total,
+                   round((sum(o_totalprice) / count(*)) * 100) / 100 AS avg_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+      val history = rollup(o.filter(col("o_orderdate") < "1998-01-01")) // materialized
+      val delta = rollup(o.filter(col("o_orderdate") >= "1998-01-01"))  // today's batch
+      history.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).cast("long").as("n"), sum(col("total")).as("total"))
+        .select(
+          col("o_orderpriority"), col("n"),
+          (round(col("total") * 100) / 100).as("total"),
+          (round((col("total") / col("n")) * 100) / 100).as("avg_price"))
+        .orderBy(col("o_orderpriority"))
+    })
+
+  /** Deterministic per-group mode: the most frequent language per corpus
+    * source, ties broken on the smaller value — spelled as an explicit
+    * (count DESC, value ASC) argmax in BOTH engines because native
+    * `mode()` tie-breaks are engine-arbitrary (the reproducibility trap
+    * in any cross-engine migration).
+    */
+  val qModeStat: Q = Q(
+    "q_mode_stat",
+    Some("""WITH c AS (
+              SELECT source, lang, count(*) AS n
+              FROM documents GROUP BY 1, 2),
+            r AS (
+              SELECT source, lang, n,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n DESC, lang) AS rn
+              FROM c)
+            SELECT source, lang AS mode_value, CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1 ORDER BY source"""),
+    (s, dir) => {
+      val c = docs(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("lang").asc)
+      c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("mode_value"),
+          col("n").cast("long").as("n"))
+        .orderBy(col("source"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1769,5 +1832,5 @@ object PipelineQ extends QueryPack {
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
     qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
-    qTableDiff, qDataTests)
+    qTableDiff, qDataTests, qIncrementalAgg, qModeStat)
 }
