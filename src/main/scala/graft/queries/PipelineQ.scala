@@ -1657,7 +1657,7 @@ object PipelineQ extends QueryPack {
         s"""SELECT '$c' AS col_name,
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
-                   CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                   CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
                    min(CAST($c AS VARCHAR)) AS min_s,
                    max(CAST($c AS VARCHAR)) AS max_s
             FROM lineitem"""

@@ -22,10 +22,11 @@ class ProfileDiffSpec extends SparkSpec {
     assert(rows("s") === ((4L, 1L, 2L, "a", "b")))
   }
 
-  test("Profile runs as one aggregation over one scan") {
+  test("Profile runs as one melted scan, never a per-column UNION") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
     val plan = Profile.table(df, Seq("k", "s")).queryExecution.executedPlan.toString
     assert(!plan.contains("Union"), "per-column UNION would rescan the table per column")
+    assert(plan.contains("Generate"), "metrics should aggregate over the melted (col, value) rows")
   }
 
   test("TableDiff classifies added / removed / changed and drops unchanged") {
