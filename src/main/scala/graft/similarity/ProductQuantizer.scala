@@ -124,6 +124,48 @@ object ProductQuantizer {
       .select(col("q_id"), col("vec_id"), col("adc_dist"), col("rank"))
   }
 
+  /** Persist a PQ index: `<path>/codebooks` (subspace, cid, centroid)
+    * and `<path>/codes` (vec_id, codes) — the compressed corpus is what
+    * serving scans, 32× smaller than the float table; codebooks are a
+    * tiny dimension table. Build once (train on a sample at scale),
+    * probe many.
+    */
+  def writePqIndex(
+      corpus: DataFrame, path: String, dim: Int, m: Int, k: Int, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cached = corpus.cache()
+    val cb = train(cached, dim, m, k, iters)
+    cb.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, cid) => (s, cid, c.toSeq) }
+    }.toSeq.toDF("subspace", "cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    encode(cached, cb)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cached.unpersist(blocking = false)
+  }
+
+  /** Load the codebooks of a persisted index back into driver form. */
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession, path: String): Codebooks = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace"), col("cid"), col("centroid").cast("array<float>"))
+      .as[(Int, Int, Array[Float])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+      .toArray
+  }
+
+  /** Probe a persisted PQ index: ADC over the stored codes — the float
+    * corpus is never read on the serving path (pass it separately to
+    * [[adcTopKRerank]] when exact re-ranking is wanted).
+    */
+  def probePqIndex(path: String, queries: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = readCodebooks(spark, path)
+    adcTopK(spark.read.parquet(s"$path/codes"), queries, cb, k)
+  }
+
   /** The production serving shape: ADC retrieves a `shortlist`-sized
     * candidate set from the compressed table (cheap, lossy), then ONLY
     * the shortlist's float vectors are fetched and exactly re-ranked —

@@ -117,6 +117,21 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(rRerank >= 0.8, f"rerank recall@10 $rRerank%.2f below 0.8")
   }
 
+  test("persisted index round-trips: probe equals in-memory ADC") {
+    val path = s"/tmp/graft-pq-index-${System.nanoTime()}"
+    ProductQuantizer.writePqIndex(clustered, path, dim, m = 4, k = 8, iters = 1)
+    val queries = clustered.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cb = ProductQuantizer.readCodebooks(spark, path)
+    val inMem = ProductQuantizer.adcTopK(
+      ProductQuantizer.encode(clustered, cb), queries, cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val probed = ProductQuantizer.probePqIndex(path, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(probed === inMem)
+    assert(probed.nonEmpty)
+  }
+
   test("ADC distance equals exact distance when codebooks memorize the corpus") {
     // k >= corpus size and 1 Lloyd sweep: every vector sits in its own
     // cell (or shares one with an identical vector), so the quantized
