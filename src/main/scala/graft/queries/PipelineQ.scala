@@ -1823,6 +1823,56 @@ object PipelineQ extends QueryPack {
         .orderBy(col("source"))
     })
 
+  /** MAD-based robust outliers — the median-absolute-deviation
+    * complement to q_zscore_anomaly's mean/σ (which a single extreme
+    * value can drag; the MAD breaks down only at 50% contamination).
+    * Two grouped exact medians (interpolating `percentile` ≙ DuckDB
+    * `median`), group stats broadcast back, and the outlier threshold
+    * compares the 1e-6-ROUNDED robust z on both engines so a last-ulp
+    * divergence can't flip a row's membership.
+    */
+  val qMadAnomaly: Q = Q(
+    "q_mad_anomaly",
+    Some("""WITH med AS (
+              SELECT l_returnflag, median(l_extendedprice) AS med
+              FROM lineitem GROUP BY 1),
+            dev AS (
+              SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS adev
+              FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+            mad AS (
+              SELECT l_returnflag, median(adev) AS mad FROM dev GROUP BY 1)
+            SELECT d.l_returnflag,
+                   round(m.med * 100) / 100 AS med,
+                   round(x.mad * 100) / 100 AS mad,
+                   CAST(sum(CASE WHEN round(0.6745 * d.adev / x.mad * 1e6) / 1e6 > 3.5
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev d
+            JOIN med m ON m.l_returnflag = d.l_returnflag
+            JOIN mad x ON x.l_returnflag = d.l_returnflag
+            GROUP BY d.l_returnflag, m.med, x.mad
+            ORDER BY d.l_returnflag"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("med"),
+          abs(col("l_extendedprice") - col("med")).as("adev"))
+      val mad = dev.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("med"), col("mad"))
+        .agg(sum(
+          when((round(lit(0.6745) * col("adev") / col("mad") * 1e6) / 1e6) > 3.5, 1L)
+            .otherwise(0L)).cast("long").as("n_outliers"))
+        .select(
+          col("l_returnflag"),
+          (round(col("med") * 100) / 100).as("med"),
+          (round(col("mad") * 100) / 100).as("mad"),
+          col("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1832,5 +1882,5 @@ object PipelineQ extends QueryPack {
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
     qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
-    qTableDiff, qDataTests, qIncrementalAgg, qModeStat)
+    qTableDiff, qDataTests, qIncrementalAgg, qModeStat, qMadAnomaly)
 }
