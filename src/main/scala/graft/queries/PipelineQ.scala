@@ -1873,6 +1873,103 @@ object PipelineQ extends QueryPack {
         .orderBy(col("l_returnflag"))
     })
 
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent preceding non-purchase touch (click/view/error), resolved
+    * with the same `last(_, ignoreNulls)` frame as q_locf — one shuffle
+    * on user_id, no self-join on time — then revenue rolls up per
+    * touch channel.
+    */
+  val qAttribution: Q = Q(
+    "q_attribution",
+    Some("""WITH tagged AS (
+              SELECT user_id, event_type, value, epoch_us(ts) AS t, event_id,
+                     last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+              FROM events)
+            SELECT coalesce(touch, 'none') AS touch,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   round(sum(value) * 100) / 100 AS revenue
+            FROM tagged WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY touch"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touch = last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w)
+      t(s, dir, "events")
+        .withColumn("touch", touch)
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+        .agg(
+          count(lit(1)).cast("long").as("n_purchases"),
+          (round(sum(col("value")) * 100) / 100).as("revenue"))
+        .orderBy(col("touch"))
+    })
+
+  /** CDC changelog application — the consumer side of q_table_diff's
+    * producer: a deterministic (op, key, payload) changelog derived from
+    * orders (D for every 89th key, U repricing every 41st, I for new
+    * keys) applies onto the snapshot as ONE plan: latest op per key wins
+    * (here the log has one op per key; the row_number idiom is what
+    * makes real multi-op logs converge), deletes anti-join out, upserts
+    * full-outer-merge in. No per-row driver logic — the 100 TB CDC merge
+    * is a join, not a loop.
+    */
+  val qCdcApply: Q = Q(
+    "q_cdc_apply",
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+            log AS (
+              SELECT 'D' AS op, o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice
+              FROM o WHERE o_orderkey % 89 = 0
+              UNION ALL
+              SELECT 'U', o_orderkey, o_totalprice * CAST(0.9 AS DOUBLE)
+              FROM o WHERE o_orderkey % 41 = 0 AND o_orderkey % 89 <> 0
+              UNION ALL
+              SELECT 'I', o_orderkey + 200000000, CAST(42.0 AS DOUBLE)
+              FROM o WHERE o_orderkey % 67 = 0),
+            applied AS (
+              SELECT coalesce(l.o_orderkey, s.o_orderkey) AS o_orderkey,
+                     CASE WHEN l.op IS NULL THEN s.o_totalprice
+                          ELSE l.o_totalprice END AS o_totalprice,
+                     l.op
+              FROM o s FULL OUTER JOIN log l ON s.o_orderkey = l.o_orderkey
+              WHERE l.op IS NULL OR l.op <> 'D')
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(o_totalprice) * 100) / 100 AS total,
+                   CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+                   CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+            FROM applied"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val log = o.filter(col("o_orderkey") % 89 === 0)
+        .select(lit("D").as("op"), col("o_orderkey"),
+          lit(null).cast("double").as("p_new"))
+        .unionByName(
+          o.filter(col("o_orderkey") % 41 === 0 && col("o_orderkey") % 89 =!= 0)
+            .select(lit("U").as("op"), col("o_orderkey"),
+              (col("o_totalprice") * lit(0.9)).as("p_new")))
+        .unionByName(
+          o.filter(col("o_orderkey") % 67 === 0)
+            .select(lit("I").as("op"), (col("o_orderkey") + 200000000L).as("o_orderkey"),
+              lit(42.0).as("p_new")))
+      val applied = o
+        .join(log, Seq("o_orderkey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(
+          col("o_orderkey"),
+          when(col("op").isNull, col("o_totalprice")).otherwise(col("p_new"))
+            .as("o_totalprice"),
+          col("op"))
+      applied.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        (round(sum(col("o_totalprice")) * 100) / 100).as("total"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).cast("long").as("n_updated"),
+        sum(when(col("op") === "I", 1L).otherwise(0L)).cast("long").as("n_inserted"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1882,5 +1979,6 @@ object PipelineQ extends QueryPack {
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
     qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
-    qTableDiff, qDataTests, qIncrementalAgg, qModeStat, qMadAnomaly)
+    qTableDiff, qDataTests, qIncrementalAgg, qModeStat, qMadAnomaly,
+    qAttribution, qCdcApply)
 }
