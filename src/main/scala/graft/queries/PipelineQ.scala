@@ -1970,6 +1970,69 @@ object PipelineQ extends QueryPack {
         sum(when(col("op") === "I", 1L).otherwise(0L)).cast("long").as("n_inserted"))
     })
 
+  /** Equi-DEPTH histogram (quantile buckets): ntile(8) over a total
+    * order splits rows into equal-count buckets whose bounds ARE the
+    * octiles — the optimizer-statistics shape, vs q_histogram's
+    * equal-WIDTH bins. The total order includes the keys so bucket
+    * boundaries are deterministic under duplicate prices. Scale note:
+    * a global ntile is a single-partition sort, fine at the gate SFs
+    * and exactly hash-checkable; at the 100 TB grain compute the 7
+    * boundary quantiles first (one aggregation) and range-bucket by
+    * comparison — same histogram, no global sort, at the cost of
+    * FP-boundary ties no cross-engine hash gate can pin down.
+    */
+  val qHistogramDepth: Q = Q(
+    "q_histogram_depth",
+    Some("""WITH b AS (
+              SELECT l_extendedprice,
+                     ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+              FROM lineitem)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(min(l_extendedprice) * 100) / 100 AS lo,
+                   round(max(l_extendedprice) * 100) / 100 AS hi
+            FROM b GROUP BY bucket ORDER BY bucket"""),
+    (s, dir) => {
+      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_extendedprice"), ntile(8).over(w).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          (round(min(col("l_extendedprice")) * 100) / 100).as("lo"),
+          (round(max(col("l_extendedprice")) * 100) / 100).as("hi"))
+        .orderBy(col("bucket"))
+    })
+
+  /** Month-over-month revenue growth: one monthly rollup, then lag() on
+    * the (tiny) month frame — the trend query every dashboard runs;
+    * growth is null for the first month, spelled with the same guarded
+    * division in both engines.
+    */
+  val qMomGrowth: Q = Q(
+    "q_mom_growth",
+    Some("""WITH m AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     sum(o_totalprice) AS revenue
+              FROM orders GROUP BY 1)
+            SELECT CAST(month AS DATE) AS month,
+                   round(revenue * 100) / 100 AS revenue,
+                   round((revenue - lag(revenue) OVER (ORDER BY month)) * 1e6
+                         / lag(revenue) OVER (ORDER BY month)) / 1e6 AS mom_growth
+            FROM m ORDER BY month"""),
+    (s, dir) => {
+      val w = Window.orderBy(col("month"))
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(col("o_totalprice")).as("revenue"))
+        .select(
+          col("month"),
+          (round(col("revenue") * 100) / 100).as("revenue"),
+          (round((col("revenue") - lag(col("revenue"), 1).over(w)) * 1e6
+            / lag(col("revenue"), 1).over(w)) / 1e6).as("mom_growth"))
+        .orderBy(col("month"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -1980,5 +2043,5 @@ object PipelineQ extends QueryPack {
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
     qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
     qTableDiff, qDataTests, qIncrementalAgg, qModeStat, qMadAnomaly,
-    qAttribution, qCdcApply)
+    qAttribution, qCdcApply, qHistogramDepth, qMomGrowth)
 }
