@@ -2033,6 +2033,27 @@ object PipelineQ extends QueryPack {
         .orderBy(col("month"))
     })
 
+  /** k-anonymity audit — the privacy gate next to q_pii_redact's
+    * scrubber: group by the quasi-identifier tuple, report every group
+    * whose population is below k (those rows re-identify individuals
+    * and must be suppressed or generalized before release). One
+    * aggregation on the QI key, violations-only output.
+    */
+  val qKAnonymity: Q = Q(
+    "q_k_anonymity",
+    Some("""WITH g AS (
+              SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+              FROM customer GROUP BY 1, 2)
+            SELECT c_nationkey, c_mktsegment, n
+            FROM g WHERE n < 8
+            ORDER BY c_nationkey, c_mktsegment"""),
+    (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .filter(col("n") < 8)
+        .orderBy(col("c_nationkey"), col("c_mktsegment")))
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -2043,5 +2064,5 @@ object PipelineQ extends QueryPack {
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
     qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
     qTableDiff, qDataTests, qIncrementalAgg, qModeStat, qMadAnomaly,
-    qAttribution, qCdcApply, qHistogramDepth, qMomGrowth)
+    qAttribution, qCdcApply, qHistogramDepth, qMomGrowth, qKAnonymity)
 }
