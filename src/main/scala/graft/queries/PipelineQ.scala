@@ -2054,6 +2054,83 @@ object PipelineQ extends QueryPack {
         .filter(col("n") < 8)
         .orderBy(col("c_nationkey"), col("c_mktsegment")))
 
+  /** Chunk → reassemble round trip: non-overlapping 200-char windows
+    * (q_chunk_text's 150-stride windows overlap and can't reassemble by
+    * concat) rebuilt with an ordered in-group concatenation and compared
+    * to the original text — the self-validating form of the chunking
+    * stage every RAG/teacher pipeline runs before trusting its splits.
+    */
+  val qChunkRoundtrip: Q = Q(
+    "q_chunk_roundtrip",
+    Some("""WITH kk AS (SELECT doc_id, text,
+                   greatest(0, CAST(ceil((length(text) - 200) / 200.0) AS BIGINT)) AS k
+                 FROM documents),
+            ch AS (SELECT doc_id,
+                   unnest([{'idx': i, 'st': 1 + 200 * i} FOR i IN range(0, k + 1)]) AS u,
+                   text FROM kk),
+            parts AS (SELECT doc_id, CAST(u.idx AS BIGINT) AS idx,
+                             substring(text, CAST(u.st AS INT), 200) AS piece
+                      FROM ch),
+            re AS (SELECT doc_id, string_agg(piece, '' ORDER BY idx) AS rebuilt
+                   FROM parts GROUP BY doc_id)
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN r.rebuilt = d.text THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+            FROM documents d JOIN re r ON r.doc_id = d.doc_id
+            GROUP BY d.source ORDER BY d.source"""),
+    (s, dir) => {
+      val d = docs(s, dir)
+      val k = greatest(lit(0L), ceil((length(col("text")) - 200) / 200.0).cast("long"))
+      val starts = transform(sequence(lit(0L), k), i => lit(1L) + lit(200L) * i)
+      val parts = d
+        .select(col("doc_id"), col("text"), posexplode(starts).as(Seq("idx", "st")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          col("text").substr(col("st").cast("int"), lit(200)).as("piece"))
+      val re = parts
+        .groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(struct(col("idx"), col("piece")))),
+            x => x.getField("piece")), "").as("rebuilt"))
+      d.join(re, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("rebuilt") === col("text"), 1L).otherwise(0L))
+            .cast("long").as("n_exact"))
+        .orderBy(col("source"))
+    })
+
+  /** Incremental ingestion dedup — the production shape: a NEW batch
+    * (every 10th doc) checks its content hash against the EXISTING
+    * corpus's distinct-hash side before admission; only the new batch
+    * is hashed+joined, the corpus contributes a distinct-hash frame
+    * (vocabulary-of-hashes sized, not corpus sized). Complements
+    * q_dedup_exact's whole-corpus pass.
+    */
+  val qDedupIncremental: Q = Q(
+    "q_dedup_incremental",
+    Some("""WITH corpus AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+            newb AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 10 = 0),
+            chash AS (SELECT DISTINCT md5(text) AS h FROM corpus)
+            SELECT n.source,
+                   CAST(count(*) AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+            FROM newb n LEFT JOIN chash c ON md5(n.text) = c.h
+            GROUP BY n.source ORDER BY n.source"""),
+    (s, dir) => {
+      val d = docs(s, dir)
+      val corpusHashes = d.filter(col("doc_id") % 10 =!= 0)
+        .select(md5(col("text").cast("binary")).as("h")).distinct()
+      d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
+        .join(corpusHashes.withColumn("hit", lit(1)), Seq("h"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_new"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).cast("long").as("n_rejected"))
+        .orderBy(col("source"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -2064,5 +2141,6 @@ object PipelineQ extends QueryPack {
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
     qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
     qTableDiff, qDataTests, qIncrementalAgg, qModeStat, qMadAnomaly,
-    qAttribution, qCdcApply, qHistogramDepth, qMomGrowth, qKAnonymity)
+    qAttribution, qCdcApply, qHistogramDepth, qMomGrowth, qKAnonymity,
+    qChunkRoundtrip, qDedupIncremental)
 }
