@@ -2131,6 +2131,81 @@ object PipelineQ extends QueryPack {
         .orderBy(col("source"))
     })
 
+  /** Shingle CONTAINMENT (|A∩B| / min(|A|,|B|)) — the asymmetric
+    * near-dup score: Jaccard under-reports when a small doc is wholly
+    * embedded in a large one (boilerplate inclusion, quote-expansion);
+    * containment hits 1.0 exactly there. Same candidate-bounded pair
+    * shape as q_ngram_jaccard, different normalizer.
+    */
+  val qNgramContainment: Q = Q(
+    "q_ngram_containment",
+    Some("""WITH sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                [substring(text, i, 3) FOR i IN range(1, length(text) - 1)])) AS s
+              FROM documents WHERE doc_id < 100 AND length(text) >= 3),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, round(c * 1e6 / least(sa.n, sb.n)) / 1e6 AS containment
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE round(c * 1e6 / least(sa.n, sb.n)) / 1e6 >= 0.7
+            ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .filter(col("doc_id") < 100 && length(col("text")) >= 3)
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val inter = a
+        .join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      val cont = round(col("c") * lit(1e6) / least(col("na"), col("nb"))) / 1e6
+      inter
+        .join(broadcast(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), Seq("doc_a"))
+        .join(broadcast(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), Seq("doc_b"))
+        .filter(cont >= 0.7)
+        .select(col("doc_a"), col("doc_b"), cont.as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+
+  /** Winsorized mean per group: clip at the exact [p10, p90] octile
+    * bounds, then average — the robust location estimate that keeps
+    * every row (vs trimming) while bounding outlier leverage. Exact
+    * interpolating percentiles (≙ DuckDB quantile_cont) broadcast back
+    * onto the rows; the clip is a pure map.
+    */
+  val qWinsorMean: Q = Q(
+    "q_winsor_mean",
+    Some("""WITH b AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.1) AS lo,
+                     quantile_cont(l_extendedprice, 0.9) AS hi
+              FROM lineitem GROUP BY 1)
+            SELECT l.l_returnflag,
+                   round(avg(least(greatest(l.l_extendedprice, b.lo), b.hi)) * 1e6) / 1e6 AS wmean,
+                   round(avg(l.l_extendedprice) * 1e6) / 1e6 AS mean
+            FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+            GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val b = li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.1)").as("lo"),
+          expr("percentile(l_extendedprice, 0.9)").as("hi"))
+      li.join(broadcast(b), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (round(avg(least(greatest(col("l_extendedprice"), col("lo")), col("hi"))) * 1e6) / 1e6)
+            .as("wmean"),
+          (round(avg(col("l_extendedprice")) * 1e6) / 1e6).as("mean"))
+        .orderBy(col("l_returnflag"))
+    })
+
   override def queries: Seq[Q] = Seq(
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
@@ -2142,5 +2217,5 @@ object PipelineQ extends QueryPack {
     qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
     qTableDiff, qDataTests, qIncrementalAgg, qModeStat, qMadAnomaly,
     qAttribution, qCdcApply, qHistogramDepth, qMomGrowth, qKAnonymity,
-    qChunkRoundtrip, qDedupIncremental)
+    qChunkRoundtrip, qDedupIncremental, qNgramContainment, qWinsorMean)
 }
