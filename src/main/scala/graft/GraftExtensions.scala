@@ -12,10 +12,10 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GraftExtensions.functions.foreach { case (name, builder) =>
+    GraftExtensions.registrations.foreach { case (name, implClass, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[graft.functions.FloatVecDot].getName, name),
+        new ExpressionInfo(implClass, name),
         builder))
     }
     // Expression-level optimizations Catalyst can't infer for opaque
@@ -25,13 +25,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "float_vec_dot" -> ((exprs: Seq[Expression]) =>
-      graft.functions.FloatVecDot(exprs(0), exprs(1))),
-    "float_vec_sqdist" -> ((exprs: Seq[Expression]) =>
-      graft.functions.FloatVecSqDist(exprs(0), exprs(1))),
-    "jaro_winkler" -> ((exprs: Seq[Expression]) =>
-      graft.functions.JaroWinkler(exprs(0), exprs(1))))
+  /** (SQL name, implementing class for DESCRIBE FUNCTION, builder). */
+  val registrations: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("float_vec_dot", classOf[graft.functions.FloatVecDot].getName,
+      (exprs: Seq[Expression]) => graft.functions.FloatVecDot(exprs(0), exprs(1))),
+    ("float_vec_sqdist", classOf[graft.functions.FloatVecSqDist].getName,
+      (exprs: Seq[Expression]) => graft.functions.FloatVecSqDist(exprs(0), exprs(1))),
+    ("jaro_winkler", classOf[graft.functions.JaroWinkler].getName,
+      (exprs: Seq[Expression]) => graft.functions.JaroWinkler(exprs(0), exprs(1))))
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] =
+    registrations.map { case (name, _, builder) => (name, builder) }
 
   /** Register on an already-built session (temp functions). */
   def install(spark: SparkSession): Unit =

@@ -26,14 +26,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - either side empty -> 0.0; equal strings -> 1.0
   */
 object JaroWinklerImpl {
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code.
+    *
+    * Symbol unit = Unicode CODE POINT (not UTF-16 code unit): the
+    * strings are decoded to code-point arrays up front, so a
+    * supplementary-plane character counts as ONE symbol — the same unit
+    * Catalyst `Length` reports, which is what makes the
+    * [[graft.plans.JaroWinklerLengthPruning]] guard sound for astral
+    * strings. For BMP/ASCII data (the oracle-gated surface) the result
+    * is bit-identical to a char-based implementation.
+    */
   def compute(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
-    if (a == b) return 1.0
+    if (java.util.Arrays.equals(a, b)) return 1.0
 
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val aMatch = new Array[Boolean](la)
@@ -41,12 +50,12 @@ object JaroWinklerImpl {
     var m = 0
     var i = 0
     while (i < la) {
-      val ca = a.charAt(i)
+      val ca = a(i)
       var j = math.max(0, i - window)
       val hi = math.min(i + window + 1, lb)
       var found = false
       while (j < hi && !found) {
-        if (!bMatch(j) && ca == b.charAt(j)) {
+        if (!bMatch(j) && ca == b(j)) {
           aMatch(i) = true; bMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -61,7 +70,7 @@ object JaroWinklerImpl {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) halfT += 1
+        if (a(i) != b(k)) halfT += 1
         k += 1
       }
       i += 1
@@ -73,7 +82,7 @@ object JaroWinklerImpl {
 
     var prefix = 0
     val maxPrefix = math.min(4, math.min(la, lb))
-    while (prefix < maxPrefix && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    while (prefix < maxPrefix && a(prefix) == b(prefix)) prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 }

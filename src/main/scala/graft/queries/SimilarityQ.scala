@@ -150,19 +150,79 @@ object SimilarityQ extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     })
 
-  /** Rows-only twin of q_ivf_ann that keeps the 3-iteration Lloyd build
-    * on the bench: q_ivf_ann pins kmeansIters = 0 for cross-engine
-    * hash-checkability (float mean accumulation order is engine-
-    * internal), which removed the iterative build's cost from the bench
-    * record. This entry restores a round-over-round comparable timing
-    * for the iterative path; correctness of that path stays covered by
-    * SimilaritySpec's recall and full-probe==brute-force tests. Output
-    * (per-query candidate count and rank-1 neighbor) is deterministic
-    * for the driver's rows>0 check.
+  /** DuckDB replay of the ITERATIVE IVF build (3 Lloyd sweeps): an
+    * unrolled CTE chain — per sweep, argmax-assignment against the
+    * previous centroids (same max-struct idiom as q_ivf_ann) then the
+    * per-cell per-dim mean in DOUBLE cast to REAL. The float32 cast is
+    * the key: Spark's [[graft.similarity.CentroidAggregator]] sums in
+    * double and finishes with `(s / n).toFloat`, so both engines land on
+    * the identical float32 centroid regardless of partition-dependent
+    * sum order (double-sum noise ~1e-13 <<< float32 ULP ~6e-8). Cells
+    * that lose all members keep their previous centroid (LEFT JOIN +
+    * COALESCE ≙ the byId.getOrElse fallback).
+    */
+  private def ivfIterOracleSql(
+      nCells: Int, nProbe: Int, iters: Int, nQ: Int, topK: Int): String = {
+    val seed =
+      s"""cent0 AS (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |           embedding AS c_emb,
+         |           ${sqNormSql("embedding")} AS sqn
+         |    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nCells))"""
+        .stripMargin
+    def assignCte(name: String, centName: String): String =
+      s"""$name AS (
+         |    SELECT e.vec_id, e.embedding,
+         |           (max({'s': ${dotSql("e.embedding", "c.c_emb")} - c.sqn / 2, 'cid': c.cid})).cid AS cell
+         |    FROM embeddings e CROSS JOIN $centName c GROUP BY e.vec_id, e.embedding)"""
+        .stripMargin
+    val sweeps = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"cent${i - 1}")},
+         |  u$i AS (
+         |    SELECT cell AS cid, list(CAST(m AS REAL) ORDER BY dim) AS c_emb
+         |    FROM (SELECT t.cell, t.dim, avg(t.v) AS m
+         |          FROM (SELECT cell,
+         |                  unnest([{'dim': i, 'v': CAST(embedding[i] AS DOUBLE)}
+         |                          FOR i IN range(1, len(embedding) + 1)],
+         |                         recursive := true)
+         |                FROM a$i) AS t(cell, dim, v)
+         |          GROUP BY t.cell, t.dim)
+         |    GROUP BY cell),
+         |  cent$i AS (
+         |    SELECT cid, c_emb, ${sqNormSql("c_emb")} AS sqn
+         |    FROM (SELECT p.cid, COALESCE(u.c_emb, p.c_emb) AS c_emb
+         |          FROM cent${i - 1} p LEFT JOIN u$i u ON u.cid = p.cid))"""
+        .stripMargin
+    }
+    s"""WITH $seed,
+       |  ${sweeps.mkString(",\n  ")},
+       |  ${assignCte("afin", s"cent$iters")},
+       |  qprobe AS (
+       |    SELECT q_id, q_emb, cell FROM (
+       |      SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cid AS cell,
+       |             row_number() OVER (PARTITION BY q.vec_id
+       |               ORDER BY (${dotSql("q.embedding", "c.c_emb")} - c.sqn / 2) DESC, c.cid DESC) AS rn
+       |      FROM embeddings q CROSS JOIN cent$iters c WHERE q.vec_id < $nQ)
+       |    WHERE rn <= $nProbe),
+       |  scored AS (
+       |    SELECT p.q_id, a.vec_id, ${cosSql("p.q_emb", "a.embedding")} AS cos
+       |    FROM afin a JOIN qprobe p ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       |  ranked AS (
+       |    SELECT q_id, vec_id, cos,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |    FROM scored)
+       |SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Twin of q_ivf_ann that keeps the 3-iteration Lloyd build on the
+    * bench AND under the hash gate: the oracle unrolls the sweeps as a
+    * generated CTE chain (see [[ivfIterOracleSql]]) exactly like
+    * q_pq_ann / q_pagerank replay their iterative pipelines.
     */
   val qIvfAnnIter: Q = Q(
     "q_ivf_ann_iter",
-    None,
+    Some(ivfIterOracleSql(nCells = 8, nProbe = 3, iters = 3, nQ = 20, topK = 5)),
     (s, dir) => {
       val e = emb(s, dir)
       val queries = e.filter(col("vec_id") < 20)
@@ -170,10 +230,8 @@ object SimilarityQ extends QueryPack {
       Similarity.ivfTopK(
         e.select(col("vec_id"), col("embedding")), queries,
         k = 5, nCells = 8, nProbe = 3, kmeansIters = 3)
-        .groupBy(col("q_id"))
-        .agg(count(lit(1)).as("n_neighbors"),
-          min(when(col("rank") === 1, col("vec_id"))).as("top1"))
-        .orderBy(col("q_id"))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
     })
 
   /** Per-label centroids (mean-pooled embeddings), computed relationally:

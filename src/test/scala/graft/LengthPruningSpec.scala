@@ -72,4 +72,69 @@ class LengthPruningSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("greatest"),
       s"no sound bound exists at t = 0.5, plan must be untouched:\n$plan")
   }
+
+  test("threshold under an OR is NOT guarded (disjunct is not restrictive)") {
+    // `jw >= 0.9 OR a = 'x'` admits rows failing the threshold: a guard
+    // derived from the disjunct would wrongly drop ("x", "completely
+    // different"). The rule must only look at top-level conjuncts.
+    val cond = jaroWinkler(col("a"), col("b")) >= 0.9 || col("a") === "x"
+    val plan = pairs.filter(cond).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("greatest"),
+      s"guard must not be derived from a disjunct:\n$plan")
+    val got = pairs.filter(cond)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("x", "completely different")),
+      "row satisfying the non-JW disjunct must survive")
+    assert(got.contains(("martha", "marhta")))
+  }
+
+  test("negated threshold is NOT guarded") {
+    val cond = !(jaroWinkler(col("a"), col("b")) >= 0.9)
+    val plan = pairs.filter(cond).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("greatest"),
+      s"guard must not be derived under Not:\n$plan")
+    val got = pairs.filter(cond)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("ab", "abcdefghijklmnopqrstuvwxyz")),
+      "length-mismatched pair passes the negated threshold")
+  }
+
+  test("threshold conjunct next to other predicates IS guarded") {
+    val cond = jaroWinkler(col("a"), col("b")) >= 0.9 && length(col("a")) > 1
+    val plan = pairs.filter(cond).queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("greatest"),
+      s"conjunctive threshold must still be guarded:\n$plan")
+  }
+
+  test("the round(jw*1e6)/1e6 ulp-stabilised form is guarded") {
+    val jw = round(jaroWinkler(col("a"), col("b")) * 1e6) / 1e6
+    val plan = pairs.filter(jw >= 0.82).queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("greatest"),
+      s"rounded-comparison shape must trigger the guard:\n$plan")
+    // and soundness: same rows as the kernel on the rounded value
+    val want = pairs.collect().map { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      (a, b, math.round(graft.functions.JaroWinklerImpl.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b)) * 1e6) / 1e6)
+    }.filter(_._3 >= 0.82).map(x => (x._1, x._2)).toSet
+    val got = pairs.filter(jw >= 0.82)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === want)
+  }
+
+  test("guard is sound for supplementary-plane strings (code-point units)") {
+    // 𝕒 (U+1D552) is 2 UTF-16 units but 1 code point; both the kernel
+    // and Catalyst length() count code points, so near-identical astral
+    // strings must survive the guard.
+    val astral = "𝕒𝕓𝕔𝕕𝕖𝕗"
+    val swapped = "𝕒𝕓𝕔𝕕𝕗𝕖"
+    val df = spark.sparkContext.parallelize(Seq((astral, swapped)), 1).toDF("a", "b")
+    val direct = graft.functions.JaroWinklerImpl.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(astral),
+      org.apache.spark.unsafe.types.UTF8String.fromString(swapped))
+    assert(direct >= 0.9, s"fixture should clear the threshold, got $direct")
+    val got = df.filter(jaroWinkler(col("a"), col("b")) >= 0.9).count()
+    assert(got === 1L, "guard must not prune the astral pair")
+  }
 }
