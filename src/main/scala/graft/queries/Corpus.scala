@@ -233,11 +233,15 @@ object Corpus extends QueryPack {
              FROM ranked WHERE rank <= 1000"""),
     (s, dir) => {
       val freq = tok(docs(s, dir)).groupBy(col("term")).agg(count(lit(1)).as("c"))
-      // vocabulary-sized input: the single-partition rank window is over
-      // ≤ |vocab| rows by construction, not corpus rows
+      // top-1000 selection BEFORE ranking: orderBy+limit plans as
+      // TakeOrderedAndProject (per-partition bounded heaps, no global
+      // sort), so the rank window only ever sees ≤ 1000 rows no matter
+      // how large the vocabulary grows — vs ranking the full vocabulary
+      // through one WindowExec task and then filtering.
       val ranked = freq
+        .orderBy(col("c").desc, col("term"))
+        .limit(1000)
         .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("term"))))
-        .filter(col("rank") <= 1000)
       ranked.agg(
         count(lit(1)).as("n_terms"),
         (round(expr("regr_slope(ln(c), ln(rank))") * 1e6) / 1e6).as("zipf_slope"),

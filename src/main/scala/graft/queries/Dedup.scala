@@ -258,12 +258,20 @@ object Dedup extends QueryPack {
                WHERE s.cluster_size > 1
                ORDER BY cluster_id, doc_id""")
     },
-    (s, dir) => clusterRun(s, dir, rounds = 4))
+    // converge-checked: the 4-round oracle is a fixpoint at the gate
+    // SFs (DedupClusterSpec asserts it), so stopping at changed == 0
+    // lands on the identical labels — but a 100× corpus with a longer
+    // similarity chain keeps iterating instead of silently mislabeling
+    (s, dir) => clusterRun(s, dir, maxRounds = 16))
 
-  /** The Spark side of [[qLshClusters]], parameterized on round count so
-    * the spec can assert convergence (rounds vs rounds+1).
+  /** The Spark side of [[qLshClusters]]: builds the doc↔bucket
+    * membership and runs [[propagateLabels]]. `exactRounds` pins the
+    * round count for the spec's fixpoint assertions (rounds vs
+    * rounds+1); the default converges.
     */
-  def clusterRun(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+  def clusterRun(
+      s: SparkSession, dir: String,
+      maxRounds: Int = 16, exactRounds: Option[Int] = None): DataFrame = {
     val d = docs(s, dir)
     val sh = d
       .filter(length(col("text")) >= 3)
@@ -275,14 +283,43 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), explode(array(
         concat_ws("_", lit("0"), col("sig0"), col("sig1")),
         concat_ws("_", lit("1"), col("sig2"), col("sig3")))).as("bkey"))
+    val labels = propagateLabels(mAll, maxRounds, exactRounds)._1
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** Connected components over a (doc_id, bkey) bipartite membership via
+    * min-label propagation WITH pointer jumping, iterated to
+    * CONVERGENCE: each round (a) pulls the min label through buckets
+    * (one hop) and (b) path-compresses (label := label's label), so
+    * reachable distance roughly doubles per round. The driver stops at
+    * the first round that changes no label — one cheap `count` per
+    * round on the candidate frame — with `maxRounds` as a safety
+    * backstop (16 doublings cover any plausible component diameter; a
+    * cap hit means the similarity graph is pathological and should be
+    * inspected, so it logs loudly). `exactRounds` disables the
+    * convergence check and runs a pinned number of rounds — the spec
+    * uses it to prove fixpoints and to demonstrate what a fixed cap
+    * mislabels.
+    *
+    * Returns (labels, roundsRun) where roundsRun includes the final
+    * no-change round.
+    */
+  def propagateLabels(
+      membership: DataFrame,
+      maxRounds: Int,
+      exactRounds: Option[Int] = None): (DataFrame, Int) = {
     // Iterate ONLY over docs sharing a non-singleton bucket: a doc whose
     // buckets are all its own can neither change label nor affect any
-    // other doc's, and the final `cluster_size > 1` filter drops it
-    // anyway — so the rounds below are equality-preserving on a
+    // other doc's, and qLshClusters' final `cluster_size > 1` filter
+    // drops it anyway — so the rounds below are equality-preserving on a
     // candidate set that at real corpus scale is a small fraction of
     // the corpus (the oracle runs the same rounds un-restricted; the
     // gate checks the results agree). Materialize it once instead of
-    // re-shingling the corpus on every of the 12 references (the
+    // re-deriving the membership on every of the 12 references (the
     // oracle's AS MATERIALIZED m is the same decision).
     val bucketDocs = Window.partitionBy(col("bkey"))
     // The rounds reference the membership on both keys — doc_id (label
@@ -290,7 +327,7 @@ object Dedup extends QueryPack {
     // PRE-PARTITIONED per key: localCheckpoint preserves the physical
     // partitioning in the LogicalRDD, so none of the rounds re-shuffles
     // the membership side of its joins/aggregations.
-    val mByBkey = mAll
+    val mByBkey = membership
       .withColumn("__n", count(lit(1)).over(bucketDocs))
       .filter(col("__n") > 1)
       .drop("__n")
@@ -298,7 +335,11 @@ object Dedup extends QueryPack {
     val mByDoc = mByBkey.repartition(col("doc_id")).localCheckpoint(true)
     var labels = mByDoc.select(col("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
-    for (round <- 1 to rounds) {
+    val target = exactRounds.getOrElse(maxRounds)
+    var round = 0
+    var converged = false
+    while (round < target && !converged) {
+      round += 1
       // one m ⋈ labels join feeds BOTH the bucket-min and the doc-min
       // aggregation (the naive form joins m against labels twice per
       // round); every candidate doc has a bucket, so no left join needed
@@ -312,20 +353,34 @@ object Dedup extends QueryPack {
       // pointer jumping: label := label's label (labels are doc ids, so
       // the parent row always exists) — distance doubles per round
       val parents = hopped.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
-      labels = hopped.join(parents, hopped("lbl") === parents("p_id"))
+      val next = hopped.join(parents, hopped("lbl") === parents("p_id"))
         .select(hopped("doc_id"), col("p_lbl").as("lbl"))
-      // each round references the previous labels 3×, so lineage grows
-      // exponentially — truncate every second round (~9 subtree copies
-      // between truncations stays cheap to plan; the eager-materialize
-      // barrier is what costs wall time). At cluster scale: a reliable
-      // checkpoint dir instead of executor-local blocks.
-      if (round % 2 == 0 || round == rounds) labels = labels.localCheckpoint(true)
+      if (exactRounds.isEmpty) {
+        // materialize each round (localCheckpoint also truncates the
+        // 3×-per-round lineage growth), then one count for the
+        // convergence check — the round's work is not recomputed.
+        // At cluster scale: a reliable checkpoint dir instead of
+        // executor-local blocks.
+        val mat = next.localCheckpoint(true)
+        val changed = mat
+          .join(labels.withColumnRenamed("lbl", "prev"), Seq("doc_id"))
+          .filter(col("lbl") =!= col("prev"))
+          .count()
+        converged = changed == 0L
+        labels = mat
+      } else {
+        // pinned-rounds path (specs): truncate lineage every second
+        // round — ~9 subtree copies between truncations stays cheap to
+        // plan; the eager-materialize barrier is what costs wall time
+        labels =
+          if (round % 2 == 0 || round == target) next.localCheckpoint(true) else next
+      }
     }
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("lbl"))
-      .filter(col("cluster_size") > 1)
-      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
-      .orderBy(col("cluster_id"), col("doc_id"))
+    if (!converged && exactRounds.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"propagateLabels hit the $maxRounds-round backstop without converging; " +
+          "component diameter exceeds 2^$maxRounds — labels may be non-canonical")
+    (labels, round)
   }
 
   override def queries: Seq[Q] =

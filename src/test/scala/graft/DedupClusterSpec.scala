@@ -1,14 +1,22 @@
 package graft
 
-/** Convergence guard for the LSH min-label clustering: the fixed round
-  * count baked into q_lsh_clusters must already be a fixpoint on the
-  * test corpora — if the graph diameter ever outgrows it, this fails
-  * before the oracle gate does.
+import org.apache.spark.sql.functions._
+
+/** Convergence guards for the LSH min-label clustering.
+  *
+  * The gate query runs [[queries.Dedup.propagateLabels]] to convergence
+  * (driver-side changed==0 check); its oracle unrolls a FIXED 4 rounds.
+  * Gate equality therefore requires 4 rounds to be a fixpoint on the
+  * test corpora — asserted here with pinned `exactRounds` — while the
+  * chain test shows why convergence (not a fixed cap) is the correct
+  * default: a component whose diameter exceeds what 4 pointer-jumping
+  * rounds can reach is silently mislabeled by the fixed-round form and
+  * labeled correctly by the converging one.
   */
 class DedupClusterSpec extends SparkSpec {
 
   private def labelsAt(dir: String, rounds: Int): Map[Long, (Long, Long)] =
-    queries.Dedup.clusterRun(spark, dir, rounds)
+    queries.Dedup.clusterRun(spark, dir, exactRounds = Some(rounds))
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
@@ -20,13 +28,45 @@ class DedupClusterSpec extends SparkSpec {
     assert(r4.nonEmpty, "expected at least one near-dup cluster in the corpus")
   }
 
+  test("converged run equals the 4-round fixpoint at sf0.001") {
+    val conv = queries.Dedup.clusterRun(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(conv === labelsAt("/root/testdata/sf0.001", 4))
+  }
+
   test("clusters are canonical: cluster_id is the min doc_id of the cluster") {
-    val rows = queries.Dedup.clusterRun(spark, "/root/testdata/sf0.001", 4)
+    val rows = queries.Dedup.clusterRun(spark, "/root/testdata/sf0.001")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val byCluster = rows.groupBy(_._2)
     byCluster.foreach { case (cid, members) =>
       assert(members.map(_._1).min === cid)
     }
+  }
+
+  test("a chain longer than the old fixed cap converges to one component") {
+    import spark.implicits._
+    // Path graph of 40 docs: bucket i links docs i and i+1, so the
+    // component diameter is 39 — beyond the ~2^4 reach of the old fixed
+    // 4 rounds, well within the 16-round backstop.
+    val n = 40L
+    val membership = (0L until n - 1)
+      .flatMap(i => Seq((i, s"b$i"), (i + 1, s"b$i")))
+      .toDF("doc_id", "bkey")
+
+    val (fixed4, _) =
+      queries.Dedup.propagateLabels(membership, maxRounds = 4, exactRounds = Some(4))
+    val wrong = fixed4.filter(col("lbl") =!= 0L).count()
+    assert(wrong > 0,
+      "fixture too shallow: 4 fixed rounds already resolve the chain, " +
+        "so it proves nothing about the convergence loop")
+
+    val (converged, rounds) = queries.Dedup.propagateLabels(membership, maxRounds = 16)
+    assert(converged.filter(col("lbl") =!= 0L).count() === 0L,
+      "every doc in the chain must collapse to the min label 0")
+    assert(rounds > 4 && rounds <= 16,
+      s"expected convergence after the old cap but within the backstop, got $rounds")
   }
 }

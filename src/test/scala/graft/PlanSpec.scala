@@ -94,6 +94,45 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("unpartitioned windows appear only in bounded-domain queries") {
+    // A WindowExec with an empty partitionSpec funnels its entire input
+    // through ONE task — acceptable only when the input is provably
+    // bounded (a distinct-value domain, a month frame, a top-k-limited
+    // frame), never on corpus/fact-table grain. This pins the allowed
+    // set; a new query that reintroduces a global window fails here
+    // with its name rather than silently shipping a scale cliff.
+    val whitelist = Map(
+      // ROC sweep over DISTINCT quality scores (rounded to 1e-4 — the
+      // domain is bounded by the score grid, not the corpus)
+      "q_auc" -> "distinct rounded scores",
+      // month-grain frame: one row per calendar month
+      "q_mom_growth" -> "calendar months",
+      // Misra-Gries candidate set: ≤ capacity rows by construction
+      "q_heavy_hitters" -> "sketch capacity candidates",
+      // rank over the top-1000 frame AFTER TakeOrderedAndProject
+      "q_zipf" -> "top-1000 limited frame",
+      // global window over the per-SOURCE aggregate (source cardinality),
+      // chosen precisely to avoid a second corpus scan for the total
+      "q_mix_weights" -> "per-source aggregate frame",
+      // cross-bucket running min over the 64-row bucket frame
+      "q_skyline" -> "fixed 64-bucket frame")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val sp = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+      val global = sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (global.nonEmpty && !whitelist.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec outside the bounded-domain whitelist: $offenders")
+    // and the two de-windowed rewrites stay window-free at the top level
+    assert(!plan("q_histogram_depth").contains("Window"), "q_histogram_depth regressed")
+    assert(plan("q_zipf").contains("TakeOrderedAndProject"), "q_zipf lost its top-k plan")
+  }
+
   test("SemVer parse/compare (F9)") {
     assert(SemVer.parse("1.0.4") === SemVer(1, 0, 4))
     assert(SemVer.parse("2.0.0") > SemVer.parse("1.9.9"))
