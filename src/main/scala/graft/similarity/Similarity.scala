@@ -51,14 +51,17 @@ object Similarity {
   /** Deterministic signed-random-projection LSH: hyperplane j weights
     * w(j,d) = ((j·31 + d·17) mod 7) − 3 (pseudo-random, engine-portable,
     * no RNG state). Bucket = bit-packed signs of the nPlanes projections.
+    * `table` offsets the plane index so each hash table draws an
+    * independent set of hyperplanes.
     */
-  def lshBucket(emb: Column, nPlanes: Int = 8): Column =
+  def lshBucket(emb: Column, nPlanes: Int = 8, table: Int = 0): Column =
     (0 until nPlanes)
       .map { j =>
+        val jj = table * nPlanes + j
         val proj = aggregate(
           zip_with(
             emb,
-            transform(sequence(lit(0), size(emb) - 1), d => (lit(j) * 31 + d * 17) % 7 - lit(3)),
+            transform(sequence(lit(0), size(emb) - 1), d => (lit(jj) * 31 + d * 17) % 7 - lit(3)),
             (x, w) => x.cast("double") * w),
           lit(0.0),
           (acc, x) => acc + x)
@@ -211,23 +214,45 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
-  /** ANN via LSH buckets: score only pairs that share a bucket. Recall is
-    * tunable with nPlanes/multi-probe; this is the plan shape that
-    * survives 100 TB (no cross join, shuffle keyed on short bucket ids).
+  /** ANN via LSH buckets: score only pairs that share a bucket in at
+    * least one of `nTables` independent hash tables — the standard
+    * multi-table construction: a single table of b planes has candidate
+    * recall q ≈ p^b (p = per-plane agreement), which collapses for any
+    * useful b; L independent tables lift it to 1 − (1 − q)^L at L× the
+    * candidate cost. AnnRecallSpec pins the resulting recall on
+    * clustered vectors. The plan shape survives 100 TB: corpus explodes
+    * ×L onto (table, bucket) keys — an equi-join shuffle, no cross join
+    * — and per-(q, vec) dedup before scoring keeps each candidate pair
+    * scored once.
     */
   def lshTopK(
       corpus: DataFrame,  // (vec_id, embedding)
       queries: DataFrame, // (q_id, q_emb)
       k: Int,
-      nPlanes: Int = 8): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), nPlanes))
-    val qBucketed = queries.withColumn("bucket", lshBucket(col("q_emb"), nPlanes))
-    val scored = bucketed
-      .join(broadcast(qBucketed), Seq("bucket"))
+      nPlanes: Int = 8,
+      nTables: Int = 1): DataFrame = {
+    def withBuckets(df: DataFrame, emb: String) = df.select(
+      df.columns.map(col) :+
+        explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("tbl"), lshBucket(col(emb), nPlanes, t).as("bucket"))
+        }: _*)).as("tb"): _*)
+      .select(df.columns.map(col) :+ col("tb.tbl").as("tbl") :+ col("tb.bucket").as("bucket"): _*)
+    val bucketed = withBuckets(corpus, "embedding")
+    val qBucketed = withBuckets(queries, "q_emb")
+    val joined = bucketed
+      .join(broadcast(qBucketed), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn(
-        "cos",
-        round(graft.functions.VectorFunctions.vecCosine(col("q_emb"), col("embedding")), 4))
+    // a near pair typically collides in several tables: dedup on the
+    // pair key BEFORE the scoring kernel so each pair is scored once
+    // (single-table candidates are already unique — skip the shuffle)
+    val candidates =
+      if (nTables == 1) joined
+      else joined
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(first(col("q_emb")).as("q_emb"), first(col("embedding")).as("embedding"))
+    val scored = candidates.withColumn(
+      "cos",
+      round(graft.functions.VectorFunctions.vecCosine(col("q_emb"), col("embedding")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
