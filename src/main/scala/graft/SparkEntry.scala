@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Advanced,
     graft.queries.Extras,
     graft.queries.Corpus,
-    graft.queries.PipelineQ)
+    graft.queries.PipelineQ,
+    graft.queries.StreamQ)
 
   private lazy val allQueries: Seq[Q] = packs.flatMap(_.queries)
 
