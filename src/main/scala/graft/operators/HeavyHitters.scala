@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -23,16 +22,30 @@ import scala.collection.mutable
   *      far fewer) broadcasts back as a semi-join filter, and ONLY the
   *      candidates are exactly recounted and ranked.
   *
-  * The result is bit-exact top-k (with a deterministic (count DESC,
-  * value ASC) tie-break) whenever the k-th item's frequency clears the
-  * N/(capacity+1) floor — at capacity 4096 that is 0.025% of rows, ~20×
-  * below the frequency of the 20th most common word of any natural
-  * corpus. The DuckDB oracle runs the naive plan and must hash-match.
+  * The pigeonhole guarantee only certifies the result when the k-th
+  * item's GLOBAL frequency clears the N/(capacity+1) floor — on
+  * near-uniform or extreme-cardinality data it can fail, and a sketch
+  * that silently returns a wrong top-k is worse than a slow one. So the
+  * operator ENFORCES its own precondition: partition row/eviction
+  * totals ride along in the same Misra–Gries pass, and after the exact
+  * candidate recount the driver checks
+  *   - no partition ever evicted (candidates = the full distinct set,
+  *     recount ≡ the naive plan), or
+  *   - kth_count · (capacity+1) > N (the pigeonhole floor, in exact
+  *     long arithmetic).
+  * Certified → the recounted top-k is returned (bit-exact, with the
+  * deterministic (count DESC, value ASC) tie-break). Not certified →
+  * loud warn + fall back to the naive full GROUP BY, trading the
+  * shuffle for guaranteed exactness. At capacity 4096 the floor is
+  * 0.025% of rows, ~20× below the frequency of the 20th most common
+  * word of any natural corpus, so real text never falls back. The
+  * DuckDB oracle runs the naive plan and must hash-match.
   */
 object HeavyHitters {
 
   /** Exact top-k most frequent values of string column `value`.
-    * Output: (rank: long, value, n: long), rank 1-based.
+    * Output: (rank: long, value, n: long), rank 1-based. Runs jobs
+    * eagerly (the certification check is driver-side).
     */
   def topKFrequent(
       values: DataFrame,
@@ -43,16 +56,24 @@ object HeavyHitters {
     import spark.implicits._
 
     val vals = values.select(value.cast("string").as("value"))
-    val candidates = vals
+    // one MG pass emits candidates (tag 0) AND per-partition row /
+    // eviction totals (tags 1, 2) — no second input scan for N;
+    // localCheckpoint materializes the tiny summary once for its two
+    // consumers below
+    val summary = vals
       .mapPartitions { rows =>
         val counters = mutable.HashMap.empty[String, Long]
+        var nRows = 0L
+        var nEvictions = 0L
         rows.foreach { r =>
           if (!r.isNullAt(0)) {
+            nRows += 1
             val v = r.getString(0)
             counters.get(v) match {
               case Some(c) => counters.update(v, c + 1)
               case None if counters.size < capacity => counters.update(v, 1L)
               case None => // Misra–Gries eviction: decrement all, drop zeros
+                nEvictions += 1
                 val dead = mutable.ArrayBuffer.empty[String]
                 counters.foreach { case (key, c) =>
                   if (c == 1L) dead += key else counters.update(key, c - 1)
@@ -61,19 +82,51 @@ object HeavyHitters {
             }
           }
         }
-        counters.keysIterator
+        counters.keysIterator.map((0, _)) ++
+          Iterator((1, nRows.toString), (2, nEvictions.toString))
       }
-      .distinct()
-      .toDF("value")
+      .toDF("tag", "value")
+      .localCheckpoint(true)
 
-    val rankW = Window.orderBy(col("n").desc, col("value").asc)
-    vals
+    val stats = summary.filter(col("tag") =!= 0)
+      .groupBy(col("tag")).agg(sum(col("value").cast("long")).as("total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = stats.getOrElse(1, 0L)
+    val evictions = stats.getOrElse(2, 0L)
+
+    val candidates = summary.filter(col("tag") === 0).select(col("value")).distinct()
+    val topRows = vals
       .join(broadcast(candidates), Seq("value"), "left_semi")
       .groupBy(col("value"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("rank"), col("value"), col("n"))
-      .orderBy(col("rank"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(k)
+      .collect()
+
+    // exact iff nothing was ever evicted (candidates = full distinct
+    // set) or the k-th recounted frequency clears the pigeonhole floor
+    val certified = evictions == 0L ||
+      (topRows.length == k && topRows.last.getLong(1) * (capacity + 1L) > n)
+
+    if (certified) {
+      topRows.toSeq.zipWithIndex
+        .map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }
+        .toDF("rank", "value", "n")
+        .orderBy(col("rank"))
+    } else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Misra-Gries sketch (capacity=$capacity) cannot certify top-$k " +
+          s"(kth=${topRows.lastOption.map(_.getLong(1))}, floor=N/(cap+1)=${n / (capacity + 1L)}); " +
+          "falling back to the exact full GROUP BY")
+      vals
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("value").asc)
+        .limit(k)
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }
+        .toDF("rank", "value", "n")
+        .orderBy(col("rank"))
+    }
   }
 }

@@ -34,6 +34,19 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.forall(_._3 === 1000L))
   }
 
+  test("below the certification floor the sketch falls back and stays exact") {
+    // near-uniform: 2000 distinct values x ~7 each; capacity 63 evicts
+    // constantly and the 10th count (7) is far below N/(cap+1) ~ 218.
+    // The old fixed-trust form silently returned whichever values
+    // happened to survive; the certified form must detect the failed
+    // precondition and return the exact naive answer.
+    val rows = (1 to 2000).flatMap(i => Seq.fill(7)(f"v$i%04d"))
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 8).toDF("value")
+    val got = HeavyHitters.topKFrequent(df, col("value"), k = 10, capacity = 63)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === naive(df, 10))
+  }
+
   test("deterministic tie-break: equal counts rank by value ascending") {
     val rows = Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(3)("c")
     val df = spark.sparkContext.parallelize(rows, 3).toDF("value")
