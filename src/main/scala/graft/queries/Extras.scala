@@ -398,7 +398,51 @@ object Extras extends QueryPack {
         .orderBy(col("p_partkey"))
     })
 
+  /** Bucketed co-located join (the [[graft.nshm.Catalog]] layout proved
+    * on the fact tables): orders and lineitem persisted `bucketBy` the
+    * join key, then joined WITHOUT an Exchange on either side — at the
+    * 100 TB grain this is the difference between re-shuffling both
+    * fact tables on every join and paying the layout cost once at
+    * ingest. The write happens inside the query so the gate replays the
+    * whole build→join cycle; PlanSpec pins the shuffle-free property
+    * (merge hint keeps AQE from broadcasting the small-SF orders side,
+    * which would hide the co-location being demonstrated). The oracle
+    * replays the same join over the raw parquet — bucketing must not
+    * change a single row.
+    */
+  val qBucketedJoin: Q = Q(
+    "q_bucketed_join",
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (s, dir) => {
+      import org.apache.spark.sql.SaveMode
+      val buckets = 16
+      def persist(name: String, key: String, cols: Seq[String]): Unit =
+        t(s, dir, name).select(cols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .bucketBy(buckets, key).sortBy(key)
+          .saveAsTable(s"bj_$name")
+      persist("orders", "o_orderkey",
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+      persist("lineitem", "l_orderkey",
+        Seq("l_orderkey", "l_extendedprice", "l_discount"))
+      s.table("bj_orders")
+        .filter(col("o_orderstatus") === "F")
+        .hint("merge")
+        .join(s.table("bj_lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          (round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100) / 100)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    })
+
   override def queries: Seq[Q] = Seq(
+    qBucketedJoin,
     qIntersectAll, qListagg, qLateralTopk, qGroupingId, qDateSpine,
     qMapRoundtrip, qChunkText, qQuantizeEmbed, qShaAddress,
     qPackSequences, qMixWeights, qLocf, qRightJoin)

@@ -94,6 +94,15 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("bucketed join reads co-located buckets with no Exchange on either side") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+    // the only shuffle in the whole plan is the final per-priority
+    // aggregation; both join inputs come straight from bucketed scans
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+  }
+
   test("unpartitioned windows appear only in bounded-domain queries") {
     // A WindowExec with an empty partitionSpec funnels its entire input
     // through ONE task — acceptable only when the input is provably
