@@ -30,9 +30,10 @@ object SimilarityQ extends QueryPack {
     * nPlanes pseudo-random projections, identical weight formula and
     * left-fold double sum.
     */
-  private def bucketSql(e: String, nPlanes: Int): String =
+  private def bucketSql(e: String, nPlanes: Int, table: Int = 0): String =
     (0 until nPlanes).map { j =>
-      s"(CASE WHEN list_sum([CAST(list_extract($e, d + 1) AS DOUBLE) * ((($j * 31 + d * 17) % 7) - 3) FOR d IN range(0, len($e))]) > 0 THEN ${1L << j} ELSE 0 END)"
+      val jj = table * nPlanes + j
+      s"(CASE WHEN list_sum([CAST(list_extract($e, d + 1) AS DOUBLE) * ((($jj * 31 + d * 17) % 7) - 3) FOR d IN range(0, len($e))]) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   /** Vector norms — exercises the higher-order-function math path. */
@@ -99,6 +100,47 @@ object SimilarityQ extends QueryPack {
       val queries = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.lshTopK(e.select(col("vec_id"), col("embedding")), queries, k = 5, nPlanes = 6)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    })
+
+  /** Multi-table LSH ANN — the recall fix AnnRecallSpec quantifies
+    * (single-table recall collapses on clustered data; L independent
+    * tables lift candidate recall to 1 − (1 − q)^L). The oracle replays
+    * both hyperplane tables, unions the memberships, dedups candidate
+    * pairs, and re-scores — proving the Spark-side dedup-before-kernel
+    * (groupBy pair key, first(emb)) loses and invents nothing.
+    */
+  val qLshAnnMulti: Q = Q(
+    "q_lsh_ann_multi",
+    Some(s"""WITH m AS (
+               SELECT vec_id, embedding, 0 AS tbl, ${bucketSql("embedding", 4, 0)} AS bucket
+               FROM embeddings
+               UNION ALL
+               SELECT vec_id, embedding, 1 AS tbl, ${bucketSql("embedding", 4, 1)} AS bucket
+               FROM embeddings),
+             q AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl, bucket
+                   FROM m WHERE vec_id < 50),
+             cand AS (
+               SELECT DISTINCT q.q_id, m.vec_id
+               FROM m JOIN q ON m.tbl = q.tbl AND m.bucket = q.bucket AND m.vec_id <> q.q_id),
+             scored AS (
+               SELECT c.q_id, c.vec_id, ${cosSql("qe.embedding", "e.embedding")} AS cos
+               FROM cand c
+               JOIN embeddings e ON e.vec_id = c.vec_id
+               JOIN embeddings qe ON qe.vec_id = c.q_id),
+             ranked AS (
+               SELECT q_id, vec_id, cos,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+               FROM scored)
+             SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+             FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""),
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.lshTopK(
+        e.select(col("vec_id"), col("embedding")), queries, k = 5, nPlanes = 4, nTables = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("q_id"), col("rank"))
     })
@@ -340,6 +382,6 @@ object SimilarityQ extends QueryPack {
     })
 
   override def queries: Seq[Q] =
-    Seq(qEmbedNorms, qCosineTopk, qLshAnn, qIvfAnn, qIvfAnnIter, qEmbedCentroids,
-      qPqAnn)
+    Seq(qEmbedNorms, qCosineTopk, qLshAnn, qLshAnnMulti, qIvfAnn, qIvfAnnIter,
+      qEmbedCentroids, qPqAnn)
 }
