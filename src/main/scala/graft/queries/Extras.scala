@@ -420,11 +420,22 @@ object Extras extends QueryPack {
     (s, dir) => {
       import org.apache.spark.sql.SaveMode
       val buckets = 16
-      def persist(name: String, key: String, cols: Seq[String]): Unit =
+      def persist(name: String, key: String, cols: Seq[String]): Unit = {
+        val tbl = s"bj_$name"
+        // a PREVIOUS session's managed table leaves its warehouse dir
+        // behind while this session's catalog has no entry for it;
+        // CREATE then refuses the non-empty location. Drop both the
+        // entry and the orphan location (Hadoop FS: works for any
+        // warehouse scheme, not just file:).
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
         t(s, dir, name).select(cols.map(col): _*)
           .write.mode(SaveMode.Overwrite).format("parquet")
           .bucketBy(buckets, key).sortBy(key)
-          .saveAsTable(s"bj_$name")
+          .saveAsTable(tbl)
+      }
       persist("orders", "o_orderkey",
         Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
       persist("lineitem", "l_orderkey",
