@@ -417,7 +417,8 @@ object PipelineQ extends QueryPack {
       val r = t(s, dir, "region")
       val v = col("l_extendedprice") * (lit(1) - col("l_discount"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // customer scales with SF: hint only the bounded nation/region dims
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(year(col("o_orderdate")).as("order_year"))
@@ -458,7 +459,9 @@ object PipelineQ extends QueryPack {
           .as("total_rev"))
       val mx = rev.agg(max(col("total_rev")).as("mx"))
       rev.join(broadcast(mx), col("total_rev") === col("mx"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        // the max-filtered rev side is 1-2 rows — AQE broadcasts THAT side;
+      // hinting the SF-scaled supplier side would pin the wrong build
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
         .orderBy(col("s_suppkey"))
     })
@@ -1633,9 +1636,13 @@ object PipelineQ extends QueryPack {
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_both"))
         .filter(col("n_both") >= 3)
+      // freq is PART-cardinality — unbounded at corpus scale (unlike the
+      // scalar nOrders), so no broadcast hint: AQE broadcasts it at
+      // small SF on its own and falls back to a part-keyed shuffle join
+      // when the dimension outgrows the threshold
       pairs
-        .join(broadcast(freq.select(col("l_partkey").as("part_a"), col("n").as("fa"))), Seq("part_a"))
-        .join(broadcast(freq.select(col("l_partkey").as("part_b"), col("n").as("fb"))), Seq("part_b"))
+        .join(freq.select(col("l_partkey").as("part_a"), col("n").as("fa")), Seq("part_a"))
+        .join(freq.select(col("l_partkey").as("part_b"), col("n").as("fb")), Seq("part_b"))
         .crossJoin(broadcast(nOrders))
         .select(
           col("part_a"), col("part_b"), col("n_both"),

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * filters, joins, aggregations, sorts/top-k), exercised over the driver
   * testdata star schema with DuckDB oracles.
   *
-  * Scale notes: dimension tables (region/nation/customer/supplier/part) are
-  * broadcast explicitly; fact-side aggregations rely on Catalyst partial
+  * Scale notes: only FIXED-cardinality dims (region 5, nation 25) carry
+  * broadcast hints; customer/supplier/part scale with SF, so their join
+  * strategy is left to statistics/AQE (broadcast at small SF, shuffle
+  * join once they outgrow the threshold — a hint would forbid the
+  * fallback). Fact-side aggregations rely on Catalyst partial
   * aggregation (map-side combine); top-k compiles to TakeOrderedAndProject
   * (no full sort). Double-valued aggregates are rounded to 2 decimals in
   * BOTH engines so float summation order can't flip the comparison.
@@ -88,10 +91,16 @@ object Relational extends QueryPack {
       val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
+      // broadcast hints ONLY on the fixed-cardinality dims (nation 25,
+      // region 5). customer/supplier scale WITH the fact tables, so a
+      // forced broadcast is an OOM at the 100 TB grain — statistics/AQE
+      // still broadcast them at small SF (PlanSpec pins 5 broadcast
+      // joins) and degrade to shuffle joins when they outgrow the
+      // threshold, which a hint would forbid.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(
-          broadcast(su),
+          su,
           li("l_suppkey") === su("s_suppkey") &&
             c("c_nationkey") === su("s_nationkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
@@ -118,7 +127,8 @@ object Relational extends QueryPack {
             ORDER BY segment"""),
     (s, dir) =>
       t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"), "left")
+        // customer scales with SF: no broadcast hint (stats/AQE decide)
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left")
         .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(col("segment")))
@@ -198,7 +208,8 @@ object Relational extends QueryPack {
           max(o("o_totalprice")).as("o_totalprice"),
           countDistinct(p("p_brand")).as("__n_brands")) ++ compiled.flagCols
       o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        // part scales with SF: no broadcast hint (stats/AQE decide)
+        .join(p, l("l_partkey") === p("p_partkey"))
         .filter(o("o_totalprice").isNotNull && o("o_totalprice") >= 1000.0)
         .groupBy(o("o_orderkey"))
         .agg(aggCols.head, aggCols.tail: _*)
