@@ -5,6 +5,7 @@ import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Driver-gated Structured Streaming evidence: a gate query that runs a
   * REAL streaming job (readStream source → watermarked windowed
@@ -16,6 +17,15 @@ import org.apache.spark.sql.types._
   * plan deployed with a continuous trigger is the production stream.
   */
 object StreamQ extends QueryPack {
+
+  /** events.parquet raw schema with the nanos INT64 ts (streaming
+    * sources need the schema up front; conversion mirrors
+    * [[graft.Tables]]' batch loader).
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Hourly tumbling-window counts/sums per event type through
     * [[EventStreams.tumblingAgg]] (the same transform StreamingSpec
@@ -30,13 +40,6 @@ object StreamQ extends QueryPack {
                    round(sum(value) * 100) / 100 AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
     (s, dir) => {
-      // nanos-typed parquet: same long-read + micros conversion as the
-      // batch loader (Tables.loadEvents) — streaming sources need the
-      // schema up front
-      val rawSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       // the file-stream source ingests DIRECTORIES (files appear, get
       // processed, watermarked out — the production drop-zone shape);
       // stage the single test parquet behind a symlink
@@ -62,5 +65,86 @@ object StreamQ extends QueryPack {
         .orderBy(col("bucket"), col("event_type"))
     })
 
-  override def queries: Seq[Q] = Seq(qStreamWindow)
+  /** Event-time sessionization as a STREAM: `session_window` gap
+    * aggregation through [[EventStreams.sessionWindowAgg]] in APPEND
+    * mode — the mode sessions actually ship in production (a session
+    * row is emitted exactly once, when the watermark passes its end).
+    *
+    * Append mode only emits sessions the watermark has passed, and a
+    * drained AvailableNow run's final watermark is the max event time —
+    * which would withhold every still-open trailing session. A single
+    * far-future SENTINEL event (staged as a second source file, newest
+    * mtime so it is never processed before the real data) advances the
+    * final watermark past every real session; the sentinel's own
+    * session is filtered out of the gate frame. The oracle is the
+    * batch gaps-and-islands rewrite: new session when the same-user
+    * gap ≥ 30 minutes (session_window's interval end is exclusive),
+    * session end = last event + gap.
+    */
+  val qStreamSessions: Q = Q(
+    "q_stream_sessions",
+    Some("""WITH g AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value) * 100) / 100 AS total_value
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""),
+    (s, dir) => {
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("stream_sessions")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val maxNs = s.read.parquet(s"$dir/events.parquet")
+        .agg(max(col("ts"))).head.getLong(0)
+      val sentinelOut = java.nio.file.Files.createTempDirectory("sentinel").resolve("p")
+      Seq((-1L, maxNs + 10L * 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(sentinelOut.toString)
+      val part = java.nio.file.Files.list(sentinelOut).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val staged = stage.resolve("zz_sentinel.parquet")
+      java.nio.file.Files.copy(part, staged)
+      // the file source processes oldest-mtime first: the sentinel must
+      // never land in a batch BEFORE the real events (its watermark
+      // would mark them all late)
+      java.nio.file.Files.setLastModifiedTime(
+        staged, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 3600000L))
+
+      val ev = s.readStream.schema(rawSchema)
+        .parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = EventStreams.sessionWindowAgg(ev, gap = "30 minutes", watermark = "0 seconds")
+      val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val query = agg.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink)
+        .filter(col("user_id") >= 0)
+        .select(
+          col("user_id"),
+          col("start").as("session_start"),
+          col("end").as("session_end"),
+          col("n_events").cast("long").as("n_events"),
+          (round(col("total_value") * 100) / 100).as("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    })
+
+  override def queries: Seq[Q] = Seq(qStreamWindow, qStreamSessions)
 }
