@@ -180,6 +180,39 @@ object TrainOps extends QueryPack {
         .orderBy(col("lang"))
     })
 
+  /** EXACT-k per-stratum sampling — the companion to [[qHashSample]]'s
+    * rate-based split when the downstream contract is "exactly k
+    * held-out docs per language": rank each stratum by a deterministic
+    * md5 hash (uniform, reproducible across engines and runs — the
+    * distributed equivalent of a seeded reservoir) and keep the k
+    * smallest. Runs through the bounded-heap [[graft.operators.TopKAggregator]],
+    * so map-side state is k entries per (mapper, lang) and the shuffle
+    * never carries a full stratum — vs the window form's full per-lang
+    * sort. The oracle IS the window form.
+    */
+  val qSampleExactK: Q = Q(
+    "q_sample_exact_k",
+    Some("""WITH h AS (
+              SELECT lang, doc_id,
+                     ('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+              FROM documents),
+            r AS (SELECT lang, doc_id, hv,
+                         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rank
+                  FROM h)
+            SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+            FROM r WHERE rank <= 50 ORDER BY lang, rank"""),
+    (s, dir) => {
+      // smallest-hash-first ≡ TopKAggregator's (score DESC) on the
+      // negated hash; the 32-bit value is exactly representable as the
+      // aggregator's double score
+      val h = md5Hash32(concat(lit("split1:"), col("doc_id").cast("string")))
+      graft.operators.TopKPerKey(
+        docs(s, dir).select(col("lang"), (-h).cast("double").as("neg_hv"), col("doc_id")),
+        "lang", "neg_hv", "doc_id", k = 50)
+        .select(col("lang"), col("rank"), col("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    })
+
   /** Duplicate-cluster labeling: exact-duplicate groups keyed by content
     * fingerprint, cluster id = min doc_id of the group (a deterministic
     * canonical representative), emitting only docs that have at least one
@@ -250,5 +283,6 @@ object TrainOps extends QueryPack {
     })
 
   override def queries: Seq[Q] =
-    Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qDupClusters, qCorpusPipeline)
+    Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qSampleExactK, qDupClusters,
+      qCorpusPipeline)
 }
