@@ -1983,21 +1983,11 @@ object PipelineQ extends QueryPack {
     * but computed WITHOUT the global single-partition sort a window
     * ntile plans as.
     *
-    * Key identity: the order is price-primary, so the price at global
-    * rank k is a function of per-price counts alone (tie-breaker keys
-    * decide which ROW holds rank k, never which PRICE). And ntile's
-    * bucket sizes are pure arithmetic on N (first N mod 8 buckets get
-    * one extra row). So the whole histogram reduces to exact selection
-    * of the prices at 16 target ranks (each bucket's first/last row):
-    *   1. one aggregation for (N, vmin, vmax);
-    *   2. per-(fixed-width-bucket, price) counts — the only big
-    *      shuffle, on a high-cardinality key;
-    *   3. exclusive prefix sums over the tiny bucket frame;
-    *   4. resolve each target rank inside its one bucket by folding
-    *      that bucket's sorted distinct prices.
-    * Same two-phase selection as q_percentile_exact, global grain.
-    * The oracle keeps the literal ntile spelling — the hash gate proves
-    * the rewrite IS ntile.
+    * Two-phase exact selection via [[graft.operators.EquiDepth]] (see
+    * its Scaladoc for the why-exact argument); the property spec
+    * additionally fuzzes the operator against the literal window ntile
+    * on random multisets. The oracle keeps the ntile spelling — the
+    * hash gate proves the rewrite IS ntile.
     */
   val qHistogramDepth: Q = Q(
     "q_histogram_depth",
@@ -2010,79 +2000,13 @@ object PipelineQ extends QueryPack {
                    round(min(l_extendedprice) * 100) / 100 AS lo,
                    round(max(l_extendedprice) * 100) / 100 AS hi
             FROM b GROUP BY bucket ORDER BY bucket"""),
-    (s, dir) => {
-      val B = 256
-      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
-      val stats = li.agg(
-        count(lit(1)).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-
-      val bucketed = li
-        .crossJoin(broadcast(stats)) // 1-row stats: broadcast scalar join
-        .withColumn(
-          "bucket",
-          when(col("vmax") <= col("vmin"), lit(0L))
-            .otherwise(least(
-              lit((B - 1).toLong),
-              floor((col("v") - col("vmin")) / ((col("vmax") - col("vmin")) / B)))))
-      val vfreq = bucketed
-        .groupBy(col("bucket"), col("v"))
-        .agg(count(lit(1)).as("cnt"))
-
-      val bcum = vfreq
-        .groupBy(col("bucket"))
-        .agg(sum(col("cnt")).as("bcnt"))
-        .agg(sort_array(collect_list(struct(col("bucket"), col("bcnt")))).as("bs"))
-        .select(explode(expr(
-          """transform(bs, (x, i) -> named_struct(
-               'bucket', x.bucket, 'bcnt', x.bcnt,
-               'cum_before', aggregate(slice(bs, 1, i), 0L, (a, y) -> a + y.bcnt)))""")).as("bc"))
-        .select(col("bc.bucket"), col("bc.bcnt"), col("bc.cum_before"))
-
-      // ntile arithmetic: qsz = N/8, r = N mod 8; bucket b starts at
-      // (b-1)*qsz + min(b-1, r) + 1 and holds qsz (+1 if b <= r) rows.
-      val targets = stats
-        .select(col("n"), explode(sequence(lit(1L), lit(8L))).as("bucket8"))
-        .withColumn("qsz", floor(col("n") / 8))
-        .withColumn("rr", col("n") % 8)
-        .withColumn(
-          "start", (col("bucket8") - 1) * col("qsz") + least(col("bucket8") - 1, col("rr")) + 1)
-        .withColumn(
-          "size", col("qsz") + when(col("bucket8") <= col("rr"), 1L).otherwise(0L))
+    (s, dir) =>
+      graft.operators.EquiDepth.histogram(t(s, dir, "lineitem"), col("l_extendedprice"), n = 8)
         .select(
-          col("bucket8"), col("size"),
-          explode(array(
-            struct(col("start").as("r"), lit("lo").as("role")),
-            struct((col("start") + col("size") - 1).as("r"), lit("hi").as("role")))).as("t"))
-        .select(col("bucket8"), col("size"), col("t.r").as("r"), col("t.role").as("role"))
-
-      val located = targets
-        .join(broadcast(bcum),
-          col("cum_before") < col("r") && col("r") <= col("cum_before") + col("bcnt"))
-        .select(
-          col("bucket8"), col("size"), col("r"), col("role"), col("bucket"),
-          (col("r") - col("cum_before")).as("lr"))
-
-      val resolved = vfreq
-        .join(broadcast(located), Seq("bucket"))
-        .groupBy(col("bucket8"), col("size"), col("role"), col("r"), col("lr"))
-        .agg(sort_array(collect_list(struct(col("v"), col("cnt")))).as("vs"))
-        .withColumn("val", expr(
-          """aggregate(vs,
-               named_struct('c', 0L, 'pick', CAST(NULL AS DOUBLE)),
-               (acc, x) -> IF(acc.pick IS NOT NULL, acc,
-                 named_struct('c', acc.c + x.cnt,
-                   'pick', IF(acc.c + x.cnt >= lr, x.v, CAST(NULL AS DOUBLE)))),
-               acc -> acc.pick)"""))
-
-      resolved
-        .groupBy(col("bucket8"))
-        .agg(
-          max(col("size")).cast("long").as("n"),
-          (round(max(when(col("role") === "lo", col("val"))) * 100) / 100).as("lo"),
-          (round(max(when(col("role") === "hi", col("val"))) * 100) / 100).as("hi"))
-        .select(col("bucket8").cast("long").as("bucket"), col("n"), col("lo"), col("hi"))
-        .orderBy(col("bucket"))
-    })
+          col("bucket"), col("n"),
+          (round(col("lo") * 100) / 100).as("lo"),
+          (round(col("hi") * 100) / 100).as("hi"))
+        .orderBy(col("bucket")))
 
   /** Month-over-month revenue growth: one monthly rollup, then lag() on
     * the (tiny) month frame — the trend query every dashboard runs;

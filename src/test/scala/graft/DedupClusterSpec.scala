@@ -46,6 +46,41 @@ class DedupClusterSpec extends SparkSpec {
     }
   }
 
+  test("converged labels equal union-find components on random bipartite graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val nDocs = 20 + rnd.nextInt(40)
+      val nBuckets = 5 + rnd.nextInt(15)
+      val membership = (0L until nDocs.toLong)
+        .flatMap { d =>
+          Seq.fill(1 + rnd.nextInt(2))((d, s"b${rnd.nextInt(nBuckets)}"))
+        }
+      val (labels, _) =
+        queries.Dedup.propagateLabels(membership.toDF("doc_id", "bkey"), maxRounds = 16)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // driver-side union-find ground truth over the same bipartite graph
+      val parent = scala.collection.mutable.Map[Any, Any]()
+      def find(x: Any): Any = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Any, b: Any): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      membership.foreach { case (d, b) => union(d, b) }
+      val want = membership.map(_._1).distinct
+        .groupBy(d => find(d))
+        .values.flatMap { ds => val m = ds.min; ds.map(_ -> m) }
+        .toMap
+
+      // propagateLabels only emits docs sharing a non-singleton bucket;
+      // compare on the docs it labels — each must carry its component min
+      got.foreach { case (d, lbl) =>
+        assert(lbl === want(d), s"trial $trial: doc $d in component ${want(d)}, labeled $lbl")
+      }
+    }
+  }
+
   test("a chain longer than the old fixed cap converges to one component") {
     import spark.implicits._
     // Path graph of 40 docs: bucket i links docs i and i+1, so the
