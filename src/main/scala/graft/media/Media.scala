@@ -75,4 +75,45 @@ object Media {
       .select(
         col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
+
+  /** STUB resize kernel — aspect-preserving downscale to fit
+    * (maxW, maxH), never upscaling: scale = min(maxW/w, maxH/h, 1).
+    * The "resized pixels" are a deterministic byte-prefix of the
+    * payload sized by the area ratio; a production build swaps only
+    * this function for the real resampler. All arithmetic is plain
+    * IEEE double so an oracle can replay the metadata contract.
+    */
+  def resizeStub(
+      kind: String, payload: Array[Byte], maxW: Int, maxH: Int): (Array[Byte], Int, Int) = {
+    val (w, h, _) = decodeStub(kind, payload)
+    if (w <= 0 || h <= 0) (payload, w, h)
+    else {
+      val scale = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
+      val outW = math.max(1L, math.floor(w * scale).toLong).toInt
+      val outH = math.max(1L, math.floor(h * scale).toLong).toInt
+      val outBytes = math.max(1L, math.floor(payload.length * scale * scale).toLong).toInt
+      (payload.take(outBytes), outW, outH)
+    }
+  }
+
+  /** Per-partition batched resize — the same mapPartitions +
+    * grouped(batchSize) shape as [[extractFeatures]], producing records
+    * whose payload and declared dims are the resized ones (the contract
+    * a thumbnail/training-resolution stage hands downstream).
+    */
+  def resize(
+      media: Dataset[MediaRecord], maxW: Int, maxH: Int,
+      batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real kernel would resample `batch` as one vectorized call
+        batch.iterator.map { r =>
+          val (bytes, w, h) = resizeStub(r.kind, r.payload, maxW, maxH)
+          MediaRecord(r.media_id, r.kind, bytes, w, h)
+        }
+      }
+    }
+  }
 }

@@ -122,5 +122,52 @@ object MediaQ extends QueryPack {
             .as("chunk_fp"))
         .orderBy(col("media_id"), col("chunk_idx")))
 
-  override def queries: Seq[Q] = Seq(qMediaMeta, qMediaStats, qFrameSample, qMediaChunks)
+  /** Batched resize through the typed Dataset path ([[Media.resize]]:
+    * mapPartitions + grouped batches over the stub kernel) with the
+    * metadata contract replayed by the oracle: aspect-preserving fit
+    * into 128×96, never upscaling, payload shrunk by the area ratio;
+    * zero-dim (audio) records pass through untouched. Both engines
+    * compute the identical IEEE double scale/floor chain, so the gate
+    * pins the exact output dims and byte counts.
+    */
+  val qMediaResize: Q = Q(
+    "q_media_resize",
+    Some("""WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     octet_length(encode(text)) AS n
+              FROM documents),
+            d AS (
+              SELECT media_id, kind, n,
+                     CASE kind WHEN 'image' THEN n % 640 + 1 WHEN 'audio' THEN 0 ELSE n % 320 + 1 END AS w,
+                     CASE kind WHEN 'image' THEN n % 480 + 1 WHEN 'audio' THEN 0 ELSE n % 240 + 1 END AS h
+              FROM m),
+            r AS (
+              SELECT media_id, kind, n, w, h,
+                     CASE WHEN w <= 0 OR h <= 0 THEN NULL
+                          ELSE least(least(128.0 / w, 96.0 / h), 1.0) END AS scale
+              FROM d)
+            SELECT media_id, kind,
+                   CAST(CASE WHEN scale IS NULL THEN w
+                        ELSE greatest(1, CAST(floor(w * scale) AS BIGINT)) END AS BIGINT) AS out_w,
+                   CAST(CASE WHEN scale IS NULL THEN h
+                        ELSE greatest(1, CAST(floor(h * scale) AS BIGINT)) END AS BIGINT) AS out_h,
+                   CAST(CASE WHEN scale IS NULL THEN n
+                        ELSE greatest(1, CAST(floor(n * scale * scale) AS BIGINT)) END AS BIGINT) AS out_bytes
+            FROM r ORDER BY media_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val media = Media.syntheticMedia(Tables.loadDistributed(s, dir, "documents", "doc_id"))
+        .as[Media.MediaRecord]
+      Media.resize(media, maxW = 128, maxH = 96).toDF()
+        .select(
+          col("media_id"), col("kind"),
+          col("declared_w").cast("long").as("out_w"),
+          col("declared_h").cast("long").as("out_h"),
+          octet_length(col("payload")).cast("long").as("out_bytes"))
+        .orderBy(col("media_id"))
+    })
+
+  override def queries: Seq[Q] =
+    Seq(qMediaMeta, qMediaStats, qFrameSample, qMediaChunks, qMediaResize)
 }

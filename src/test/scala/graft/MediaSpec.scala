@@ -35,6 +35,30 @@ class MediaSpec extends SparkSpec {
     assert(img.n_frames === 1)
   }
 
+  test("resize: fits the box, never upscales, shrinks payload, deterministic") {
+    val resized = Media.resize(media.as[MediaRecord], maxW = 128, maxH = 96)
+    val before = media.as[MediaRecord].collect().map(r => r.media_id -> r).toMap
+    resized.collect().foreach { r =>
+      val orig = before(r.media_id)
+      if (orig.kind == "audio") {
+        // zero-dim records pass through untouched
+        assert(r.payload.length === orig.payload.length)
+      } else {
+        assert(r.declared_w <= 128 && r.declared_h <= 96, r.media_id)
+        assert(r.declared_w >= 1 && r.declared_h >= 1, r.media_id)
+        assert(r.payload.length <= orig.payload.length, "resize must never grow a payload")
+        // aspect preserved within floor rounding: w/h ratio drift < 1 unit step
+        val (w0, h0, _) = Media.decodeStub(orig.kind, orig.payload)
+        if (w0 <= 128 && h0 <= 96)
+          assert(r.declared_w === w0 && r.declared_h === h0, "no upscale / no-op inside the box")
+      }
+    }
+    // deterministic: second run bit-identical
+    val again = Media.resize(media.as[MediaRecord], maxW = 128, maxH = 96)
+      .collect().map(r => r.media_id -> r.payload.toSeq).toMap
+    resized.collect().foreach(r => assert(again(r.media_id) === r.payload.toSeq))
+  }
+
   test("sampleFrames: every k-th frame of video payloads") {
     val features = Media.extractFeatures(media.as[MediaRecord])
     val frames = Media.sampleFrames(features, everyK = 10)
