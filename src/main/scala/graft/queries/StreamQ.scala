@@ -146,5 +146,45 @@ object StreamQ extends QueryPack {
         .orderBy(col("user_id"), col("session_start"))
     })
 
-  override def queries: Seq[Q] = Seq(qStreamWindow, qStreamSessions)
+  /** Bounded-state streaming dedup under the gate: the source directory
+    * holds TWO copies of the events file (an at-least-once delivery
+    * simulation — exactly what a kafka/file replay produces), and
+    * `dropDuplicatesWithinWatermark(event_id)` must collapse them back
+    * to exactly-once. Unlike a plain dropDuplicates, state is evicted
+    * once the watermark passes an id's event time, so the state store
+    * is bounded by the delivery-delay horizon instead of growing with
+    * the corpus — the only dedup that survives an unbounded stream.
+    * The oracle is the single-copy aggregate over the static table.
+    */
+  val qStreamDedup: Q = Q(
+    "q_stream_dedup",
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(sum(value) * 100) / 100 AS total_value
+            FROM events"""),
+    (s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("stream_dedup")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), stage.resolve("events_replay.parquet"))
+      val ev = s.readStream.schema(rawSchema)
+        .parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val deduped = EventStreams.dedupEvents(ev, watermark = "1 hour")
+      val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val query = deduped.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (round(sum(col("value")) * 100) / 100).as("total_value"))
+    })
+
+  override def queries: Seq[Q] = Seq(qStreamWindow, qStreamSessions, qStreamDedup)
 }
