@@ -168,8 +168,11 @@ object Corpus extends QueryPack {
     * training pipeline needs): docs with doc_id % 10 = 0 form the eval
     * split; any train doc sharing a word-8-gram shingle with the eval
     * split is contaminated. The join is an equi-join on distinct shingle
-    * keys — eval-side shingles are the small side and broadcast; nothing
-    * quadratic. Output: per-source contaminated counts + rate.
+    * keys with NO broadcast hint: a real benchmark suite is tiny (AQE
+    * broadcasts it), but this gate's eval split is 10% of the corpus —
+    * shingle-cardinality, unbounded at scale — so the strategy must be
+    * free to shuffle. Nothing quadratic either way. Output: per-source
+    * contaminated counts + rate.
     */
   val qContamination: Q = Q(
     "q_contamination",
@@ -202,7 +205,7 @@ object Corpus extends QueryPack {
       val evalSh = sh.filter(col("doc_id") % 10 === 0).select(col("shingle")).distinct()
       val train = sh.filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id"), col("source"), col("shingle")).distinct()
-      val hits = train.join(broadcast(evalSh), Seq("shingle"))
+      val hits = train.join(evalSh, Seq("shingle"))
         .select(col("doc_id"), col("source")).distinct()
         .groupBy(col("source")).agg(count(lit(1)).as("n_hit"))
       val base = docs(s, dir).filter(col("doc_id") % 10 =!= 0)
