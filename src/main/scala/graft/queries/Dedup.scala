@@ -269,21 +269,89 @@ object Dedup extends QueryPack {
     * round count for the spec's fixpoint assertions (rounds vs
     * rounds+1); the default converges.
     */
-  def clusterRun(
-      s: SparkSession, dir: String,
-      maxRounds: Int = 16, exactRounds: Option[Int] = None): DataFrame = {
-    val d = docs(s, dir)
+  /** (doc_id, bkey) banded-minhash membership — 2 bands × 2 rows over
+    * the k=4 signatures. Shared by the clustering rounds and the
+    * persisted index: the bucket scheme IS the index format.
+    */
+  def lshMembership(d: DataFrame): DataFrame = {
     val sh = d
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
       .select(col("doc_id"), md5Hash32(col("s")).as("h"))
     val aggs = minhashSigs(col("h"))
-    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val mAll = sig
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), explode(array(
         concat_ws("_", lit("0"), col("sig0"), col("sig1")),
         concat_ws("_", lit("1"), col("sig2"), col("sig3")))).as("bkey"))
-    val labels = propagateLabels(mAll, maxRounds, exactRounds)._1
+  }
+
+  /** Persist the LSH near-dup index: the corpus's banded-minhash
+    * memberships as a (doc_id, bkey) table. Build once at ingest;
+    * every incoming batch then near-dup-checks itself with ONE
+    * equi-join on short bucket keys ([[probeLshIndex]]) instead of
+    * re-shingling the corpus — the text analogue of the persisted IVF
+    * index's build-once/probe-many contract.
+    */
+  def writeLshIndex(corpus: DataFrame, path: String): Unit =
+    lshMembership(corpus).write.mode("overwrite").parquet(path)
+
+  /** Near-dup-check `newBatch` (doc_id, text) against a persisted
+    * index: bucket equi-join for candidates, then EXACT 3-gram Jaccard
+    * verification bounded to the candidate pairs — candidate texts are
+    * fetched from `corpusTexts` by selective semi-join (the index
+    * prunes, the lake verifies; signatures alone can't score k=4
+    * Jaccard exactly). Returns one row per matched new doc:
+    * (doc_id, dup_of = best match, jaccard, n_matches), best = highest
+    * Jaccard with ties to the lowest corpus id.
+    */
+  def probeLshIndex(
+      spark: SparkSession, path: String,
+      newBatch: DataFrame, corpusTexts: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val idx = spark.read.parquet(path).withColumnRenamed("doc_id", "corp_id")
+    val newBk = lshMembership(newBatch).withColumnRenamed("doc_id", "new_id")
+    val cand = newBk.join(idx, Seq("bkey"))
+      .select(col("new_id"), col("corp_id")).distinct()
+      .localCheckpoint(true) // feeds the pair join + both semi-joins
+    def shOf(df: DataFrame, idName: String) =
+      df.filter(length(col("text")) >= 3)
+        .select(col("doc_id").as(idName), explode(shingles(col("text"), 3)).as("s3"))
+    val newSh = shOf(newBatch, "new_id")
+      .join(cand.select(col("new_id")).distinct(), Seq("new_id"), "left_semi")
+      .localCheckpoint(true)
+    val corpSh = shOf(corpusTexts, "corp_id")
+      .join(cand.select(col("corp_id")).distinct(), Seq("corp_id"), "left_semi")
+      .localCheckpoint(true)
+    val nNew = newSh.groupBy(col("new_id")).agg(count(lit(1)).as("na"))
+    val nCorp = corpSh.groupBy(col("corp_id")).agg(count(lit(1)).as("nb"))
+    val inter = cand
+      .join(newSh, Seq("new_id"))
+      .join(corpSh, Seq("corp_id", "s3"))
+      .groupBy(col("new_id"), col("corp_id")).agg(count(lit(1)).as("c"))
+    // threshold compares the ROUNDED value (spelled identically in the
+    // oracle) so last-ulp drift can't flip membership
+    val jacc = round(col("c") * 1e6 / (col("na") + col("nb") - col("c"))) / 1e6
+    inter
+      .join(nNew, Seq("new_id"))
+      .join(nCorp, Seq("corp_id"))
+      .withColumn("jacc", jacc)
+      .filter(col("jacc") >= minJaccard)
+      .groupBy(col("new_id"))
+      .agg(
+        max(struct(col("jacc").as("j"), (-col("corp_id")).as("negid"))).as("best"),
+        count(lit(1)).as("n_matches"))
+      .select(
+        col("new_id").as("doc_id"),
+        (-col("best.negid")).as("dup_of"),
+        col("best.j").as("jaccard"),
+        col("n_matches").cast("long").as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  def clusterRun(
+      s: SparkSession, dir: String,
+      maxRounds: Int = 16, exactRounds: Option[Int] = None): DataFrame = {
+    val labels = propagateLabels(lshMembership(docs(s, dir)), maxRounds, exactRounds)._1
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
       .filter(col("cluster_size") > 1)
@@ -383,7 +451,72 @@ object Dedup extends QueryPack {
     (labels, round)
   }
 
+  /** The build-once/probe-many near-dup cycle under the gate: persist
+    * the LSH index for the existing corpus (doc_id % 10 ≠ 0), then
+    * near-dup-check the incoming batch (doc_id % 10 = 0) against it —
+    * the NEAR-dup complement of q_dedup_incremental's exact-hash
+    * admission check. The oracle replays the whole cycle (signatures →
+    * bands → candidate join → exact candidate-bounded Jaccard → best
+    * match per new doc) against the raw table, proving the persisted
+    * index loses and invents no candidates.
+    */
+  val qLshIndexDedup: Q = Q(
+    "q_lsh_index_dedup", {
+      val sigs = MinhashParams.zipWithIndex
+        .map { case ((a, b), j) => s"min((h * $a + $b) % $P) AS sig$j" }
+        .mkString(", ")
+      def shCte(name: String, src: String) =
+        s"""$name AS (
+             SELECT doc_id, unnest(list_distinct(
+               [substring(text, i, 3) FOR i IN range(1, length(text) - 1)])) AS s3
+             FROM $src WHERE length(text) >= 3)"""
+      def bandCte(name: String, sigSrc: String) =
+        s"""$name AS (
+             SELECT doc_id, concat_ws('_', '0', sig0, sig1) AS bkey FROM $sigSrc
+             UNION ALL
+             SELECT doc_id, concat_ws('_', '1', sig2, sig3) AS bkey FROM $sigSrc)"""
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+               newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+               ${shCte("shc", "corpus")}, ${shCte("shn", "newb")},
+               hc AS (SELECT doc_id, ('0x' || substr(md5(s3), 1, 8))::BIGINT AS h FROM shc),
+               hn AS (SELECT doc_id, ('0x' || substr(md5(s3), 1, 8))::BIGINT AS h FROM shn),
+               sigc AS (SELECT doc_id, $sigs FROM hc GROUP BY doc_id),
+               sign AS (SELECT doc_id, $sigs FROM hn GROUP BY doc_id),
+               ${bandCte("mc", "sigc")}, ${bandCte("mn", "sign")},
+               cand AS MATERIALIZED (
+                 SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
+                 FROM mn n JOIN mc c USING (bkey)),
+               szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+               szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
+               inter AS (
+                 SELECT cand.new_id, cand.corp_id, count(*) AS c
+                 FROM cand
+                 JOIN shn a ON a.doc_id = cand.new_id
+                 JOIN shc b ON b.doc_id = cand.corp_id AND b.s3 = a.s3
+                 GROUP BY cand.new_id, cand.corp_id),
+               scored AS (
+                 SELECT new_id, corp_id,
+                        round(c * 1e6 / (szn.n + szc.n - c)) / 1e6 AS jacc
+                 FROM inter
+                 JOIN szn ON szn.doc_id = new_id
+                 JOIN szc ON szc.doc_id = corp_id
+                 WHERE round(c * 1e6 / (szn.n + szc.n - c)) / 1e6 >= 0.5)
+               SELECT new_id AS doc_id,
+                      -((max({'j': jacc, 'negid': -corp_id})).negid) AS dup_of,
+                      (max({'j': jacc, 'negid': -corp_id})).j AS jaccard,
+                      CAST(count(*) AS BIGINT) AS n_matches
+               FROM scored GROUP BY new_id ORDER BY doc_id""")
+    },
+    (s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
+      val newb = d.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+      val path = java.nio.file.Files.createTempDirectory("lsh_index").resolve("idx").toString
+      writeLshIndex(corpus, path)
+      probeLshIndex(s, path, newb, corpus, minJaccard = 0.5)
+    })
+
   override def queries: Seq[Q] =
     Seq(qDedupExact, qMinhashSig, qLshBuckets, qSimhash, qNgramJaccard, qCosineDedup,
-      qLshClusters)
+      qLshClusters, qLshIndexDedup)
 }
