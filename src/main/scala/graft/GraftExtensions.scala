@@ -34,7 +34,9 @@ object GraftExtensions {
     ("jaro_winkler", classOf[graft.functions.JaroWinkler].getName,
       (exprs: Seq[Expression]) => graft.functions.JaroWinkler(exprs(0), exprs(1))),
     ("minhash_sigs", classOf[graft.functions.MinhashSigs].getName,
-      (exprs: Seq[Expression]) => graft.functions.MinhashSigs(exprs(0))))
+      (exprs: Seq[Expression]) => graft.functions.MinhashSigs(exprs(0))),
+    ("simhash16", classOf[graft.functions.Simhash16].getName,
+      (exprs: Seq[Expression]) => graft.functions.Simhash16(exprs(0))))
 
   val functions: Seq[(String, Seq[Expression] => Expression)] =
     registrations.map { case (name, _, builder) => (name, builder) }

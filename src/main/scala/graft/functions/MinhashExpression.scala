@@ -101,8 +101,93 @@ case class MinhashSigs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass 16-bit SimHash kernel — same parity-by-construction design
+  * as [[MinhashSigsImpl]], replacing the
+  * `explode(tokens) → md5Hash32 → groupBy(±1 bit sums ×16)` pipeline
+  * (corpus × token rows through a shuffle) with a per-row projection.
+  *
+  * Token windows are byte ranges split at ASCII 0x20: in UTF-8 the
+  * space byte never occurs inside a multi-byte sequence, so the
+  * segments are exactly the UTF-8 bytes `split(text, ' ')` (empty
+  * segments dropped, ≙ the pipeline's `w <> ''` filter) feeds to md5.
+  * Hash = first 4 md5 digest bytes unsigned; bit b of the signature is
+  * set iff the token count with bit b set strictly exceeds the count
+  * without (ties → 0, matching `sum(±1) > 0`). Null when the text has
+  * no tokens — such docs produce no signature row in the pipeline form.
+  */
+object Simhash16Impl {
+  def compute(text: UTF8String): java.lang.Long = {
+    val bytes = text.getBytes
+    val counts = new Array[Int](16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var any = false
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == 0x20) {
+        if (i > start) {
+          any = true
+          md.reset()
+          val d = md.digest(java.util.Arrays.copyOfRange(bytes, start, i))
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          var b = 0
+          while (b < 16) {
+            if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (!any) return null
+    var sig = 0L
+    var b = 0
+    while (b < 16) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
+/** `simhash16(text)` → the 16-bit SimHash signature as a long
+  * (see [[Simhash16Impl]]).
+  */
+case class Simhash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = Simhash16Impl.compute(input.asInstanceOf[UTF8String])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = graft.functions.Simhash16Impl.compute($c);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
+}
+
 object MinhashFunctions {
   /** Column wrapper over the native [[MinhashSigs]] expression. */
   def minhashSigsNative(text: Column): Column =
     ColumnBridge.column(MinhashSigs(ColumnBridge.expression(text)))
+
+  /** Column wrapper over the native [[Simhash16]] expression. */
+  def simhash16Native(text: Column): Column =
+    ColumnBridge.column(Simhash16(ColumnBridge.expression(text)))
 }

@@ -127,16 +127,14 @@ object Dedup extends QueryPack {
                bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
                SELECT doc_id, $combine AS simhash FROM bits ORDER BY doc_id""")
     },
-    (s, dir) => {
-      val h = docs(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .select(col("doc_id"), md5Hash32(col("w")).as("h"))
-      val aggs = simhashBitAggs(col("h"))
-      h.groupBy(col("doc_id"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id"), simhashFromBits().as("simhash"))
-        .orderBy(col("doc_id"))
-    })
+    (s, dir) =>
+      // native one-pass kernel (projection, no token explode/shuffle);
+      // the oracle replays the exploded pipeline and must hash-match
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.MinhashFunctions.simhash16Native(col("text")).as("simhash"))
+        .filter(col("simhash").isNotNull)
+        .orderBy(col("doc_id")))
 
   /** Exact n-gram Jaccard near-dup pairs over a bounded candidate subset
     * (doc_id < 100): shingle-explode, self-join on shingle, intersection

@@ -260,15 +260,13 @@ object PipelineQ extends QueryPack {
                ORDER BY doc_a, doc_b""")
     },
     (s, dir) => {
-      val h = docs(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .select(col("doc_id"), md5Hash32(col("w")).as("h"))
-      val aggs = simhashBitAggs(col("h"))
-      // the banded self-join reads the signature frame twice; signatures
-      // are one long per doc, so materializing once halves the pipeline
-      val sh = h.groupBy(col("doc_id"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id"), simhashFromBits().as("simhash"))
+      // native one-pass kernel: the signature is a projection, so the
+      // only remaining work is the banded self-join; materialize the
+      // one-long-per-doc frame once for its two join sides
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.MinhashFunctions.simhash16Native(col("text")).as("simhash"))
+        .filter(col("simhash").isNotNull)
         .localCheckpoint(true)
       val bands = sh.select(
         col("doc_id"), col("simhash"),

@@ -48,6 +48,37 @@ class MinhashSigsSpec extends SparkSpec {
     assert(nulls === Set(1L))
   }
 
+  test("native simhash16 equals the exploded ±1 bit-sum pipeline") {
+    def pipeline(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val h = df.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .select(col("doc_id"), md5Hash32(col("w")).as("h"))
+      val aggs = simhashBitAggs(col("h"))
+      h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), simhashFromBits().as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def native(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("doc_id"),
+        graft.functions.MinhashFunctions.simhash16Native(col("text")).as("s"))
+        .filter(col("s").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    assert(native(corpus) === pipeline(corpus))
+
+    val edge = spark.sparkContext.parallelize(Seq(
+      (1L, ""), (2L, "   "),              // no tokens -> null / no row
+      (3L, "one"), (4L, "a  b   c"),      // collapsed multi-space gaps
+      (5L, "héllo wörld 𝕒𝕓𝕔 héllo")   // multibyte tokens, repeats
+    ), 2).toDF("doc_id", "text")
+    assert(native(edge) === pipeline(edge))
+    val nulls = edge.select(col("doc_id"),
+      graft.functions.MinhashFunctions.simhash16Native(col("text")).as("s"))
+      .filter(col("s").isNull).collect().map(_.getLong(0)).toSet
+    assert(nulls === Set(1L, 2L))
+  }
+
   test("codegen and interpreted eval agree; SQL-callable via extensions") {
     val df = spark.sparkContext.parallelize(
       Seq((1L, "the quick brown fox jumps")), 1).toDF("doc_id", "text")
