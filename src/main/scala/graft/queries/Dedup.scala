@@ -58,8 +58,9 @@ object Dedup extends QueryPack {
     (s, dir) =>
       // native one-pass kernel — the oracle replays the exploded
       // pipeline and must still hash-match (parity is the kernel's
-      // contract, see MinhashSigsImpl)
-      docs(s, dir)
+      // contract, see MinhashSigsImpl). Plain load: a per-row
+      // projection gains nothing from the key-spread repartition.
+      Tables.load(s, dir, "documents")
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"),
           graft.functions.MinhashFunctions.minhashSigsNative(col("text")).as("sigs"))
@@ -129,8 +130,9 @@ object Dedup extends QueryPack {
     },
     (s, dir) =>
       // native one-pass kernel (projection, no token explode/shuffle);
-      // the oracle replays the exploded pipeline and must hash-match
-      docs(s, dir)
+      // the oracle replays the exploded pipeline and must hash-match.
+      // Plain load: per-row projection, no key-spread shuffle wanted.
+      Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.MinhashFunctions.simhash16Native(col("text")).as("simhash"))
         .filter(col("simhash").isNotNull)

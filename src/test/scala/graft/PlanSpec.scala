@@ -94,6 +94,20 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("native signature kernels plan as projections — no aggregate, no hash shuffle") {
+    // the one-pass MinHash/SimHash kernels exist to DELETE the
+    // explode→md5→groupBy signature shuffle; if an aggregate or hash
+    // exchange reappears in these plans, the kernels stopped being used
+    for (name <- Seq("q_minhash_sig", "q_simhash")) {
+      val p = plan(name)
+      assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+        s"$name must not aggregate:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name's only exchange should be the output sort:\n$p")
+      assert(!p.contains("Generate"), s"$name must not explode rows:\n$p")
+    }
+  }
+
   test("bucketed join reads co-located buckets with no Exchange on either side") {
     val p = plan("q_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
