@@ -58,9 +58,13 @@ object Dedup extends QueryPack {
     (s, dir) =>
       // native one-pass kernel — the oracle replays the exploded
       // pipeline and must still hash-match (parity is the kernel's
-      // contract, see MinhashSigsImpl). Plain load: a per-row
-      // projection gains nothing from the key-spread repartition.
-      Tables.load(s, dir, "documents")
+      // contract, see MinhashSigsImpl). loadDistributed's spread
+      // repartition stays: the kernel is md5-bound per row, and the
+      // testdata parquet is a single row group (scan parallelism 1) —
+      // one cheap text shuffle buys full-core kernel compute. On a
+      // many-split corpus the scan itself provides the parallelism and
+      // the spread collapses to a no-op alignment.
+      docs(s, dir)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"),
           graft.functions.MinhashFunctions.minhashSigsNative(col("text")).as("sigs"))
@@ -131,8 +135,8 @@ object Dedup extends QueryPack {
     (s, dir) =>
       // native one-pass kernel (projection, no token explode/shuffle);
       // the oracle replays the exploded pipeline and must hash-match.
-      // Plain load: per-row projection, no key-spread shuffle wanted.
-      Tables.load(s, dir, "documents")
+      // Spread repartition kept for the same reason as q_minhash_sig.
+      docs(s, dir)
         .select(col("doc_id"),
           graft.functions.MinhashFunctions.simhash16Native(col("text")).as("simhash"))
         .filter(col("simhash").isNotNull)

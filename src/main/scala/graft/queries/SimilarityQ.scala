@@ -381,7 +381,68 @@ object SimilarityQ extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     })
 
+  /** Johnson–Lindenstrauss random projection 64 → 8 dims with a
+    * deterministic ±1 sign matrix (md5 of the literal "rp:j:i", so both
+    * engines derive the identical matrix) scaled by 1/√8. Emits the
+    * projected vector's norm next to the original norm — the
+    * norm-preservation ratio IS the JL guarantee being measured, and
+    * the 8-dim sketch is the cheap prefilter that makes brute-force
+    * cosine affordable as a rerank stage at corpus scale.
+    *
+    * Plan shape: pure per-row projection; the sign literals constant-
+    * fold at planning time, so the executed expression is 8 fixed
+    * ±-chains over the float array — no shuffle, no UDF.
+    */
+  val qRandomProjection: Q = {
+    val dimIn = 64
+    val dimOut = 8
+    // portable sign: parity of the 32-bit md5 prefix of "rp:<j>:<i>"
+    def signSql(j: Int, i: Int): String =
+      s"(CASE WHEN ('0x' || substr(md5('rp:$j:$i'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    def projSql(j: Int): String =
+      (0 until dimIn)
+        .map(i => s"${signSql(j, i)} * CAST(list_extract(embedding, ${i + 1}) AS DOUBLE)")
+        .mkString("(", " + ", s") / sqrt(${dimOut}.0)")
+    val normInSql = s"sqrt(${sqNormSql("embedding")})"
+    val normOutSql = (0 until dimOut).map(j => s"y$j * y$j").mkString("sqrt(", " + ", ")")
+    Q(
+      "q_random_projection",
+      Some(s"""WITH p AS (
+                 SELECT vec_id, ${(0 until dimOut).map(j => s"${projSql(j)} AS y$j").mkString(", ")},
+                        $normInSql AS norm_in
+                 FROM embeddings)
+               SELECT vec_id,
+                      ${(0 until dimOut).map(j => s"round(y$j * 1e4) / 1e4 AS y$j").mkString(", ")},
+                      round($normOutSql / norm_in * 1e4) / 1e4 AS norm_ratio
+               FROM p ORDER BY vec_id"""),
+      (s, dir) => {
+        def sign(j: Int, i: Int): Double = {
+          // same arithmetic as signSql, evaluated over the same literal —
+          // folded here so the Spark plan carries plain ±1.0 constants
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"rp:$j:$i".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+        }
+        def proj(j: Int): org.apache.spark.sql.Column =
+          (0 until dimIn)
+            .map(i => lit(sign(j, i)) * element_at(col("embedding"), i + 1).cast("double"))
+            .reduce(_ + _) / math.sqrt(dimOut.toDouble)
+        val normIn = sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x))
+        val p = emb(s, dir)
+          .select(Seq(col("vec_id")) ++
+            (0 until dimOut).map(j => proj(j).as(s"y$j")) :+ normIn.as("norm_in"): _*)
+        val normOut = sqrt((0 until dimOut).map(j => col(s"y$j") * col(s"y$j")).reduce(_ + _))
+        p.select(Seq(col("vec_id")) ++
+            (0 until dimOut).map(j => (round(col(s"y$j") * 1e4) / 1e4).as(s"y$j")) :+
+            (round(normOut / col("norm_in") * 1e4) / 1e4).as("norm_ratio"): _*)
+          .orderBy(col("vec_id"))
+      })
+  }
+
   override def queries: Seq[Q] =
     Seq(qEmbedNorms, qCosineTopk, qLshAnn, qLshAnnMulti, qIvfAnn, qIvfAnnIter,
-      qEmbedCentroids, qPqAnn)
+      qEmbedCentroids, qPqAnn, qRandomProjection)
 }

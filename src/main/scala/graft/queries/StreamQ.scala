@@ -186,5 +186,51 @@ object StreamQ extends QueryPack {
         (round(sum(col("value")) * 100) / 100).as("total_value"))
     })
 
-  override def queries: Seq[Q] = Seq(qStreamWindow, qStreamSessions, qStreamDedup)
+  /** Stream-static enrichment join under the gate: the event stream is
+    * joined to the STATIC customer dimension (market segment) before a
+    * tumbling hourly aggregation — the canonical "enrich the firehose
+    * with a dimension table" production shape. The static side is
+    * re-read per micro-batch and broadcast ([[EventStreams.enrich]]),
+    * so the join adds no streaming state at all; only the windowed
+    * aggregation holds state. The oracle is the equivalent static
+    * join + GROUP BY the drained stream must converge to.
+    */
+  val qStreamEnrich: Q = Q(
+    "q_stream_enrich",
+    Some("""SELECT date_trunc('hour', ts) AS bucket, c.c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value) * 100) / 100 AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("stream_enrich")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val ev = s.readStream.schema(rawSchema)
+        .parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val agg = EventStreams.enrich(ev, dim)
+        .filter(col("segment").isNotNull)
+        .groupBy(window(col("ts"), "1 hour"), col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("window.start").as("bucket"), col("segment"), col("n"), col("sum_value"))
+      val sink = s"stream_enrich_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val query = agg.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink)
+        .select(
+          col("bucket"), col("segment"), col("n").cast("long").as("n"),
+          (round(col("sum_value") * 100) / 100).as("sum_value"))
+        .orderBy(col("bucket"), col("segment"))
+    })
+
+  override def queries: Seq[Q] =
+    Seq(qStreamWindow, qStreamSessions, qStreamDedup, qStreamEnrich)
 }

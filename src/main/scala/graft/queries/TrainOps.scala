@@ -282,7 +282,86 @@ object TrainOps extends QueryPack {
         .orderBy(col("lang"))
     })
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis): each
+    * doc draws a deterministic uniform u ∈ (0,1] from an md5 hash and
+    * competes with key u^(1/w) (compared as ln(u)/w), w = n_chars — so
+    * selection probability is proportional to document length, the
+    * standard token-budget-aware corpus subsample. The k largest keys
+    * ARE a weighted random sample without replacement.
+    *
+    * Scale shape: a global top-k over a per-row projection plans as
+    * TakeOrderedAndProject — per-partition bounded heaps, k rows to the
+    * driver, no full sort, no shuffle. The hash-derived u makes the
+    * "random" sample reproducible across engines, runs, and retries —
+    * which is what distinguishes a production sample from rand().
+    */
+  val qWeightedSample: Q = Q(
+    "q_weighted_sample",
+    Some("""WITH h AS (
+              SELECT doc_id, n_chars,
+                     ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                        / 4294967296.0) / n_chars AS k
+              FROM documents),
+            r AS (SELECT doc_id, n_chars, k,
+                         row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+                  FROM h)
+            SELECT CAST(rn AS BIGINT) AS rank, doc_id, n_chars,
+                   round(k * 1e6) / 1e6 AS es_key
+            FROM r WHERE rn <= 100 ORDER BY rank"""),
+    (s, dir) => {
+      val u = (md5Hash32(concat(lit("ws:"), col("doc_id").cast("string"))) + lit(1.0)) /
+        lit(4294967296.0)
+      val k = log(u) / col("n_chars")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), k.as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(100)
+        .select(
+          row_number().over(Window.orderBy(col("k").desc, col("doc_id"))).cast("long").as("rank"),
+          col("doc_id"), col("n_chars"),
+          (round(col("k") * 1e6) / 1e6).as("es_key"))
+        .orderBy(col("rank"))
+    })
+
+  /** Leakage-free train/val/test split: the assignment unit is the exact
+    * CONTENT fingerprint, not the row — every copy of a duplicated text
+    * hashes to the same split, so near-identical training and held-out
+    * examples cannot straddle the boundary (the split-level cousin of
+    * decontamination). 80/10/10 by a second-level hash of the
+    * fingerprint; reports per-split volume so the budget is auditable.
+    *
+    * One projection + one hash-partial aggregation — the distinct-
+    * fingerprint count rides the same shuffle as the sums.
+    */
+  val qSplitLeakfree: Q = Q(
+    "q_split_leakfree",
+    Some("""WITH a AS (
+              SELECT CASE
+                       WHEN ('0x' || substr(md5('split2:' || md5(text)), 1, 8))::BIGINT % 10 < 8
+                         THEN 'train'
+                       WHEN ('0x' || substr(md5('split2:' || md5(text)), 1, 8))::BIGINT % 10 = 8
+                         THEN 'val'
+                       ELSE 'test' END AS split,
+                     md5(text) AS fp, n_chars
+              FROM documents)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM a GROUP BY split ORDER BY split"""),
+    (s, dir) => {
+      val bucket = md5Hash32(concat(lit("split2:"), md5(col("text")))) % 10
+      val split = when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+      Tables.load(s, dir, "documents")
+        .select(split.as("split"), md5(col("text")).as("fp"), col("n_chars"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_clusters"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    })
+
   override def queries: Seq[Q] =
     Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qSampleExactK, qDupClusters,
-      qCorpusPipeline)
+      qCorpusPipeline, qWeightedSample, qSplitLeakfree)
 }
