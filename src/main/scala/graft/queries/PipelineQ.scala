@@ -2208,7 +2208,82 @@ object PipelineQ extends QueryPack {
         .orderBy(col("l_returnflag"))
     })
 
+  /** Approximate triangle counting on the co-purchase graph: DOULION
+    * edge sampling (Tsourakakis et al. 2009) at p = 1/10 via a
+    * deterministic md5 edge hash, then EXACT counting on the sampled
+    * graph with degree-ordered orientation (each edge directed from its
+    * lower-degree endpoint, so every adjacency list is O(√m) and the
+    * wedge self-join can never hit a superstar node). The estimator
+    * `t / p³` is unbiased; sampled-graph wedge work shrinks by p².
+    *
+    * Scale shape: every stage is an equi-join or hash aggregate on
+    * node/edge keys — pair-gen on l_orderkey, degrees on node, wedges
+    * on the oriented source, closure on the (min,max) edge key. No
+    * broadcast hints: the degree and edge frames are graph-sized, AQE
+    * promotes them only while they fit.
+    */
+  val qTriangleCount: Q = Q(
+    "q_triangle_count",
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            alledges AS (
+              SELECT a.l_partkey AS a, b.l_partkey AS b
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT a, b FROM alledges
+              WHERE ('0x' || substr(md5('tri:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 10 < 1),
+            deg AS (SELECT n, count(*) AS d FROM
+                      (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges) GROUP BY n),
+            o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+                         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst
+                  FROM edges e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+            w AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
+                  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+            tri AS (SELECT w.src FROM w
+                    JOIN edges e ON e.a = least(w.x, w.y) AND e.b = greatest(w.x, w.y))
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges_sampled,
+                   (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
+                   (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_tri_sampled,
+                   (SELECT CAST(count(*) * 1000 AS BIGINT) FROM tri) AS est_triangles"""),
+    (s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("b"))
+      val keep = md5Hash32(concat(lit("tri:"), col("a").cast("string"),
+        lit(":"), col("b").cast("string"))) % 10 < 1
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+        .filter(keep)
+        .localCheckpoint(true) // consumed 3×: degrees, orientation, closure
+      val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+      val oriented = edges
+        .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+        .select(
+          when(aFirst, col("a")).otherwise(col("b")).as("src"),
+          when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+        .localCheckpoint(true) // consumed 2×: both wedge sides
+      val wedges = oriented.select(col("src"), col("dst").as("x"))
+        .join(oriented.select(col("src"), col("dst").as("y")), Seq("src"))
+        .filter(col("x") < col("y"))
+      val tri = wedges.join(edges,
+        edges("a") === least(col("x"), col("y")) && edges("b") === greatest(col("x"), col("y")))
+      val stats = edges.agg(count(lit(1)).as("n_edges_sampled"))
+        .crossJoin(broadcast(deg.agg(max(col("d")).cast("long").as("max_degree"))))
+        .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+        .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_tri_sampled"),
+          (count(lit(1)) * 1000).as("est_triangles"))))
+      stats
+    })
+
   override def queries: Seq[Q] = Seq(
+    qTriangleCount,
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
