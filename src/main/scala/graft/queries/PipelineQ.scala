@@ -2252,34 +2252,17 @@ object PipelineQ extends QueryPack {
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = items.select(col("l_orderkey"), col("l_partkey").as("a"))
       val b = items.select(col("l_orderkey"), col("l_partkey").as("b"))
-      val keep = md5Hash32(concat(lit("tri:"), col("a").cast("string"),
-        lit(":"), col("b").cast("string"))) % 10 < 1
-      val edges = a.join(b, Seq("l_orderkey"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-        .filter(keep)
-        .localCheckpoint(true) // consumed 3×: degrees, orientation, closure
-      val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
-      val oriented = edges
-        .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
-        .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      val edges = graft.operators.Triangles.sampleEdges(
+        a.join(b, Seq("l_orderkey"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct(),
+        modParts = 10, keepParts = 1, salt = "tri:")
+      graft.operators.Triangles.stats(edges)
         .select(
-          when(aFirst, col("a")).otherwise(col("b")).as("src"),
-          when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-        .localCheckpoint(true) // consumed 2×: both wedge sides
-      val wedges = oriented.select(col("src"), col("dst").as("x"))
-        .join(oriented.select(col("src"), col("dst").as("y")), Seq("src"))
-        .filter(col("x") < col("y"))
-      val tri = wedges.join(edges,
-        edges("a") === least(col("x"), col("y")) && edges("b") === greatest(col("x"), col("y")))
-      val stats = edges.agg(count(lit(1)).as("n_edges_sampled"))
-        .crossJoin(broadcast(deg.agg(max(col("d")).cast("long").as("max_degree"))))
-        .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
-        .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_tri_sampled"),
-          (count(lit(1)) * 1000).as("est_triangles"))))
-      stats
+          col("n_edges").as("n_edges_sampled"), col("max_degree"),
+          col("n_wedges"), col("n_triangles").as("n_tri_sampled"),
+          // p = 1/10 ⇒ unbiased correction t/p³ = t · 1000
+          (col("n_triangles") * 1000).as("est_triangles"))
     })
 
   override def queries: Seq[Q] = Seq(

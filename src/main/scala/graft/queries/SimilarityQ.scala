@@ -416,24 +416,17 @@ object SimilarityQ extends QueryPack {
                       round($normOutSql / norm_in * 1e4) / 1e4 AS norm_ratio
                FROM p ORDER BY vec_id"""),
       (s, dir) => {
-        def sign(j: Int, i: Int): Double = {
-          // same arithmetic as signSql, evaluated over the same literal —
-          // folded here so the Spark plan carries plain ±1.0 constants
-          val hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"rp:$j:$i".getBytes("UTF-8"))
-            .take(4).map("%02x".format(_)).mkString
-          if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
-        }
-        def proj(j: Int): org.apache.spark.sql.Column =
-          (0 until dimIn)
-            .map(i => lit(sign(j, i)) * element_at(col("embedding"), i + 1).cast("double"))
-            .reduce(_ + _) / math.sqrt(dimOut.toDouble)
+        // signs evaluate eagerly in RandomProjection.sign over the same
+        // "rp:j:i" literals as signSql — the plan carries ±1.0 constants
         val normIn = sqrt(aggregate(
           transform(col("embedding"), x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, x) => acc + x))
         val p = emb(s, dir)
           .select(Seq(col("vec_id")) ++
-            (0 until dimOut).map(j => proj(j).as(s"y$j")) :+ normIn.as("norm_in"): _*)
+            (0 until dimOut).map(j =>
+              graft.similarity.RandomProjection
+                .projectDim(col("embedding"), "rp", j, dimIn, dimOut).as(s"y$j")) :+
+            normIn.as("norm_in"): _*)
         val normOut = sqrt((0 until dimOut).map(j => col(s"y$j") * col(s"y$j")).reduce(_ + _))
         p.select(Seq(col("vec_id")) ++
             (0 until dimOut).map(j => (round(col(s"y$j") * 1e4) / 1e4).as(s"y$j")) :+

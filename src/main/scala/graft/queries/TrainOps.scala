@@ -308,20 +308,14 @@ object TrainOps extends QueryPack {
             SELECT CAST(rn AS BIGINT) AS rank, doc_id, n_chars,
                    round(k * 1e6) / 1e6 AS es_key
             FROM r WHERE rn <= 100 ORDER BY rank"""),
-    (s, dir) => {
-      val u = (md5Hash32(concat(lit("ws:"), col("doc_id").cast("string"))) + lit(1.0)) /
-        lit(4294967296.0)
-      val k = log(u) / col("n_chars")
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), k.as("k"))
-        .orderBy(col("k").desc, col("doc_id"))
-        .limit(100)
+    (s, dir) =>
+      graft.operators.WeightedSample.topK(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        id = col("doc_id"), weight = col("n_chars"), k = 100, salt = "ws:")
         .select(
-          row_number().over(Window.orderBy(col("k").desc, col("doc_id"))).cast("long").as("rank"),
-          col("doc_id"), col("n_chars"),
-          (round(col("k") * 1e6) / 1e6).as("es_key"))
-        .orderBy(col("rank"))
-    })
+          col("rank"), col("doc_id"), col("n_chars"),
+          (round(col("__es_key") * 1e6) / 1e6).as("es_key"))
+        .orderBy(col("rank")))
 
   /** Leakage-free train/val/test split: the assignment unit is the exact
     * CONTENT fingerprint, not the row — every copy of a duplicated text
