@@ -393,16 +393,21 @@ object SimilarityQ extends QueryPack {
     * fold at planning time, so the executed expression is 8 fixed
     * ±-chains over the float array — no shuffle, no UDF.
     */
+  /** DuckDB replay of [[graft.similarity.RandomProjection]]: the same
+    * md5-of-"rp:j:i" parity signs and the same left-to-right ± chain.
+    */
+  private def rpSignSql(j: Int, i: Int): String =
+    s"(CASE WHEN ('0x' || substr(md5('rp:$j:$i'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+
+  private def rpProjSql(vec: String, j: Int, dimIn: Int, dimOut: Int): String =
+    (0 until dimIn)
+      .map(i => s"${rpSignSql(j, i)} * CAST(list_extract($vec, ${i + 1}) AS DOUBLE)")
+      .mkString("(", " + ", s") / sqrt(${dimOut}.0)")
+
   val qRandomProjection: Q = {
     val dimIn = 64
     val dimOut = 8
-    // portable sign: parity of the 32-bit md5 prefix of "rp:<j>:<i>"
-    def signSql(j: Int, i: Int): String =
-      s"(CASE WHEN ('0x' || substr(md5('rp:$j:$i'), 1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)"
-    def projSql(j: Int): String =
-      (0 until dimIn)
-        .map(i => s"${signSql(j, i)} * CAST(list_extract(embedding, ${i + 1}) AS DOUBLE)")
-        .mkString("(", " + ", s") / sqrt(${dimOut}.0)")
+    def projSql(j: Int): String = rpProjSql("embedding", j, dimIn, dimOut)
     val normInSql = s"sqrt(${sqNormSql("embedding")})"
     val normOutSql = (0 until dimOut).map(j => s"y$j * y$j").mkString("sqrt(", " + ", ")")
     Q(
@@ -435,7 +440,66 @@ object SimilarityQ extends QueryPack {
       })
   }
 
+  /** ANN via JL-sketch prefilter + exact rerank: stage 1 scores the
+    * 8-dim [[graft.similarity.RandomProjection]] sketches (8 doubles per
+    * row instead of 64 floats) and keeps 20 candidates per query through
+    * the bounded-heap [[graft.operators.TopKPerKey]]; stage 2 reruns
+    * EXACT cosine only on the survivors and ranks the final top-5.
+    *
+    * This is the third ANN scale shape next to LSH (bucket equi-join)
+    * and IVF (partition pruning): no index to build or persist — the
+    * sketch is a projection computed on the fly — with recall governed
+    * by the JL distortion bound and the candidate multiplier (20 ≫ 5).
+    * The oracle replays sketch, candidate cut, and rerank end-to-end.
+    */
+  val qRpAnn: Q = {
+    val dimIn = 64
+    val dimOut = 8
+    val skDotSql = (0 until dimOut).map(j => s"q.qy$j * c.y$j").mkString(" + ")
+    val skNormSql = (alias: Char, pre: String) =>
+      (0 until dimOut).map(j => s"$alias.$pre$j * $alias.$pre$j").mkString("sqrt(", " + ", ")")
+    Q(
+      "q_rp_ann",
+      Some(s"""WITH sk AS (
+                 SELECT vec_id, embedding,
+                        ${(0 until dimOut).map(j => s"${rpProjSql("embedding", j, dimIn, dimOut)} AS y$j").mkString(", ")}
+                 FROM embeddings),
+               q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                            ${(0 until dimOut).map(j => s"y$j AS qy$j").mkString(", ")}
+                     FROM sk WHERE vec_id < 5),
+               cand AS (
+                 SELECT q.q_id, c.vec_id, c.embedding,
+                        ($skDotSql) / (${skNormSql('q', "qy")} * ${skNormSql('c', "y")}) AS sk_cos
+                 FROM sk c, q WHERE c.vec_id <> q.q_id),
+               cut AS (
+                 SELECT q_id, vec_id, embedding FROM (
+                   SELECT q_id, vec_id, embedding,
+                          row_number() OVER (PARTITION BY q_id ORDER BY sk_cos DESC, vec_id) AS crank
+                   FROM cand)
+                 WHERE crank <= 20),
+               rer AS (
+                 SELECT c.q_id, c.vec_id,
+                        ${cosSql("q.q_emb", "c.embedding")} AS cos
+                 FROM cut c JOIN q ON q.q_id = c.q_id),
+               ranked AS (
+                 SELECT q_id, vec_id, cos,
+                        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+                 FROM rer)
+               SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+               FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        Similarity.rpTopK(
+          e.select(col("vec_id"), col("embedding")), queries,
+          k = 5, dimIn = dimIn, dimOut = dimOut, shortlist = 20, salt = "rp")
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy(col("q_id"), col("rank"))
+      })
+  }
+
   override def queries: Seq[Q] =
     Seq(qEmbedNorms, qCosineTopk, qLshAnn, qLshAnnMulti, qIvfAnn, qIvfAnnIter,
-      qEmbedCentroids, qPqAnn, qRandomProjection)
+      qEmbedCentroids, qPqAnn, qRandomProjection, qRpAnn)
 }

@@ -259,4 +259,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
   }
+
+  /** ANN via a [[RandomProjection]] JL-sketch prefilter: stage 1 scores
+    * the dimOut-wide sketches (cheap: dimOut doubles vs dimIn floats)
+    * and keeps `shortlist` candidates per query through the bounded-heap
+    * [[graft.operators.TopKPerKey]] — k rows per (mapper, query), no
+    * per-query full sort; stage 2 reruns EXACT cosine on the survivors
+    * only. No index build or persistence: the sketch is a projection
+    * computed in the same scan. Recall is governed by the JL distortion
+    * bound and the shortlist multiplier.
+    */
+  def rpTopK(
+      corpus: DataFrame,  // (vec_id, embedding)
+      queries: DataFrame, // (q_id, q_emb)
+      k: Int,
+      dimIn: Int,
+      dimOut: Int = 8,
+      shortlist: Int = 20,
+      salt: String = "rp"): DataFrame = {
+    import graft.similarity.{RandomProjection => RP}
+    def sketch(df: DataFrame, emb: String, out: String) = RP
+      .project(df, col(emb), salt, dimIn, dimOut)
+      .withColumn(out, array((0 until dimOut).map(j => col(s"y$j")): _*))
+      .drop((0 until dimOut).map(j => s"y$j"): _*)
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val sk = sketch(corpus, "embedding", "sk")
+    val qs = sketch(queries, "q_emb", "q_sk")
+    val cand = sk.select(col("vec_id"), col("sk"))
+      .crossJoin(broadcast(qs.select(col("q_id"), col("q_sk"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        (dot(col("sk"), col("q_sk")) /
+          (sqrt(dot(col("q_sk"), col("q_sk"))) * sqrt(dot(col("sk"), col("sk"))))).as("sk_cos"),
+        col("vec_id"))
+    val cut = graft.operators.TopKPerKey(cand, "q_id", "sk_cos", "vec_id", k = shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val rer = cut
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions.vecCosine(col("q_emb"), col("embedding")), 4)
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    rer
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+  }
 }

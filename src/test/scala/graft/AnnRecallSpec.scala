@@ -87,6 +87,18 @@ class AnnRecallSpec extends SparkSpec {
     assert(multi > single, s"multi-table ($multi) must beat single-table ($single)")
   }
 
+  test("JL-sketch prefilter ANN recall improves with shortlist; >= 0.85 at 5k") {
+    // 16→8 dims halves the scoring width; at only 2× compression the
+    // JL distortion is material, so the shortlist multiplier is the
+    // recall knob — assert the knob works and the 5k setting clears 0.85
+    val r3 = recallOf(Similarity.rpTopK(
+      corpus, queries, k = k, dimIn = dim, dimOut = 8, shortlist = 3 * k))
+    val r5 = recallOf(Similarity.rpTopK(
+      corpus, queries, k = k, dimIn = dim, dimOut = 8, shortlist = 5 * k))
+    assert(r5 >= r3, s"recall must not fall as the shortlist grows ($r3 -> $r5)")
+    assert(r5 >= 0.85, s"rpTopK recall@10 = $r5 at shortlist 5k (3k gave $r3)")
+  }
+
   test("PQ ADC recall@10 >= 0.6; exact rerank from a 3k shortlist >= 0.8") {
     val cb = ProductQuantizer.train(corpus, dim = dim, m = 8, k = 32, iters = 3)
     val encoded = ProductQuantizer.encode(corpus, cb).cache()
