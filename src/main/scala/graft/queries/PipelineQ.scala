@@ -1914,6 +1914,65 @@ object PipelineQ extends QueryPack {
         .orderBy(col("touch"))
     })
 
+  /** Time-decay multi-touch attribution — the fractional-credit
+    * counterpart to [[qAttribution]]'s last-touch: every non-purchase
+    * touch inside a 7-day lookback earns exp(−Δt/1h) weight, normalized
+    * per purchase so each conversion distributes exactly its value.
+    *
+    * Scale shape: the purchase×touch pair-gen is a user-keyed equi-join
+    * (per-user event counts are bounded — users scale with the corpus,
+    * events-per-user don't), the lookback bound caps pair fan-out, and
+    * the per-purchase normalization is a window sum PARTITIONED by
+    * purchase id, never a global window. exp/÷ drift is absorbed by the
+    * end-of-plan rounding both engines share.
+    */
+  val qAttributionDecay: Q = Q(
+    "q_attribution_decay",
+    Some("""WITH p AS (
+              SELECT user_id, event_id AS p_id, epoch_us(ts) AS pt, value
+              FROM events WHERE event_type = 'purchase'),
+            tch AS (
+              SELECT user_id, event_type AS touch, epoch_us(ts) AS tt
+              FROM events WHERE event_type <> 'purchase'),
+            pairs AS (
+              SELECT p.p_id, p.value, t.touch,
+                     exp(-(p.pt - t.tt) / 3600000000.0) AS w
+              FROM p JOIN tch t ON t.user_id = p.user_id
+              WHERE t.tt < p.pt AND p.pt - t.tt <= 7 * 86400000000),
+            tot AS (SELECT p_id, sum(w) AS sw FROM pairs GROUP BY p_id),
+            credit AS (
+              SELECT pr.touch,
+                     sum(pr.w / tot.sw) AS conv,
+                     sum(pr.value * pr.w / tot.sw) AS rev
+              FROM pairs pr JOIN tot ON tot.p_id = pr.p_id
+              GROUP BY pr.touch)
+            SELECT touch, round(conv * 1e4) / 1e4 AS attributed_purchases,
+                   round(rev * 100) / 100 AS attributed_revenue
+            FROM credit ORDER BY touch"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("pt"), col("value"))
+      val tch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("touch"),
+          unix_micros(col("ts")).as("tt"))
+      val pairs = p.join(tch, Seq("user_id"))
+        .filter(col("tt") < col("pt") &&
+          col("pt") - col("tt") <= lit(7L * 86400000000L))
+        .withColumn("w", exp(-(col("pt") - col("tt")) / 3600000000.0))
+      // per-purchase normalization as a PARTITIONED window sum — the
+      // oracle's tot-join spelled without the extra shuffle
+      val sw = sum(col("w")).over(Window.partitionBy(col("p_id")))
+      pairs
+        .withColumn("sw", sw)
+        .groupBy(col("touch"))
+        .agg(
+          (round(sum(col("w") / col("sw")) * 1e4) / 1e4).as("attributed_purchases"),
+          (round(sum(col("value") * col("w") / col("sw")) * 100) / 100).as("attributed_revenue"))
+        .orderBy(col("touch"))
+    })
+
   /** CDC changelog application — the consumer side of q_table_diff's
     * producer: a deterministic (op, key, payload) changelog derived from
     * orders (D for every 89th key, U repricing every 41st, I for new
@@ -2276,6 +2335,6 @@ object PipelineQ extends QueryPack {
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
     qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
     qTableDiff, qDataTests, qIncrementalAgg, qModeStat, qMadAnomaly,
-    qAttribution, qCdcApply, qHistogramDepth, qMomGrowth, qKAnonymity,
+    qAttribution, qAttributionDecay, qCdcApply, qHistogramDepth, qMomGrowth, qKAnonymity,
     qChunkRoundtrip, qDedupIncremental, qNgramContainment, qWinsorMean)
 }
