@@ -37,7 +37,8 @@ for name in sorted(oracle):
             if a is None and b is None: continue
             if isinstance(a, float) and isinstance(b, float):
                 if math.isnan(a) and math.isnan(b): continue
-                if a != b:
+                # the driver hash distinguishes -0.0 from +0.0; Python == doesn't
+                if a != b or (a == 0.0 and math.copysign(1, a) != math.copysign(1, b)):
                     bad = (c, i, a, b); break
             elif str(a) != str(b):
                 bad = (c, i, a, b); break

@@ -249,11 +249,11 @@ object Advanced extends QueryPack {
   val qCorrRegr: Q = Q(
     "q_corr_regr",
     Some("""SELECT l_returnflag,
-                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-                   round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p,
-                   round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
-                   round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
-                   round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+                   round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qp,
+                   round(covar_pop(l_quantity, l_extendedprice), 2) + 0.0 AS covar_p,
+                   round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS covar_s,
+                   round(regr_slope(l_extendedprice, l_quantity), 2) + 0.0 AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 2) + 0.0 AS intercept
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     (s, dir) =>
       t(s, dir, "lineitem")

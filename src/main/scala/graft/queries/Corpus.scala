@@ -130,7 +130,7 @@ object Corpus extends QueryPack {
             n AS (SELECT count(*) AS n_pairs FROM big)
             SELECT pair, CAST(c_xy AS BIGINT) AS c_xy,
                    round(ln(c_xy * 1.0 * n.n_pairs
-                            / (cl.c_x * 1.0 * cr.c_x)) * 1e6) / 1e6 AS pmi
+                            / (cl.c_x * 1.0 * cr.c_x)) * 1e6) / 1e6 + 0.0 AS pmi
             FROM cxy
             JOIN cx cl ON cl.term = string_split(pair, ' ')[1]
             JOIN cx cr ON cr.term = string_split(pair, ' ')[2]
@@ -231,7 +231,7 @@ object Corpus extends QueryPack {
                                row_number() OVER (ORDER BY c DESC, term) AS rank
                         FROM freq)
              SELECT CAST(count(*) AS BIGINT) AS n_terms,
-                    round(regr_slope(ln(c), ln(rank)) * 1e6) / 1e6 AS zipf_slope,
+                    round(regr_slope(ln(c), ln(rank)) * 1e6) / 1e6 + 0.0 AS zipf_slope,
                     round(regr_r2(ln(c), ln(rank)) * 1e6) / 1e6 AS r2
              FROM ranked WHERE rank <= 1000"""),
     (s, dir) => {

@@ -473,7 +473,7 @@ object Dedup extends QueryPack {
     if (!converged && exactRounds.isEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"propagateLabels hit the $maxRounds-round backstop without converging; " +
-          "component diameter exceeds 2^$maxRounds — labels may be non-canonical")
+          s"component diameter exceeds 2^$maxRounds — labels may be non-canonical")
     (labels, round)
   }
 

@@ -23,8 +23,10 @@ object SimilarityQ extends QueryPack {
   private def dotSql(a: String, b: String): String =
     s"list_sum([CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE) FOR i IN range(1, len($b) + 1)])"
 
+  // `+ 0.0` normalizes DuckDB's sign-preserving round (-0.0) to match
+  // Spark's BigDecimal HALF_UP (+0.0) — the driver hash distinguishes them
   private def cosSql(a: String, b: String): String =
-    s"round(${dotSql(a, b)} / (sqrt(${sqNormSql(a)}) * sqrt(${sqNormSql(b)})), 4)"
+    s"(round(${dotSql(a, b)} / (sqrt(${sqNormSql(a)}) * sqrt(${sqNormSql(b)})), 4) + 0.0)"
 
   /** DuckDB replay of [[Similarity.lshBucket]]: bit-packed signs of the
     * nPlanes pseudo-random projections, identical weight formula and
@@ -57,7 +59,7 @@ object SimilarityQ extends QueryPack {
       Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
                scored AS (
                  SELECT q.q_id, e.vec_id,
-                        round($dotSql / (sqrt(${sqNormSql("q.q_emb")}) * sqrt(${sqNormSql("e.embedding")})), 4) AS cos
+                        round($dotSql / (sqrt(${sqNormSql("q.q_emb")}) * sqrt(${sqNormSql("e.embedding")})), 4) + 0.0 AS cos
                  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
                ranked AS (
                  SELECT q_id, vec_id, cos,
@@ -285,7 +287,7 @@ object SimilarityQ extends QueryPack {
   val qEmbedCentroids: Q = Q(
     "q_embed_centroids",
     Some("""SELECT label, CAST(t.dim AS BIGINT) AS dim,
-                   round(avg(t.v), 5) AS centroid_v,
+                   round(avg(t.v), 5) + 0.0 AS centroid_v,
                    CAST(count(*) AS BIGINT) AS n_vecs
             FROM (SELECT label,
                     unnest([{'dim': i, 'v': CAST(embedding[i] AS DOUBLE)}
@@ -417,7 +419,7 @@ object SimilarityQ extends QueryPack {
                         $normInSql AS norm_in
                  FROM embeddings)
                SELECT vec_id,
-                      ${(0 until dimOut).map(j => s"round(y$j * 1e4) / 1e4 AS y$j").mkString(", ")},
+                      ${(0 until dimOut).map(j => s"round(y$j * 1e4) / 1e4 + 0.0 AS y$j").mkString(", ")},
                       round($normOutSql / norm_in * 1e4) / 1e4 AS norm_ratio
                FROM p ORDER BY vec_id"""),
       (s, dir) => {

@@ -306,7 +306,7 @@ object TrainOps extends QueryPack {
                          row_number() OVER (ORDER BY k DESC, doc_id) AS rn
                   FROM h)
             SELECT CAST(rn AS BIGINT) AS rank, doc_id, n_chars,
-                   round(k * 1e6) / 1e6 AS es_key
+                   round(k * 1e6) / 1e6 + 0.0 AS es_key
             FROM r WHERE rn <= 100 ORDER BY rank"""),
     (s, dir) =>
       graft.operators.WeightedSample.topK(
@@ -314,7 +314,7 @@ object TrainOps extends QueryPack {
         id = col("doc_id"), weight = col("n_chars"), k = 100, salt = "ws:")
         .select(
           col("rank"), col("doc_id"), col("n_chars"),
-          (round(col("__es_key") * 1e6) / 1e6).as("es_key"))
+          (round(col("__es_key") * 1e6) / 1e6 + lit(0.0)).as("es_key"))
         .orderBy(col("rank")))
 
   /** Leakage-free train/val/test split: the assignment unit is the exact
