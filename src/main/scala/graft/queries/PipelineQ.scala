@@ -872,7 +872,7 @@ object PipelineQ extends QueryPack {
                   FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
                   WHERE a.half = 0 AND b.half = 1)
             SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
-                   round(sum(va * vb) / (sqrt(sum(va * va)) * sqrt(sum(vb * vb))) * 1e6) / 1e6
+                   round(sum(va * vb) / (sqrt(sum(va * va)) * sqrt(sum(vb * vb))) * 1e6) / 1e6 + 0.0
                      AS drift_cos
             FROM j GROUP BY label ORDER BY label"""),
     (s, dir) => {
@@ -1571,7 +1571,7 @@ object PipelineQ extends QueryPack {
       val fit = graft.operators.LogisticRegression.unrolledSql(
         dataSql, p = 3, lr = 0.5, iterations = 5)
       Some(s"""WITH fit AS ($fit)
-               SELECT CAST(fidx AS BIGINT) AS fidx, round(beta * 1e6) / 1e6 AS beta
+               SELECT CAST(fidx AS BIGINT) AS fidx, round(beta * 1e6) / 1e6 + 0.0 AS beta
                FROM fit ORDER BY fidx""")
     },
     (s, dir) => {
@@ -2079,7 +2079,7 @@ object PipelineQ extends QueryPack {
             SELECT CAST(month AS DATE) AS month,
                    round(revenue * 100) / 100 AS revenue,
                    round((revenue - lag(revenue) OVER (ORDER BY month)) * 1e6
-                         / lag(revenue) OVER (ORDER BY month)) / 1e6 AS mom_growth
+                         / lag(revenue) OVER (ORDER BY month)) / 1e6 + 0.0 AS mom_growth
             FROM m ORDER BY month"""),
     (s, dir) => {
       val w = Window.orderBy(col("month"))
@@ -2324,8 +2324,75 @@ object PipelineQ extends QueryPack {
           (col("n_triangles") * 1000).as("est_triangles"))
     })
 
+  /** DOULION estimator sweep: the same co-purchase graph thinned at TWO
+    * keep rates (p = 2/10 and 5/10 — exercising `keepParts > 1`, which
+    * q_triangle_count's p = 1/10 gate never touches), exact counts on
+    * each sampled graph, and the `t/p³` unbiased estimates (·125, ·8)
+    * side by side — the estimator itself is hash-pinned at two points
+    * of the accuracy/cost curve, not just one. Same md5 thinning in
+    * both engines, so the "random" sample is replayable by the oracle.
+    */
+  val qTriangleSampled: Q = Q(
+    "q_triangle_sampled",
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            alledges AS (
+              SELECT a.l_partkey AS a, b.l_partkey AS b
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+            h AS (SELECT a, b,
+                         ('0x' || substr(md5('tri:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 10 AS hp
+                  FROM alledges),
+            e5 AS (SELECT a, b FROM h WHERE hp < 2),
+            d5 AS (SELECT n, count(*) AS d FROM
+                     (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5) GROUP BY n),
+            o5 AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+                          CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst
+                   FROM e5 e JOIN d5 da ON da.n = e.a JOIN d5 db ON db.n = e.b),
+            w5 AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
+                   FROM o5 o1 JOIN o5 o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+            t5 AS (SELECT count(*) AS t FROM w5
+                   JOIN e5 e ON e.a = least(w5.x, w5.y) AND e.b = greatest(w5.x, w5.y)),
+            e2 AS (SELECT a, b FROM h WHERE hp < 5),
+            d2 AS (SELECT n, count(*) AS d FROM
+                     (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n),
+            o2 AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+                          CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst
+                   FROM e2 e JOIN d2 da ON da.n = e.a JOIN d2 db ON db.n = e.b),
+            w2 AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
+                   FROM o2 o1 JOIN o2 o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+            t2 AS (SELECT count(*) AS t FROM w2
+                   JOIN e2 e ON e.a = least(w2.x, w2.y) AND e.b = greatest(w2.x, w2.y))
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e5) AS n_edges_p20,
+                   (SELECT CAST(t AS BIGINT) FROM t5) AS n_tri_p20,
+                   (SELECT CAST(t * 125 AS BIGINT) FROM t5) AS est_p20,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e2) AS n_edges_p50,
+                   (SELECT CAST(t AS BIGINT) FROM t2) AS n_tri_p50,
+                   (SELECT CAST(t * 8 AS BIGINT) FROM t2) AS est_p50"""),
+    (s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("b"))
+      val all = a.join(b, Seq("l_orderkey"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+        .localCheckpoint(true) // pair-gen join feeds both sample rates
+      val p20 = graft.operators.Triangles
+        .stats(graft.operators.Triangles.sampleEdges(all, 10, 2, "tri:"))
+        .select(
+          col("n_edges").as("n_edges_p20"), col("n_triangles").as("n_tri_p20"),
+          (col("n_triangles") * 125).as("est_p20"))
+      val p50 = graft.operators.Triangles
+        .stats(graft.operators.Triangles.sampleEdges(all, 10, 5, "tri:"))
+        .select(
+          col("n_edges").as("n_edges_p50"), col("n_triangles").as("n_tri_p50"),
+          (col("n_triangles") * 8).as("est_p50"))
+      p20.crossJoin(p50) // two 1-row stats frames
+    })
+
   override def queries: Seq[Q] = Seq(
-    qTriangleCount,
+    qTriangleCount, qTriangleSampled,
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,

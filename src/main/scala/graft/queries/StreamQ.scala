@@ -231,6 +231,88 @@ object StreamQ extends QueryPack {
         .orderBy(col("bucket"), col("segment"))
     })
 
+  /** STREAM-STREAM interval join under the gate
+    * ([[EventStreams.clickToPurchase]]): clicks matched to same-user
+    * purchases within 10 minutes after the click, both sides
+    * watermarked so the join state is bounded by the delay horizon —
+    * the production attribution-join shape. Inner interval joins emit
+    * matches as they arrive (the watermark only evicts state), so an
+    * AvailableNow drain yields exactly the batch interval join — which
+    * is the oracle: a batch self-join over the static events table
+    * with the identical interval predicate.
+    */
+  val qStreamJoin: Q = Q(
+    "q_stream_join",
+    Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.ts AS click_ts, p.ts AS purchase_ts,
+                   round(p.value * 100) / 100 AS value
+            FROM events c JOIN events p ON c.user_id = p.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 600 SECOND
+            ORDER BY c.user_id, click_id, purchase_id"""),
+    (s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("stream_join")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val ev = s.readStream.schema(rawSchema)
+        .parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val joined = EventStreams.clickToPurchase(ev, windowSeconds = 600, watermark = "10 minutes")
+      val sink = s"stream_join_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val query = joined.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink)
+        .select(
+          col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"),
+          (round(col("value") * 100) / 100).as("value"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    })
+
+  /** SLIDING-window moving aggregate under the gate
+    * ([[EventStreams.slidingAgg]]): overlapping 10-minute windows every
+    * 5 minutes — each event lands in len/slide = 2 windows. The oracle
+    * replays the window assignment arithmetic: window starts are the
+    * epoch-aligned 5-minute grid points, each event joined to k = 0, 1
+    * grid offsets (Spark's `window(ts, len, slide)` origin is the
+    * epoch, `make_timestamp` keeps the oracle in plain TIMESTAMP).
+    */
+  val qStreamSliding: Q = Q(
+    "q_stream_sliding",
+    Some("""SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300000000 AS BIGINT)
+                                  - k * 300000000) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(value) * 100) / 100 AS avg_value
+            FROM events, generate_series(0, 1) AS t(k)
+            GROUP BY bucket ORDER BY bucket"""),
+    (s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("stream_sliding")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val ev = s.readStream.schema(rawSchema)
+        .parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = EventStreams.slidingAgg(ev, windowLen = "10 minutes", slide = "5 minutes")
+      val sink = s"stream_sliding_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val query = agg.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink)
+        .select(
+          col("bucket"), col("n").cast("long").as("n"),
+          (round(col("avg_value") * 100) / 100).as("avg_value"))
+        .orderBy(col("bucket"))
+    })
+
   override def queries: Seq[Q] =
-    Seq(qStreamWindow, qStreamSessions, qStreamDedup, qStreamEnrich)
+    Seq(qStreamWindow, qStreamSessions, qStreamDedup, qStreamEnrich, qStreamJoin, qStreamSliding)
 }
