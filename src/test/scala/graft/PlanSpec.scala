@@ -125,6 +125,43 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
   }
 
+  test("JL-prefilter ANN keeps per-query rank windows partitioned and reranks top-k") {
+    // the sketch-prefilter crossJoin is the documented design; what
+    // must not regress is (a) every rank window stays partitioned by
+    // q_id (never a global funnel) and (b) the broadcast prefilter
+    // stays a broadcast, not a shuffled cartesian
+    val p = plan("q_rp_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("triangle counting joins on keys — no cartesian wedge blowup") {
+    for (name <- Seq("q_triangle_count", "q_triangle_sampled")) {
+      val p = plan(name)
+      // wedge-gen and closure are equi-joins on src/(a,b); the only
+      // nested-loop joins are the 1-row stats crossJoins
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$name:\n$p")
+    }
+  }
+
+  test("time-decay attribution windows stay partitioned by purchase key") {
+    val sp = SparkEntry.queries("q_attribution_decay")(spark, dir)
+      .queryExecution.sparkPlan
+    val global = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "q_attribution_decay grew an unpartitioned window")
+  }
+
+  test("leak-free split is one projection + hash aggregation — no window, no sort-all") {
+    val p = plan("q_split_leakfree")
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("unpartitioned windows appear only in bounded-domain queries") {
     // A WindowExec with an empty partitionSpec funnels its entire input
     // through ONE task — acceptable only when the input is provably
