@@ -823,6 +823,82 @@ object PipelineQ extends QueryPack {
         .orderBy(col("doc_id"))
     })
 
+  /** CCNet-style perplexity partitioning: per-doc mean bigram log-prob
+    * (the same one-pass LM shape as q_bigram_lm), then head / middle /
+    * tail buckets at the corpus-level logprob terciles — the classic
+    * "keep the head, downsample the tail" quality split for training
+    * corpora. The tercile thresholds come from ONE interpolating
+    * percentile aggregation (a scalar frame, broadcast back) — never a
+    * global rank window, so the split costs two aggregations at any
+    * corpus size. All comparisons are on ROUNDED values spelled
+    * identically in both engines, so last-ulp drift can't flip a doc
+    * across a bucket boundary.
+    */
+  val qPplBucket: Q = Q(
+    "q_ppl_bucket",
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+                          FROM documents),
+            big AS (SELECT doc_id,
+                           unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS xy,
+                           unnest([t[i] FOR i IN range(1, len(t))]) AS x
+                    FROM toks WHERE len(t) >= 2),
+            dbig AS (SELECT doc_id, xy, x, count(*) AS c FROM big GROUP BY doc_id, xy, x),
+            cxy AS (SELECT xy, sum(c) AS c_xy FROM dbig GROUP BY xy),
+            cx AS (SELECT x, sum(c) AS c_x FROM dbig GROUP BY x),
+            v AS (SELECT count(DISTINCT x) AS vocab FROM dbig),
+            lp AS (SELECT doc_id,
+                          round(sum(c * ln((c_xy + 1.0) / (c_x + vocab))) / sum(c) * 1e6) / 1e6 AS lp
+                   FROM dbig JOIN cxy USING (xy) JOIN cx USING (x) CROSS JOIN v
+                   GROUP BY doc_id),
+            th AS (SELECT round(quantile_cont(lp, 1.0 / 3) * 1e6) / 1e6 AS t33,
+                          round(quantile_cont(lp, 2.0 / 3) * 1e6) / 1e6 AS t66
+                   FROM lp)
+            SELECT CASE WHEN lp >= t66 THEN 'head'
+                        WHEN lp >= t33 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(lp) * 1e6) / 1e6 AS avg_logprob,
+                   round(min(lp) * 1e6) / 1e6 AS min_logprob
+            FROM lp CROSS JOIN th GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val dbig = docs(s, dir)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+                        (a, b) -> named_struct('xy', concat(a, ' ', b), 'x', a))""")).as("p"))
+        .select(col("doc_id"), col("p.xy").as("xy"), col("p.x").as("x"))
+        .groupBy(col("doc_id"), col("xy"), col("x")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val cxy = dbig.groupBy(col("xy")).agg(sum(col("c")).as("c_xy"))
+      val cx = dbig.groupBy(col("x")).agg(sum(col("c")).as("c_x"))
+      val v = dbig.agg(countDistinct(col("x")).as("vocab"))
+      val lp = dbig.join(cxy, Seq("xy"))
+        .join(broadcast(cx), Seq("x"))
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg((round(
+          sum(col("c") * log((col("c_xy") + 1.0) / (col("c_x") + col("vocab"))))
+            / sum(col("c")) * 1e6) / 1e6).as("lp"))
+      val th = lp.agg(
+        (round(expr("percentile(lp, 1.0D / 3)") * 1e6) / 1e6).as("t33"),
+        (round(expr("percentile(lp, 2.0D / 3)") * 1e6) / 1e6).as("t66"))
+      lp.crossJoin(broadcast(th))
+        .select(
+          when(col("lp") >= col("t66"), "head")
+            .when(col("lp") >= col("t33"), "middle")
+            .otherwise("tail").as("bucket"),
+          col("lp"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (round(avg(col("lp")) * 1e6) / 1e6).as("avg_logprob"),
+          (round(min(col("lp")) * 1e6) / 1e6).as("min_logprob"))
+        .orderBy(col("bucket"))
+    })
+
   /** Null-safe equality join (`<=>` ≙ IS NOT DISTINCT FROM): priority
     * codes with the urgent class nulled out on both sides still pair up
     * null-to-null — the semantics plain `=` silently drops. The join
@@ -2396,7 +2472,7 @@ object PipelineQ extends QueryPack {
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
-    qTopkPerKey, qWeightedMedian, qBigramLm, qNullSafeJoin, qCentroidDrift,
+    qTopkPerKey, qWeightedMedian, qBigramLm, qPplBucket, qNullSafeJoin, qCentroidDrift,
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,

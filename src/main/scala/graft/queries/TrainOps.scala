@@ -355,7 +355,37 @@ object TrainOps extends QueryPack {
         .orderBy(col("split"))
     })
 
+  /** Per-source document cap (the RefinedWeb/C4 "no domain dominates"
+    * rule): keep at most K = 10 docs per source, selected by a
+    * deterministic md5 rank — a reproducible uniform subsample within
+    * each source, unlike rand() which changes the corpus on every
+    * retry. The rank window partitions on `source`, so the shuffle is
+    * keyed and no task ever sees more than one source's docs; per-key
+    * volume is the pre-cap source size, exactly what the cap bounds
+    * AFTER this op for every downstream consumer.
+    */
+  val qSourceCap: Q = Q(
+    "q_source_cap",
+    Some("""WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                                doc_id) AS rank
+              FROM documents)
+            SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+            FROM r WHERE rank <= 10 ORDER BY source, rank"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5Hash32(concat(lit("cap:"), col("doc_id").cast("string"))), col("doc_id"))
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .orderBy(col("source"), col("rank"))
+    })
+
   override def queries: Seq[Q] =
     Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qSampleExactK, qDupClusters,
-      qCorpusPipeline, qWeightedSample, qSplitLeakfree)
+      qCorpusPipeline, qWeightedSample, qSplitLeakfree, qSourceCap)
 }
