@@ -259,13 +259,26 @@ object StreamQ extends QueryPack {
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val joined = EventStreams.clickToPurchase(ev, windowSeconds = 600, watermark = "10 minutes")
       val sink = s"stream_join_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      val query = joined.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      // A stream-stream join keeps FOUR state stores per partition, each
+      // committed every micro-batch — so state partitioning follows
+      // STATE volume (bounded by the watermark horizon: 10 minutes of
+      // events), not scan parallelism. At horizon-sized state, 8
+      // partitions cuts the commit fan-out 4×8×batches vs 4×32×batches
+      // (measured 8.4 s -> 2.8 s); a production deployment sizes this
+      // to horizon volume the same way. Restored after the drain.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try {
+          val q = joined.writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode(OutputMode.Append())
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(sink)
         .select(
           col("user_id"), col("click_id"), col("purchase_id"),
@@ -313,6 +326,84 @@ object StreamQ extends QueryPack {
         .orderBy(col("bucket"))
     })
 
+  /** CUSTOM-STATE sessionization under the gate:
+    * [[EventStreams.sessionize]] drives `flatMapGroupsWithState` with
+    * an event-time timeout — the arbitrary-state API, not the
+    * declarative `session_window` q_stream_sessions gates. Its state
+    * machine is still deterministic on a drained replay (per-user
+    * fold in event-time order; timeouts fire when the sentinel pushes
+    * the final watermark), so the batch gaps-and-islands rewrite
+    * oracles it too — with two boundary differences vs session_window:
+    * the gap comparison is INCLUSIVE (an event exactly gap seconds
+    * after the last one continues the session) and the emitted session
+    * end is the LAST EVENT's time, not last + gap.
+    */
+  val qStreamSessionize: Q = Q(
+    "q_stream_sessionize",
+    Some("""WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 1800 SECOND
+                          THEN 1 ELSE 0 END AS new_s,
+                     event_id
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   round(sum(value) * 100) / 100 AS total_value
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""),
+    (s, dir) => {
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("stream_sessionize")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val maxNs = s.read.parquet(s"$dir/events.parquet")
+        .agg(max(col("ts"))).head.getLong(0)
+      val sentinelOut = java.nio.file.Files.createTempDirectory("sentinel_fs").resolve("p")
+      Seq((-1L, maxNs + 10L * 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(sentinelOut.toString)
+      val part = java.nio.file.Files.list(sentinelOut).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val staged = stage.resolve("zz_sentinel.parquet")
+      java.nio.file.Files.copy(part, staged)
+      java.nio.file.Files.setLastModifiedTime(
+        staged, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 3600000L))
+
+      val ev = s.readStream.schema(rawSchema)
+        .parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val sessions = EventStreams.sessionize(ev, gapSeconds = 1800, watermark = "0 seconds")
+      val sink = s"stream_sessionize_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val query = sessions.toDF.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink)
+        .filter(col("user_id") >= 0)
+        .select(
+          col("user_id"),
+          col("n_events").cast("long").as("n_events"),
+          col("start").as("session_start"),
+          col("end").as("session_end"),
+          (round(col("total_value") * 100) / 100).as("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    })
+
   override def queries: Seq[Q] =
-    Seq(qStreamWindow, qStreamSessions, qStreamDedup, qStreamEnrich, qStreamJoin, qStreamSliding)
+    Seq(qStreamWindow, qStreamSessions, qStreamDedup, qStreamEnrich, qStreamJoin,
+      qStreamSliding, qStreamSessionize)
 }
