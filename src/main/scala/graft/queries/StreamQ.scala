@@ -403,7 +403,113 @@ object StreamQ extends QueryPack {
         .orderBy(col("user_id"), col("session_start"))
     })
 
+  /** `transformWithState` (the Spark 4 arbitrary-state API) under the
+    * gate: [[EventStreams.thresholdAlerts]] keeps per-user running
+    * totals in `ValueState` (RocksDB provider) and emits an alert each
+    * time the total crosses another multiple of 100. The per-user fold
+    * runs in (ts, event_id) order, so the oracle replays it exactly:
+    * prefix sums over the same ordered value list (left-fold
+    * association on both sides — the crossing check compares RAW
+    * doubles, which only works because both engines build the same
+    * sums in the same order). TimeMode.None: no watermark, no
+    * sentinel.
+    */
+  val qStreamAlerts: Q = Q(
+    "q_stream_alerts",
+    Some("""WITH u AS (
+              SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+              FROM events GROUP BY user_id),
+            c AS (SELECT user_id, unnest(range(1, len(vs) + 1)) AS i, vs FROM u),
+            r AS (SELECT user_id, i,
+                         list_sum(vs[1:i]) AS cum,
+                         CASE WHEN i = 1 THEN 0.0 ELSE list_sum(vs[1:i-1]) END AS prev
+                  FROM c)
+            SELECT user_id, CAST(i AS BIGINT) AS n_events,
+                   round(cum * 100) / 100 AS total_value
+            FROM r WHERE floor(cum / 100.0) > floor(prev / 100.0)
+            ORDER BY user_id, n_events"""),
+    (s, dir) => {
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("stream_alerts")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val ev = s.readStream.schema(rawSchema)
+        .parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val sink = s"stream_alerts_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val query = EventStreams.thresholdAlerts(ev, threshold = 100.0)
+          .toDF.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      s.table(sink)
+        .select(
+          col("user_id"), col("n_events").cast("long").as("n_events"),
+          (round(col("total_value") * 100) / 100).as("total_value"))
+        .orderBy(col("user_id"), col("n_events"))
+    })
+
+  /** Exactly-once across a RESTART: drain once, then simulate an
+    * at-least-once redelivery (a byte-identical replay file appears
+    * AFTER the query stopped) and drain again from the SAME
+    * checkpoint. The second run recovers watermark + dedup state from
+    * the checkpoint and must emit nothing new; the parquet FILE SINK's
+    * transactional metadata log is what makes the output dir readable
+    * as an exactly-once table either way. The oracle is the
+    * single-copy static aggregate — the number a consumer of the sink
+    * directory must see no matter how many times delivery retried or
+    * the query restarted.
+    */
+  val qStreamRestart: Q = Q(
+    "q_stream_restart",
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(sum(value) * 100) / 100 AS total_value
+            FROM events"""),
+    (s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("stream_restart")
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val out = java.nio.file.Files.createTempDirectory("stream_restart_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_restart_ckpt").toString
+      def drain(): Unit = {
+        val ev = s.readStream.schema(rawSchema)
+          .parquet(stage.toString)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val query = EventStreams.dedupEvents(ev, watermark = "1 hour")
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
+      drain() // first life: the original file
+      val replay = stage.resolve("events_replay.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), replay)
+      java.nio.file.Files.setLastModifiedTime(
+        replay, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 1000L))
+      drain() // second life, same checkpoint: replay must be a no-op
+      s.read.parquet(out).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (round(sum(col("value")) * 100) / 100).as("total_value"))
+    })
+
   override def queries: Seq[Q] =
     Seq(qStreamWindow, qStreamSessions, qStreamDedup, qStreamEnrich, qStreamJoin,
-      qStreamSliding, qStreamSessionize)
+      qStreamSliding, qStreamSessionize, qStreamAlerts, qStreamRestart)
 }
