@@ -385,7 +385,52 @@ object TrainOps extends QueryPack {
         .orderBy(col("source"), col("rank"))
     })
 
+  /** Deterministic global shuffle + contiguous 0..N-1 index assignment
+    * (the training-export step: every example gets a stable position in
+    * a reproducibly shuffled corpus) — WITHOUT the single-task global
+    * window `row_number() OVER (ORDER BY ...)` plans as. Two phases:
+    * docs bucket by the top bits of an md5 shuffle key (64 buckets);
+    * per-bucket counts prefix-sum into bucket offsets (a 64-row frame —
+    * bounded by the bucket constant, never the corpus); each doc's
+    * index = its bucket offset + its rank WITHIN the bucket (a
+    * partitioned window). Same two-phase shape as the equi-depth
+    * histogram: the only global structure is bucket-count-sized.
+    * The oracle is the naive global row_number the rewrite must equal.
+    */
+  val qGlobalIndex: Q = Q(
+    "q_global_index",
+    Some("""WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('gi:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS k
+              FROM documents)
+            SELECT CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS global_idx,
+                   doc_id
+            FROM h ORDER BY global_idx"""),
+    (s, dir) => {
+      // bucket on the key's high bits so bucket order == key order and
+      // the per-bucket ranks concatenate into the global order
+      val h = docs(s, dir)
+        .select(col("doc_id"),
+          md5Hash32(concat(lit("gi:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("bucket", (col("k") / lit(1L << 26)).cast("long")) // 2^32 keys / 64
+      val offsets = h.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(
+            sum(col("cnt")).over(
+              Window.orderBy(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("bucket"), col("offset"))
+      val wb = Window.partitionBy(col("bucket")).orderBy(col("k"), col("doc_id"))
+      h.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("rank", row_number().over(wb))
+        .select(
+          (col("offset") + col("rank") - 1).cast("long").as("global_idx"),
+          col("doc_id"))
+        .orderBy(col("global_idx"))
+    })
+
   override def queries: Seq[Q] =
     Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qSampleExactK, qDupClusters,
-      qCorpusPipeline, qWeightedSample, qSplitLeakfree, qSourceCap)
+      qCorpusPipeline, qWeightedSample, qSplitLeakfree, qSourceCap, qGlobalIndex)
 }

@@ -185,7 +185,11 @@ class PlanSpec extends SparkSpec {
       // cross-bucket running min over the 64-row bucket frame
       "q_skyline" -> "fixed 64-bucket frame",
       // rank over the k=100 frame AFTER TakeOrderedAndProject
-      "q_weighted_sample" -> "top-100 limited frame")
+      "q_weighted_sample" -> "top-100 limited frame",
+      // prefix sum over the fixed 64-row bucket-count frame — the whole
+      // point of the two-phase rewrite is that only this bounded frame
+      // ever crosses a single task
+      "q_global_index" -> "fixed 64-bucket offset frame")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val sp = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
       val global = sp.collect {
