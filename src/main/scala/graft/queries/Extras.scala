@@ -352,6 +352,63 @@ object Extras extends QueryPack {
         .orderBy(col("source"))
     })
 
+  /** Temperature resampling APPLIED (the UniMax/multilingual mixture
+    * step): target language shares p^τ/Σp^τ at τ = 0.5 flatten the
+    * distribution, per-doc resampling weight w = target/actual, and the
+    * corpus is materialized at those weights — floor(w) whole copies
+    * plus one more when a deterministic md5 uniform lands under the
+    * fractional part. On this corpus en gets w < 1 (subsampled) and the
+    * rare languages w > 1 (replicated), so BOTH branches are pinned.
+    *
+    * Determinism across engines: Σp^τ is a 5-term double sum, so both
+    * sides fold it in sorted-lang order (sorted collect + `aggregate`
+    * ≙ `list_sum(list(... ORDER BY lang))`) — a plain `sum()` would
+    * leave the addition order to the engine and the last ulp decides
+    * u < frac(w) comparisons. Weights frame is language-cardinality,
+    * broadcast; the resampling itself is map-side.
+    */
+  val qTemperatureMix: Q = Q(
+    "q_temperature_mix",
+    Some("""WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            t AS (SELECT sum(n) * 1.0 AS total FROM s),
+            q AS (SELECT lang, n, n / total AS p, sqrt(n / total) AS pt FROM s CROSS JOIN t),
+            z AS (SELECT list_sum(list(pt ORDER BY lang)) AS zt FROM q),
+            w AS (SELECT lang, n, (pt / zt) / p AS w FROM q CROSS JOIN z),
+            d AS (SELECT d.doc_id, d.lang, w.w, w.n,
+                         (('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                           / 4294967296.0 AS u
+                  FROM documents d JOIN w ON d.lang = w.lang)
+            SELECT lang, CAST(max(n) AS BIGINT) AS n_in,
+                   CAST(sum(CAST(floor(w) AS BIGINT) +
+                            (CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END)) AS BIGINT) AS n_out,
+                   round(max(w) * 1e6) / 1e6 AS weight
+            FROM d GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val counts = t(s, dir, "documents").groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg((sum(col("n")) * lit(1.0)).as("total"))
+      val q = counts.crossJoin(broadcast(tot))
+        .withColumn("p", col("n") / col("total"))
+        .withColumn("pt", sqrt(col("n") / col("total")))
+      val z = q.agg(expr(
+        """aggregate(sort_array(collect_list(struct(lang, pt))),
+                     CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.pt)""").as("zt"))
+      val w = q.crossJoin(broadcast(z))
+        .select(col("lang"), col("n"), ((col("pt") / col("zt")) / col("p")).as("w"))
+      val u = md5Hash32(concat(lit("tmix:"), col("doc_id").cast("string"))) / lit(4294967296.0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .join(broadcast(w), Seq("lang"))
+        .withColumn("u", u)
+        .withColumn("copies",
+          floor(col("w")) + when(col("u") < col("w") - floor(col("w")), 1L).otherwise(0L))
+        .groupBy(col("lang"))
+        .agg(
+          max(col("n")).cast("long").as("n_in"),
+          sum(col("copies")).cast("long").as("n_out"),
+          (round(max(col("w")) * 1e6) / 1e6).as("weight"))
+        .orderBy(col("lang"))
+    })
+
   /** Forward fill (last observation carried forward): per-user running
     * "last purchase amount", nulls between purchases filled from the
     * most recent one — `last(_, ignoreNulls)` over an explicit rows
@@ -456,5 +513,5 @@ object Extras extends QueryPack {
     qBucketedJoin,
     qIntersectAll, qListagg, qLateralTopk, qGroupingId, qDateSpine,
     qMapRoundtrip, qChunkText, qQuantizeEmbed, qShaAddress,
-    qPackSequences, qMixWeights, qLocf, qRightJoin)
+    qPackSequences, qMixWeights, qTemperatureMix, qLocf, qRightJoin)
 }
