@@ -2467,8 +2467,43 @@ object PipelineQ extends QueryPack {
       p20.crossJoin(p50) // two 1-row stats frames
     })
 
+  /** k-core peel trace ([[graft.operators.KCore]]) on the thinned
+    * co-purchase graph: 6 pinned rounds toward the 8-core, the graph
+    * density filter (low-degree noise peels first; dense cores — the
+    * boilerplate/spam analogue — survive). The per-round
+    * (n_nodes, n_edges) trace is the gated output, so the peel's whole
+    * trajectory is hash-pinned, not just its endpoint; the oracle
+    * unrolls the identical rounds as CTEs (pure integer counting —
+    * exact replay).
+    */
+  val qKcore: Q = Q(
+    "q_kcore", {
+      val edges =
+        """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           alledges AS (
+             SELECT a.l_partkey AS a, b.l_partkey AS b
+             FROM items a JOIN items b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2)
+           SELECT a, b FROM alledges
+           WHERE ('0x' || substr(md5('kc:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 10 < 1"""
+      Some(graft.operators.KCore.unrolledSql(edges, k = 8, rounds = 6))
+    },
+    (s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("b"))
+      val edges = graft.operators.Triangles.sampleEdges(
+        a.join(b, Seq("l_orderkey"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct(),
+        modParts = 10, keepParts = 1, salt = "kc:")
+      graft.operators.KCore.peelRounds(edges, k = 8, rounds = 6)
+    })
+
   override def queries: Seq[Q] = Seq(
-    qTriangleCount, qTriangleSampled,
+    qTriangleCount, qTriangleSampled, qKcore,
     qRepetition, qDsirWeights, qSemDedup, qSimhashBand, qIntervalSweep,
     qGapsIslands, qMarketShare, qTopSupplier, qRankBattery, qDupSpans,
     qRecursiveWalk, qMarkovTransitions, qBandedRange, qStateRuns,
