@@ -501,7 +501,104 @@ object SimilarityQ extends QueryPack {
       })
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, k = 60): a
+    * VECTOR ranker (exact cosine over embeddings) and a TEXT ranker
+    * (exact 3-gram Jaccard over documents, ids aligned) each produce a
+    * per-query top-20; fusion scores every candidate
+    * 1/(60+rank_a) + 1/(60+rank_b) (a missing ranker contributes 0) and
+    * keeps the fused top-5 — the standard way production search merges
+    * dense and lexical retrieval WITHOUT calibrating their
+    * incommensurable scores (only ranks cross the boundary, which is
+    * also what makes the fusion engine-portable: integer ranks, not
+    * floats, feed the formula).
+    *
+    * Scale shape: the query side (5 rows) broadcasts into both
+    * rankers; the text ranker joins on shingle keys (never all-pairs);
+    * all rank windows partition on q_id. Both rankers order by ROUNDED
+    * scores so last-ulp drift can't swap ranks across engines.
+    */
+  val qRrfFusion: Q = Q(
+    "q_rrf_fusion", {
+      val dot =
+        "list_sum([CAST(list_extract(q.q_emb, i) AS DOUBLE) * CAST(list_extract(e.embedding, i) AS DOUBLE) FOR i IN range(1, len(e.embedding) + 1)])"
+      Some(s"""WITH qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+               sa AS (SELECT q.q_id, e.vec_id AS id,
+                             round($dot / (sqrt(${sqNormSql("q.q_emb")}) * sqrt(${sqNormSql("e.embedding")})), 4) AS cos
+                      FROM embeddings e, qv q WHERE e.vec_id <> q.q_id),
+               ra AS (SELECT q_id, id,
+                             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS rank_a
+                      FROM sa),
+               ra20 AS (SELECT q_id, id, rank_a FROM ra WHERE rank_a <= 20),
+               sh AS (SELECT doc_id, unnest(list_distinct(
+                        [substring(text, i, 3) FOR i IN range(1, length(text) - 1)])) AS s
+                      FROM documents WHERE length(text) >= 3),
+               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT q.doc_id AS q_id, d.doc_id AS id, count(*) AS c
+                         FROM sh q JOIN sh d ON q.s = d.s
+                         WHERE q.doc_id < 5 AND d.doc_id <> q.doc_id
+                         GROUP BY 1, 2),
+               jac AS (SELECT i.q_id, i.id, round(c * 1e6 / (za.n + zb.n - c)) / 1e6 AS jac
+                       FROM inter i
+                       JOIN sz za ON za.doc_id = i.q_id
+                       JOIN sz zb ON zb.doc_id = i.id),
+               rb AS (SELECT q_id, id,
+                             row_number() OVER (PARTITION BY q_id ORDER BY jac DESC, id) AS rank_b
+                      FROM jac),
+               rb20 AS (SELECT q_id, id, rank_b FROM rb WHERE rank_b <= 20),
+               f AS (SELECT coalesce(a.q_id, b.q_id) AS q_id, coalesce(a.id, b.id) AS id,
+                            round((coalesce(1.0 / (60 + a.rank_a), 0.0)
+                                   + coalesce(1.0 / (60 + b.rank_b), 0.0)) * 1e6) / 1e6 AS rrf
+                     FROM ra20 a FULL OUTER JOIN rb20 b ON a.q_id = b.q_id AND a.id = b.id),
+               r AS (SELECT q_id, id, rrf,
+                            row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, id) AS rank
+                     FROM f)
+               SELECT q_id, CAST(rank AS BIGINT) AS rank, id, rrf
+               FROM r WHERE rank <= 5 ORDER BY q_id, rank""")
+    },
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val qv = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scoredA = e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("id"),
+          round(graft.functions.VectorFunctions.vecCosine(col("q_emb"), col("embedding")), 4)
+            .as("cos"))
+      val wa = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
+      val ra = scoredA.withColumn("rank_a", row_number().over(wa))
+        .filter(col("rank_a") <= 20).select(col("q_id"), col("id"), col("rank_a"))
+
+      val sh = Tables.loadDistributed(s, dir, "documents", "doc_id")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(graft.text.TextFunctions.shingles(col("text"), 3)).as("s"))
+        .localCheckpoint(true) // query side, corpus side, and sizes share one shingling
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val qsh = sh.filter(col("doc_id") < 5).select(col("doc_id").as("q_id"), col("s"))
+      val inter = qsh.join(sh, Seq("s"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("doc_id").as("id")).agg(count(lit(1)).as("c"))
+      val jac = inter
+        .join(broadcast(sz.select(col("doc_id").as("q_id"), col("n").as("na"))), Seq("q_id"))
+        .join(broadcast(sz.select(col("doc_id").as("id"), col("n").as("nb"))), Seq("id"))
+        .select(col("q_id"), col("id"),
+          (round(col("c") * 1e6 / (col("na") + col("nb") - col("c"))) / 1e6).as("jac"))
+      val wb = Window.partitionBy(col("q_id")).orderBy(col("jac").desc, col("id"))
+      val rb = jac.withColumn("rank_b", row_number().over(wb))
+        .filter(col("rank_b") <= 20).select(col("q_id"), col("id"), col("rank_b"))
+
+      val fused = ra.join(rb, Seq("q_id", "id"), "full_outer")
+        .select(col("q_id"), col("id"),
+          (round((coalesce(lit(1.0) / (lit(60) + col("rank_a")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0))) * 1e6) / 1e6).as("rrf"))
+      val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("id"))
+      fused.withColumn("rank", row_number().over(wf).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("id"), col("rrf"))
+        .orderBy(col("q_id"), col("rank"))
+    })
+
   override def queries: Seq[Q] =
     Seq(qEmbedNorms, qCosineTopk, qLshAnn, qLshAnnMulti, qIvfAnn, qIvfAnnIter,
-      qEmbedCentroids, qPqAnn, qRandomProjection, qRpAnn)
+      qEmbedCentroids, qPqAnn, qRandomProjection, qRpAnn, qRrfFusion)
 }
