@@ -162,6 +162,18 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("RRF fusion broadcasts the query side into both rankers — no cartesian") {
+    val p = plan("q_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("temperature mix broadcasts the language-cardinality weights frame") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("unpartitioned windows appear only in bounded-domain queries") {
     // A WindowExec with an empty partitionSpec funnels its entire input
     // through ONE task — acceptable only when the input is provably
