@@ -543,7 +543,90 @@ object Dedup extends QueryPack {
       probeLshIndex(s, path, newb, corpus, minJaccard = 0.5)
     })
 
+  /** Exact substring dedup ACCOUNTING (the Lee et al. 2022 transform,
+    * token-8-gram grain): every 8-gram occurrence that is not the
+    * corpus-wide FIRST occurrence (min (doc_id, pos)) marks its 8
+    * token positions as duplicated; overlapping marks merge into
+    * islands (gaps-and-islands per doc — a PARTITIONED window), and
+    * each doc reports how many tokens the dedup pass would remove vs
+    * retain. This is the coverage half of substring dedup — the
+    * number that decides whether a doc survives, gets trimmed, or is
+    * dropped — computed without ever materializing rewritten text.
+    *
+    * Scale shape: one tokenization, one explode to (8-gram, pos), one
+    * corpus-wide hash aggregation for first-occurrences, one join
+    * back, then per-doc windows. Nothing is ever pairwise.
+    */
+  val qSpanDedup: Q = Q(
+    "q_span_dedup",
+    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+                          FROM documents),
+            gr AS (SELECT doc_id,
+                          unnest([{'i': i, 'gram': array_to_string(t[i:i+7], ' ')}
+                                  FOR i IN range(1, len(t) - 6)],
+                                 recursive := true)
+                   FROM toks WHERE len(t) >= 8),
+            f AS (SELECT gram, min({'d': doc_id, 'i': i}) AS fst FROM gr GROUP BY gram),
+            d AS (SELECT gr.doc_id, gr.i FROM gr JOIN f USING (gram)
+                  WHERE NOT (gr.doc_id = f.fst.d AND gr.i = f.fst.i)),
+            iv AS (SELECT DISTINCT doc_id, i AS s, i + 7 AS e FROM d),
+            m AS (SELECT doc_id, s, e,
+                         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                  FROM iv),
+            isl AS (SELECT doc_id, s, e,
+                           sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                    FROM m),
+            cov AS (SELECT doc_id, island, max(e) - min(s) + 1 AS clen, count(*) AS nsp
+                    FROM isl GROUP BY 1, 2),
+            agg AS (SELECT doc_id, sum(clen) AS n_covered, sum(nsp) AS n_dup_spans
+                    FROM cov GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(coalesce(a.n_covered, 0) AS BIGINT) AS n_covered,
+                   CAST(len(t.t) - coalesce(a.n_covered, 0) AS BIGINT) AS n_retained
+            FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+        .localCheckpoint(true) // feeds the gram explode AND the final join
+      val gr = toks.filter(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 7),
+                       i -> named_struct('i', i, 'gram', array_join(slice(t, i, 8), ' ')))"""))
+          .as("x"))
+        .select(col("doc_id"), col("x.i").as("i"), col("x.gram").as("gram"))
+      val f = gr.groupBy(col("gram"))
+        .agg(min(struct(col("doc_id").as("d"), col("i").as("fi"))).as("fst"))
+      val dups = gr.join(f, Seq("gram"))
+        .filter(!(col("doc_id") === col("fst.d") && col("i") === col("fst.fi")))
+      val iv = dups.select(col("doc_id"), col("i").as("s"), (col("i") + 7).as("e")).distinct()
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isl = iv
+        .withColumn("pmax", max(col("e")).over(wPrev))
+        .withColumn("island",
+          sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L)).over(wRun))
+      val agg = isl.groupBy(col("doc_id"), col("island"))
+        .agg((max(col("e")) - min(col("s")) + 1).as("clen"), count(lit(1)).as("nsp"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("clen")).as("n_covered"), sum(col("nsp")).as("n_dup_spans"))
+      toks.join(agg, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          coalesce(col("n_dup_spans"), lit(0L)).cast("long").as("n_dup_spans"),
+          coalesce(col("n_covered"), lit(0L)).cast("long").as("n_covered"),
+          (size(col("t")) - coalesce(col("n_covered"), lit(0L))).cast("long").as("n_retained"))
+        .orderBy(col("doc_id"))
+    })
+
   override def queries: Seq[Q] =
     Seq(qDedupExact, qMinhashSig, qLshBuckets, qSimhash, qNgramJaccard, qCosineDedup,
-      qLshClusters, qLshIndexDedup)
+      qLshClusters, qLshIndexDedup, qSpanDedup)
 }
