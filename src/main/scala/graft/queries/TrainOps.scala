@@ -430,7 +430,57 @@ object TrainOps extends QueryPack {
         .orderBy(col("global_idx"))
     })
 
+  /** Shard manifest for the training export: the q_global_index order
+    * chopped into fixed-size shards of 50 docs, each manifest row
+    * carrying the shard's doc count, char volume, and index range —
+    * the artifact a trainer's data loader actually consumes (and the
+    * audit trail proving every doc landed in exactly one shard:
+    * Σ n_docs = N, ranges tile [0, N) with no gaps). Same two-phase
+    * index shape; the manifest aggregation adds ONE keyed shuffle on
+    * shard_id.
+    */
+  val qShardManifest: Q = Q(
+    "q_shard_manifest",
+    Some("""WITH h AS (
+              SELECT doc_id, n_chars,
+                     ('0x' || substr(md5('gi:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS k
+              FROM documents),
+            idx AS (SELECT doc_id, n_chars,
+                           row_number() OVER (ORDER BY k, doc_id) - 1 AS gi
+                    FROM h)
+            SELECT CAST(gi // 50 AS BIGINT) AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                   CAST(min(gi) AS BIGINT) AS idx_lo,
+                   CAST(max(gi) AS BIGINT) AS idx_hi
+            FROM idx GROUP BY 1 ORDER BY shard_id"""),
+    (s, dir) => {
+      val h = docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          md5Hash32(concat(lit("gi:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("bucket", (col("k") / lit(1L << 26)).cast("long"))
+      val offsets = h.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(
+            sum(col("cnt")).over(
+              Window.orderBy(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("bucket"), col("offset"))
+      val wb = Window.partitionBy(col("bucket")).orderBy(col("k"), col("doc_id"))
+      h.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("gi", col("offset") + row_number().over(wb) - 1)
+        .groupBy(expr("gi div 50").as("shard_id")) // integer floor div, exact ≙ //
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          min(col("gi")).cast("long").as("idx_lo"),
+          max(col("gi")).cast("long").as("idx_hi"))
+        .orderBy(col("shard_id"))
+    })
+
   override def queries: Seq[Q] =
     Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qSampleExactK, qDupClusters,
-      qCorpusPipeline, qWeightedSample, qSplitLeakfree, qSourceCap, qGlobalIndex)
+      qCorpusPipeline, qWeightedSample, qSplitLeakfree, qSourceCap, qGlobalIndex,
+      qShardManifest)
 }

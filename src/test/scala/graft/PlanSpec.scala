@@ -201,7 +201,9 @@ class PlanSpec extends SparkSpec {
       // prefix sum over the fixed 64-row bucket-count frame — the whole
       // point of the two-phase rewrite is that only this bounded frame
       // ever crosses a single task
-      "q_global_index" -> "fixed 64-bucket offset frame")
+      "q_global_index" -> "fixed 64-bucket offset frame",
+      // same two-phase index shape feeding the shard manifest
+      "q_shard_manifest" -> "fixed 64-bucket offset frame")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val sp = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
       val global = sp.collect {
