@@ -479,8 +479,65 @@ object TrainOps extends QueryPack {
         .orderBy(col("shard_id"))
     })
 
+  /** Population stability index between two corpus halves (doc_id
+    * parity as the reference/current proxy): doc-length distributions
+    * bucketed into 8 equal-width bins, Laplace-smoothed shares
+    * (+1 / +nbins — zero-count bins must not blow up the log), and the
+    * per-bin PSI contribution (p_ref − p_cur)·ln(p_ref/p_cur) — the
+    * standard ingest-drift monitor that decides whether a new crawl
+    * snapshot still looks like the corpus the filters were tuned on.
+    * Mathematically non-negative, but an FP-tiny product can round to
+    * DuckDB's −0.0 — hence the `+ 0.0`. Count side is two hash
+    * aggregations; everything after is bin-cardinality arithmetic.
+    */
+  val qPsiDrift: Q = Q(
+    "q_psi_drift",
+    Some("""WITH d AS (SELECT doc_id % 2 AS grp,
+                              least(7, greatest(0, CAST(floor(n_chars / 250.0) AS BIGINT))) AS bucket
+                       FROM documents),
+            c AS (SELECT grp, bucket, count(*) AS n FROM d GROUP BY 1, 2),
+            t AS (SELECT grp, sum(n) AS tot FROM c GROUP BY grp),
+            b AS (SELECT bucket FROM range(0, 8) r(bucket)),
+            p AS (SELECT b.bucket,
+                         coalesce(ca.n, 0) AS na, coalesce(cb.n, 0) AS nb,
+                         (coalesce(ca.n, 0) + 1.0) / (ta.tot + 8.0) AS pa,
+                         (coalesce(cb.n, 0) + 1.0) / (tb.tot + 8.0) AS pb
+                  FROM b
+                  LEFT JOIN c ca ON ca.grp = 0 AND ca.bucket = b.bucket
+                  LEFT JOIN c cb ON cb.grp = 1 AND cb.bucket = b.bucket
+                  CROSS JOIN (SELECT tot FROM t WHERE grp = 0) ta
+                  CROSS JOIN (SELECT tot FROM t WHERE grp = 1) tb)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+                   round((pa - pb) * ln(pa / pb) * 1e6) / 1e6 + 0.0 AS psi_contrib
+            FROM p ORDER BY bucket"""),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select((col("doc_id") % 2).as("grp"),
+          least(lit(7L), greatest(lit(0L), floor(col("n_chars") / 250.0).cast("long")))
+            .as("bucket"))
+      val c = d.groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // 16 rows feeding four derived frames
+      val ca = c.filter(col("grp") === 0).select(col("bucket"), col("n").as("na0"))
+      val cb = c.filter(col("grp") === 1).select(col("bucket"), col("n").as("nb0"))
+      val t0 = c.filter(col("grp") === 0).agg(sum(col("n")).as("tot0"))
+      val t1 = c.filter(col("grp") === 1).agg(sum(col("n")).as("tot1"))
+      val pa = (coalesce(col("na0"), lit(0L)) + 1.0) / (col("tot0") + 8.0)
+      val pb = (coalesce(col("nb0"), lit(0L)) + 1.0) / (col("tot1") + 8.0)
+      s.range(0, 8).select(col("id").as("bucket"))
+        .join(broadcast(ca), Seq("bucket"), "left")
+        .join(broadcast(cb), Seq("bucket"), "left")
+        .crossJoin(broadcast(t0)).crossJoin(broadcast(t1))
+        .select(
+          col("bucket"),
+          coalesce(col("na0"), lit(0L)).cast("long").as("n_ref"),
+          coalesce(col("nb0"), lit(0L)).cast("long").as("n_cur"),
+          (round((pa - pb) * log(pa / pb) * 1e6) / 1e6 + lit(0.0)).as("psi_contrib"))
+        .orderBy(col("bucket"))
+    })
+
   override def queries: Seq[Q] =
     Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qSampleExactK, qDupClusters,
       qCorpusPipeline, qWeightedSample, qSplitLeakfree, qSourceCap, qGlobalIndex,
-      qShardManifest)
+      qShardManifest, qPsiDrift)
 }
