@@ -598,7 +598,126 @@ object SimilarityQ extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     })
 
+  /** Maximal-marginal-relevance diverse top-5 (Carbonell & Goldstein
+    * 1998): after retrieval hands back a top-20 candidate set per
+    * query, greedy MMR picks 5 results trading relevance against
+    * redundancy — score = 0.7·rel − 0.3·max-sim-to-already-picked —
+    * the diversity re-ranker that keeps near-duplicate hits from
+    * filling the result page.
+    *
+    * Scale shape: the greedy loop is inherently sequential but only
+    * ever sees ONE query's candidate set (bounded at 20), so it runs
+    * as `flatMapGroups` per query key — queries parallelize, candidate
+    * state is O(k·candidates), and nothing global exists. This is the
+    * legitimate per-group-imperative tier of the operator ladder: a
+    * data-dependent greedy argmax over 5 rounds has no Column-algebra
+    * form. Cross-engine determinism: rel and pairwise sims round to
+    * 1e-4 via the SAME half-away-from-zero rule (BigDecimal HALF_UP ≙
+    * DuckDB round), the Scala cosine accumulates in dimension order
+    * exactly like the oracle's list_sum fold, and ties break on the
+    * lower vec_id (≙ max struct {'sc', 'id': −id}). The oracle unrolls
+    * all 5 greedy steps as MATERIALIZED CTEs.
+    */
+  val qMmrDiverse: Q = Q(
+    "q_mmr_diverse", {
+      val dot =
+        "list_sum([CAST(list_extract(q.q_emb, i) AS DOUBLE) * CAST(list_extract(e.embedding, i) AS DOUBLE) FOR i IN range(1, len(e.embedding) + 1)])"
+      val simDot =
+        "list_sum([CAST(list_extract(c1.emb, i) AS DOUBLE) * CAST(list_extract(c2.emb, i) AS DOUBLE) FOR i IN range(1, len(c2.emb) + 1)])"
+      val sb = new StringBuilder(
+        s"""WITH qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+            scored AS (SELECT q.q_id, e.vec_id, e.embedding AS emb,
+                              round($dot / (sqrt(${sqNormSql("q.q_emb")}) * sqrt(${sqNormSql("e.embedding")})), 4) AS rel
+                       FROM embeddings e, qv q WHERE e.vec_id <> q.q_id),
+            cand AS MATERIALIZED (
+              SELECT q_id, vec_id, emb, rel FROM (
+                SELECT q_id, vec_id, emb, rel,
+                       row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+                FROM scored) WHERE rn <= 20),
+            sims AS MATERIALIZED (
+              SELECT c1.q_id, c1.vec_id AS a, c2.vec_id AS b,
+                     round($simDot / (sqrt(${sqNormSql("c1.emb")}) * sqrt(${sqNormSql("c2.emb")})), 4) AS sim
+              FROM cand c1 JOIN cand c2
+                ON c1.q_id = c2.q_id AND c1.vec_id <> c2.vec_id),
+            p1 AS MATERIALIZED (
+              SELECT q_id, max({'sc': rel, 'id': -vec_id}) AS p FROM cand GROUP BY q_id),
+            s1 AS (SELECT q_id, -p.id AS id, p.sc AS mmr FROM p1)""")
+      for (t <- 2 to 5) {
+        val prev = (1 until t).map(i => s"SELECT q_id, id FROM s$i").mkString(" UNION ALL ")
+        sb.append(s""",
+            sel${t - 1} AS MATERIALIZED ($prev),
+            ms$t AS (SELECT s.q_id, s.a AS vec_id, max(s.sim) AS m
+                     FROM sims s JOIN sel${t - 1} x ON x.q_id = s.q_id AND x.id = s.b
+                     GROUP BY 1, 2),
+            p$t AS MATERIALIZED (
+              SELECT c.q_id, max({'sc': 0.7 * c.rel - 0.3 * m.m, 'id': -c.vec_id}) AS p
+              FROM cand c JOIN ms$t m ON m.q_id = c.q_id AND m.vec_id = c.vec_id
+              WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+                                WHERE x.q_id = c.q_id AND x.id = c.vec_id)
+              GROUP BY c.q_id),
+            s$t AS (SELECT q_id, -p.id AS id, p.sc AS mmr FROM p$t)""")
+      }
+      sb.append(s"""
+            SELECT q_id, CAST(rank AS BIGINT) AS rank, id, round(mmr * 1e6) / 1e6 + 0.0 AS mmr
+            FROM (${(1 to 5).map(t => s"SELECT q_id, $t AS rank, id, mmr FROM s$t").mkString(" UNION ALL ")})
+            ORDER BY q_id, rank""")
+      Some(sb.toString)
+    },
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val e = emb(s, dir)
+      val qv = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
+      val cand = e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.vecCosine(col("q_emb"), col("embedding")), 4)
+            .as("rel"),
+          col("embedding").as("emb"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 20)
+        .select(col("q_id"), col("vec_id"), col("rel"), col("emb"))
+        .as[(Long, Long, Double, Array[Float])]
+
+      // rounding rule shared with both engines' round(x, 4): half away
+      // from zero; cosine accumulates in dimension order ≙ list_sum fold
+      def round4(x: Double): Double =
+        java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      def cos4(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+        i = 0; while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+        i = 0; while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+        round4(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      cand.groupByKey(_._1)
+        .flatMapGroups { (q, it) =>
+          val cs = it.toArray
+          val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+          for (t <- 1 to 5) {
+            var bestId = -1L; var bestScore = Double.NegativeInfinity
+            var bestEmb: Array[Float] = null
+            for ((_, id, rel, embv) <- cs if !picked.exists(_._1 == id)) {
+              val score =
+                if (picked.isEmpty) rel
+                else 0.7 * rel - 0.3 * picked.map(p => cos4(embv, p._2)).max
+              if (score > bestScore || (score == bestScore && id < bestId)) {
+                bestId = id; bestScore = score; bestEmb = embv
+              }
+            }
+            picked += ((bestId, bestEmb, bestScore))
+          }
+          picked.zipWithIndex.map { case ((id, _, sc), i) => (q, (i + 1).toLong, id, sc) }
+        }
+        .toDF("q_id", "rank", "id", "mmr")
+        .select(col("q_id"), col("rank"), col("id"),
+          (round(col("mmr") * 1e6) / 1e6 + lit(0.0)).as("mmr"))
+        .orderBy(col("q_id"), col("rank"))
+    })
+
   override def queries: Seq[Q] =
     Seq(qEmbedNorms, qCosineTopk, qLshAnn, qLshAnnMulti, qIvfAnn, qIvfAnnIter,
-      qEmbedCentroids, qPqAnn, qRandomProjection, qRpAnn, qRrfFusion)
+      qEmbedCentroids, qPqAnn, qRandomProjection, qRpAnn, qRrfFusion, qMmrDiverse)
 }
