@@ -899,6 +899,44 @@ object PipelineQ extends QueryPack {
         .orderBy(col("bucket"))
     })
 
+  /** Type-2 slowly-changing dimension build (the warehouse history
+    * pattern q_cdc_apply's current-state MERGE doesn't cover): every
+    * purchase event becomes a VERSION ROW with a validity interval —
+    * valid_from = its event time, valid_to = the user's next purchase
+    * (NULL for the open current row), plus the version ordinal. One
+    * partitioned lead/rank window per user key — the standard SCD2
+    * derivation, shuffling once on the dimension key at any history
+    * size. Values pass through untouched (no arithmetic → no rounding
+    * slack needed).
+    */
+  val qScd2: Q = Q(
+    "q_scd2",
+    Some("""WITH p AS (SELECT user_id, event_id, ts, value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   value,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   CASE WHEN lead(ts) OVER w IS NULL THEN TRUE ELSE FALSE END AS is_current
+            FROM p
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, version"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .select(
+          col("user_id"),
+          row_number().over(w).cast("long").as("version"),
+          col("value"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          lead(col("ts"), 1).over(w).isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    })
+
   /** Null-safe equality join (`<=>` ≙ IS NOT DISTINCT FROM): priority
     * codes with the urgent class nulled out on both sides still pair up
     * null-to-null — the semantics plain `=` silently drops. The join
@@ -2513,6 +2551,6 @@ object PipelineQ extends QueryPack {
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
     qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
     qTableDiff, qDataTests, qIncrementalAgg, qModeStat, qMadAnomaly,
-    qAttribution, qAttributionDecay, qCdcApply, qHistogramDepth, qMomGrowth, qKAnonymity,
+    qAttribution, qAttributionDecay, qCdcApply, qScd2, qHistogramDepth, qMomGrowth, qKAnonymity,
     qChunkRoundtrip, qDedupIncremental, qNgramContainment, qWinsorMean)
 }
