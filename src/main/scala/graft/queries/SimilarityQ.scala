@@ -681,35 +681,11 @@ object SimilarityQ extends QueryPack {
         .select(col("q_id"), col("vec_id"), col("rel"), col("emb"))
         .as[(Long, Long, Double, Array[Float])]
 
-      // rounding rule shared with both engines' round(x, 4): half away
-      // from zero; cosine accumulates in dimension order ≙ list_sum fold
-      def round4(x: Double): Double =
-        java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
-      def cos4(a: Array[Float], b: Array[Float]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
-        i = 0; while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
-        i = 0; while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
-        round4(dot / (math.sqrt(na) * math.sqrt(nb)))
-      }
       cand.groupByKey(_._1)
         .flatMapGroups { (q, it) =>
-          val cs = it.toArray
-          val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-          for (t <- 1 to 5) {
-            var bestId = -1L; var bestScore = Double.NegativeInfinity
-            var bestEmb: Array[Float] = null
-            for ((_, id, rel, embv) <- cs if !picked.exists(_._1 == id)) {
-              val score =
-                if (picked.isEmpty) rel
-                else 0.7 * rel - 0.3 * picked.map(p => cos4(embv, p._2)).max
-              if (score > bestScore || (score == bestScore && id < bestId)) {
-                bestId = id; bestScore = score; bestEmb = embv
-              }
-            }
-            picked += ((bestId, bestEmb, bestScore))
-          }
-          picked.zipWithIndex.map { case ((id, _, sc), i) => (q, (i + 1).toLong, id, sc) }
+          val cs = it.map { case (_, id, rel, embv) => (id, rel, embv) }.toSeq
+          graft.similarity.Mmr.select(cs, k = 5, lambda = 0.7)
+            .zipWithIndex.map { case ((id, sc), i) => (q, (i + 1).toLong, id, sc) }
         }
         .toDF("q_id", "rank", "id", "mmr")
         .select(col("q_id"), col("rank"), col("id"),
