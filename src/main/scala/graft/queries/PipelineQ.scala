@@ -2457,32 +2457,32 @@ object PipelineQ extends QueryPack {
             h AS (SELECT a, b,
                          ('0x' || substr(md5('tri:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 10 AS hp
                   FROM alledges),
-            e5 AS (SELECT a, b FROM h WHERE hp < 2),
-            d5 AS (SELECT n, count(*) AS d FROM
-                     (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5) GROUP BY n),
-            o5 AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+            e20 AS (SELECT a, b FROM h WHERE hp < 2),
+            d20 AS (SELECT n, count(*) AS d FROM
+                     (SELECT a AS n FROM e20 UNION ALL SELECT b FROM e20) GROUP BY n),
+            o20 AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
                           CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst
-                   FROM e5 e JOIN d5 da ON da.n = e.a JOIN d5 db ON db.n = e.b),
-            w5 AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
-                   FROM o5 o1 JOIN o5 o2 ON o1.src = o2.src AND o1.dst < o2.dst),
-            t5 AS (SELECT count(*) AS t FROM w5
-                   JOIN e5 e ON e.a = least(w5.x, w5.y) AND e.b = greatest(w5.x, w5.y)),
-            e2 AS (SELECT a, b FROM h WHERE hp < 5),
-            d2 AS (SELECT n, count(*) AS d FROM
-                     (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n),
-            o2 AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+                   FROM e20 e JOIN d20 da ON da.n = e.a JOIN d20 db ON db.n = e.b),
+            w20 AS (SELECT oa.src, oa.dst AS x, ob.dst AS y
+                   FROM o20 oa JOIN o20 ob ON oa.src = ob.src AND oa.dst < ob.dst),
+            t20 AS (SELECT count(*) AS t FROM w20
+                   JOIN e20 e ON e.a = least(w20.x, w20.y) AND e.b = greatest(w20.x, w20.y)),
+            e50 AS (SELECT a, b FROM h WHERE hp < 5),
+            d50 AS (SELECT n, count(*) AS d FROM
+                     (SELECT a AS n FROM e50 UNION ALL SELECT b FROM e50) GROUP BY n),
+            o50 AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
                           CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst
-                   FROM e2 e JOIN d2 da ON da.n = e.a JOIN d2 db ON db.n = e.b),
-            w2 AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
-                   FROM o2 o1 JOIN o2 o2 ON o1.src = o2.src AND o1.dst < o2.dst),
-            t2 AS (SELECT count(*) AS t FROM w2
-                   JOIN e2 e ON e.a = least(w2.x, w2.y) AND e.b = greatest(w2.x, w2.y))
-            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e5) AS n_edges_p20,
-                   (SELECT CAST(t AS BIGINT) FROM t5) AS n_tri_p20,
-                   (SELECT CAST(t * 125 AS BIGINT) FROM t5) AS est_p20,
-                   (SELECT CAST(count(*) AS BIGINT) FROM e2) AS n_edges_p50,
-                   (SELECT CAST(t AS BIGINT) FROM t2) AS n_tri_p50,
-                   (SELECT CAST(t * 8 AS BIGINT) FROM t2) AS est_p50"""),
+                   FROM e50 e JOIN d50 da ON da.n = e.a JOIN d50 db ON db.n = e.b),
+            w50 AS (SELECT oa.src, oa.dst AS x, ob.dst AS y
+                   FROM o50 oa JOIN o50 ob ON oa.src = ob.src AND oa.dst < ob.dst),
+            t50 AS (SELECT count(*) AS t FROM w50
+                   JOIN e50 e ON e.a = least(w50.x, w50.y) AND e.b = greatest(w50.x, w50.y))
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e20) AS n_edges_p20,
+                   (SELECT CAST(t AS BIGINT) FROM t20) AS n_tri_p20,
+                   (SELECT CAST(t * 125 AS BIGINT) FROM t20) AS est_p20,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e50) AS n_edges_p50,
+                   (SELECT CAST(t AS BIGINT) FROM t50) AS n_tri_p50,
+                   (SELECT CAST(t * 8 AS BIGINT) FROM t50) AS est_p50"""),
     (s, dir) => {
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()

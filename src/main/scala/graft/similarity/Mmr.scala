@@ -26,26 +26,40 @@ object Mmr {
   }
 
   /** Pick `k` of the candidates `(id, rel, emb)` greedily by
-    * λ·rel − (1−λ)·max-sim-to-picked (first pick is pure relevance).
+    * λ·rel − μ·max-sim-to-picked (first pick is pure relevance).
     * Returns (id, score-at-selection) in pick order.
+    *
+    * `mu` is an explicit literal rather than `1 - lambda`: the oracle
+    * SQL hardcodes `0.3`, and `1 - 0.7` in double arithmetic is
+    * 0.30000000000000004 — a one-ulp coefficient drift that could flip
+    * the greedy argmax on near-tied candidates. Both engines must use
+    * the identical coefficient literal.
+    *
+    * Candidates whose score is NaN (e.g. a zero-norm embedding makes
+    * cos4 return NaN) are skipped; if no candidate yields a usable
+    * score the selection stops early rather than emitting a bogus
+    * (-1, -Inf) pick.
     */
   def select(
       cands: Seq[(Long, Double, Array[Float])],
       k: Int,
-      lambda: Double = 0.7): Seq[(Long, Double)] = {
+      lambda: Double = 0.7,
+      mu: Double = 0.3): Seq[(Long, Double)] = {
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-    for (_ <- 1 to math.min(k, cands.size)) {
+    var exhausted = false
+    for (_ <- 1 to math.min(k, cands.size) if !exhausted) {
       var bestId = -1L; var bestScore = Double.NegativeInfinity
       var bestEmb: Array[Float] = null
       for ((id, rel, emb) <- cands if !picked.exists(_._1 == id)) {
         val score =
           if (picked.isEmpty) rel
-          else lambda * rel - (1 - lambda) * picked.map(p => cos4(emb, p._2)).max
-        if (score > bestScore || (score == bestScore && id < bestId)) {
+          else lambda * rel - mu * picked.map(p => cos4(emb, p._2)).max
+        if (!score.isNaN && (score > bestScore || (score == bestScore && id < bestId))) {
           bestId = id; bestScore = score; bestEmb = emb
         }
       }
-      picked += ((bestId, bestEmb, bestScore))
+      if (bestEmb == null) exhausted = true
+      else picked += ((bestId, bestEmb, bestScore))
     }
     picked.map(p => (p._1, p._3)).toSeq
   }

@@ -114,7 +114,10 @@ object EventStreams {
         state.remove()
         return closed.iterator
       }
-      batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      // (ts, event_id) — event_id tiebreak pins the fold order of
+      // same-millisecond events so total_value matches the oracle's
+      // ORDER BY ts, event_id (double addition is order-sensitive).
+      batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
         open match {
           case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
             open = Some(Session(
