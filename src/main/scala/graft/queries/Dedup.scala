@@ -543,6 +543,74 @@ object Dedup extends QueryPack {
       probeLshIndex(s, path, newb, corpus, minJaccard = 0.5)
     })
 
+  /** Lower-cased word tokens per document — the shared input of the
+    * substring-dedup pair (accounting + rewrite). localCheckpointed:
+    * feeds the gram explode AND the final join-back.
+    */
+  private def spanTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+      .localCheckpoint(true)
+
+  /** Duplicated-token intervals merged into islands, per doc: every
+    * token-8-gram occurrence that is not the corpus-wide FIRST
+    * occurrence (min (doc_id, pos)) marks positions [i, i+7];
+    * overlapping marks merge via a gaps-and-islands pass under a
+    * PARTITIONED (per-doc) window. Returns (doc_id, s, e, island).
+    *
+    * Scale shape: one explode to (8-gram, pos), one corpus-wide hash
+    * aggregation for first-occurrences, one join back, per-doc
+    * windows. Nothing is ever pairwise.
+    */
+  private def spanIslands(toks: DataFrame): DataFrame = {
+    val gr = toks.filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 7),
+                     i -> named_struct('i', i, 'gram', array_join(slice(t, i, 8), ' ')))"""))
+        .as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.gram").as("gram"))
+    val f = gr.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id").as("d"), col("i").as("fi"))).as("fst"))
+    val dups = gr.join(f, Seq("gram"))
+      .filter(!(col("doc_id") === col("fst.d") && col("i") === col("fst.fi")))
+    val iv = dups.select(col("doc_id"), col("i").as("s"), (col("i") + 7).as("e")).distinct()
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("island",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L)).over(wRun))
+  }
+
+  /** The island CTE chain shared by the two span-dedup oracles —
+    * identical text so the accounting and rewrite gates replay the
+    * same duplicated-interval table.
+    */
+  private val spanIslandSql =
+    """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+                FROM documents),
+       gr AS (SELECT doc_id,
+                     unnest([{'i': i, 'gram': array_to_string(t[i:i+7], ' ')}
+                             FOR i IN range(1, len(t) - 6)],
+                            recursive := true)
+              FROM toks WHERE len(t) >= 8),
+       f AS (SELECT gram, min({'d': doc_id, 'i': i}) AS fst FROM gr GROUP BY gram),
+       d AS (SELECT gr.doc_id, gr.i FROM gr JOIN f USING (gram)
+             WHERE NOT (gr.doc_id = f.fst.d AND gr.i = f.fst.i)),
+       iv AS (SELECT DISTINCT doc_id, i AS s, i + 7 AS e FROM d),
+       m AS (SELECT doc_id, s, e,
+                    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             FROM iv),
+       isl AS (SELECT doc_id, s, e,
+                      sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+               FROM m)"""
+
   /** Exact substring dedup ACCOUNTING (the Lee et al. 2022 transform,
     * token-8-gram grain): every 8-gram occurrence that is not the
     * corpus-wide FIRST occurrence (min (doc_id, pos)) marks its 8
@@ -559,26 +627,7 @@ object Dedup extends QueryPack {
     */
   val qSpanDedup: Q = Q(
     "q_span_dedup",
-    Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
-                          FROM documents),
-            gr AS (SELECT doc_id,
-                          unnest([{'i': i, 'gram': array_to_string(t[i:i+7], ' ')}
-                                  FOR i IN range(1, len(t) - 6)],
-                                 recursive := true)
-                   FROM toks WHERE len(t) >= 8),
-            f AS (SELECT gram, min({'d': doc_id, 'i': i}) AS fst FROM gr GROUP BY gram),
-            d AS (SELECT gr.doc_id, gr.i FROM gr JOIN f USING (gram)
-                  WHERE NOT (gr.doc_id = f.fst.d AND gr.i = f.fst.i)),
-            iv AS (SELECT DISTINCT doc_id, i AS s, i + 7 AS e FROM d),
-            m AS (SELECT doc_id, s, e,
-                         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-                  FROM iv),
-            isl AS (SELECT doc_id, s, e,
-                           sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-                             OVER (PARTITION BY doc_id ORDER BY s, e
-                                   ROWS UNBOUNDED PRECEDING) AS island
-                    FROM m),
+    Some(s"""WITH $spanIslandSql,
             cov AS (SELECT doc_id, island, max(e) - min(s) + 1 AS clen, count(*) AS nsp
                     FROM isl GROUP BY 1, 2),
             agg AS (SELECT doc_id, sum(clen) AS n_covered, sum(nsp) AS n_dup_spans
@@ -589,30 +638,8 @@ object Dedup extends QueryPack {
                    CAST(len(t.t) - coalesce(a.n_covered, 0) AS BIGINT) AS n_retained
             FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""),
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = docs(s, dir)
-        .select(col("doc_id"),
-          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
-        .localCheckpoint(true) // feeds the gram explode AND the final join
-      val gr = toks.filter(size(col("t")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(t) - 7),
-                       i -> named_struct('i', i, 'gram', array_join(slice(t, i, 8), ' ')))"""))
-          .as("x"))
-        .select(col("doc_id"), col("x.i").as("i"), col("x.gram").as("gram"))
-      val f = gr.groupBy(col("gram"))
-        .agg(min(struct(col("doc_id").as("d"), col("i").as("fi"))).as("fst"))
-      val dups = gr.join(f, Seq("gram"))
-        .filter(!(col("doc_id") === col("fst.d") && col("i") === col("fst.fi")))
-      val iv = dups.select(col("doc_id"), col("i").as("s"), (col("i") + 7).as("e")).distinct()
-      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val isl = iv
-        .withColumn("pmax", max(col("e")).over(wPrev))
-        .withColumn("island",
-          sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L)).over(wRun))
+      val toks = spanTokens(s, dir)
+      val isl = spanIslands(toks)
       val agg = isl.groupBy(col("doc_id"), col("island"))
         .agg((max(col("e")) - min(col("s")) + 1).as("clen"), count(lit(1)).as("nsp"))
         .groupBy(col("doc_id"))
@@ -626,7 +653,70 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     })
 
+  /** Exact substring dedup REWRITE (the other half of Lee et al.
+    * 2022): subtract each doc's duplicated-token islands from
+    * [1, n_tokens] and emit the text rebuilt from the KEPT ranges —
+    * the transform a real pipeline ships, not just the accounting.
+    * Gated on the md5 of the rewritten string plus the retained-token
+    * count; the oracle rebuilds the identical string in DuckDB via
+    * list slicing + array_to_string over the same island table.
+    *
+    * Scale shape: on top of [[spanIslands]] this adds one per-doc
+    * island aggregation (collect_list over ≤ n/8 merged islands) and
+    * a map-side complement/slice/join — the rewrite itself never
+    * shuffles beyond the island table it already has.
+    */
+  val qSpanRewrite: Q = Q(
+    "q_span_rewrite",
+    Some(s"""WITH $spanIslandSql,
+            mi AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+                   FROM isl GROUP BY doc_id, island),
+            li AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS isls
+                   FROM mi GROUP BY doc_id),
+            j AS (SELECT t.doc_id, t.t,
+                         coalesce(li.isls, CAST([] AS STRUCT(s INT, e INT)[])) AS isls
+                  FROM toks t LEFT JOIN li USING (doc_id)),
+            k AS (SELECT doc_id, t, list_filter(
+                    [{'s': CASE WHEN i = 1 THEN 1 ELSE isls[i-1].e + 1 END,
+                      'e': CASE WHEN i = len(isls) + 1 THEN len(t) ELSE isls[i].s - 1 END}
+                     FOR i IN range(1, len(isls) + 2)],
+                    r -> r.e >= r.s) AS kept
+                  FROM j)
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(kept, r -> r.e - r.s + 1)), 0) AS BIGINT)
+                     AS n_retained,
+                   md5(coalesce(array_to_string(
+                     flatten(list_transform(kept, r -> t[r.s:r.e])), ' '), '')) AS rewrite_md5
+            FROM k ORDER BY doc_id"""),
+    (s, dir) => {
+      val toks = spanTokens(s, dir)
+      val mi = spanIslands(toks).groupBy(col("doc_id"), col("island"))
+        .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      val li = mi.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("isls"))
+      toks.join(li, Seq("doc_id"), "left")
+        .withColumn("isls",
+          coalesce(col("isls"), expr("cast(array() as array<struct<s:int,e:int>>)")))
+        // kept ranges = complement of the islands over [1, size(t)]:
+        // starts = 1 :: (e+1 per island), ends = (s-1 per island) :: size(t)
+        .withColumn("kept", expr(
+          """filter(
+               zip_with(
+                 concat(array(1), transform(isls, x -> x.e + 1)),
+                 concat(transform(isls, x -> x.s - 1), array(size(t))),
+                 (a, b) -> named_struct('s', a, 'e', b)),
+               r -> r.e >= r.s)"""))
+        .select(
+          col("doc_id"),
+          expr("cast(aggregate(kept, 0, (acc, r) -> acc + r.e - r.s + 1) as bigint)")
+            .as("n_retained"),
+          md5(expr(
+            "array_join(flatten(transform(kept, r -> slice(t, r.s, r.e - r.s + 1))), ' ')"))
+            .as("rewrite_md5"))
+        .orderBy(col("doc_id"))
+    })
+
   override def queries: Seq[Q] =
     Seq(qDedupExact, qMinhashSig, qLshBuckets, qSimhash, qNgramJaccard, qCosineDedup,
-      qLshClusters, qLshIndexDedup, qSpanDedup)
+      qLshClusters, qLshIndexDedup, qSpanDedup, qSpanRewrite)
 }
