@@ -306,6 +306,16 @@ object Dedup extends QueryPack {
   def writeLshIndex(corpus: DataFrame, path: String): Unit =
     lshMembership(corpus).write.mode("overwrite").parquet(path)
 
+  /** Incremental index maintenance — the probe-then-MERGE half of the
+    * production dedup cycle: after a batch has been near-dup-checked
+    * ([[probeLshIndex]]), append its banded-minhash memberships so
+    * tomorrow's batch dedups against today's. Append-only parquet: no
+    * rewrite of the existing index files, so the merge cost is the
+    * batch's own signature scan regardless of index size.
+    */
+  def appendToLshIndex(newBatch: DataFrame, path: String): Unit =
+    lshMembership(newBatch).write.mode("append").parquet(path)
+
   /** Near-dup-check `newBatch` (doc_id, text) against a persisted
     * index: bucket equi-join for candidates, then EXACT 3-gram Jaccard
     * verification bounded to the candidate pairs — candidate texts are
@@ -543,6 +553,96 @@ object Dedup extends QueryPack {
       probeLshIndex(s, path, newb, corpus, minJaccard = 0.5)
     })
 
+  /** The incremental (probe-then-MERGE) index cycle under the gate:
+    * build the index for the day-0 corpus (doc_id % 10 ∉ {0, 5}),
+    * probe batch A (doc_id % 10 = 5) against it, MERGE A's signatures
+    * in ([[appendToLshIndex]]), then probe batch B (doc_id % 10 = 0)
+    * against the grown index — so B's matches can resolve to docs that
+    * arrived in A, which the day-0 index never saw. The oracle replays
+    * both probes from the raw table (A vs day-0 corpus, B vs corpus ∪
+    * A), proving the appended index is exactly equivalent to
+    * rebuilding from scratch — candidates are neither lost nor
+    * invented by the merge.
+    */
+  val qLshIndexIncremental: Q = Q(
+    "q_lsh_index_incremental", {
+      val sigs = MinhashParams.zipWithIndex
+        .map { case ((a, b), j) => s"min((h * $a + $b) % $P) AS sig$j" }
+        .mkString(", ")
+      def shCte(name: String, src: String) =
+        s"""$name AS (
+             SELECT doc_id, unnest(list_distinct(
+               [substring(text, i, 3) FOR i IN range(1, length(text) - 1)])) AS s3
+             FROM $src WHERE length(text) >= 3)"""
+      def bandCte(name: String, sigSrc: String) =
+        s"""$name AS (
+             SELECT doc_id, concat_ws('_', '0', sig0, sig1) AS bkey FROM $sigSrc
+             UNION ALL
+             SELECT doc_id, concat_ws('_', '1', sig2, sig3) AS bkey FROM $sigSrc)"""
+      // one full probe replay (shingles → signatures → bands → capped
+      // candidates → exact candidate-bounded Jaccard), prefixed so the
+      // A- and B-probes coexist in one WITH chain
+      def probe(p: String, newSrc: String, corpSrc: String) =
+        s"""${shCte(s"sh${p}c", corpSrc)}, ${shCte(s"sh${p}n", newSrc)},
+            h${p}c AS (SELECT doc_id, ('0x' || substr(md5(s3), 1, 8))::BIGINT AS h FROM sh${p}c),
+            h${p}n AS (SELECT doc_id, ('0x' || substr(md5(s3), 1, 8))::BIGINT AS h FROM sh${p}n),
+            sg${p}c AS (SELECT doc_id, $sigs FROM h${p}c GROUP BY doc_id),
+            sg${p}n AS (SELECT doc_id, $sigs FROM h${p}n GROUP BY doc_id),
+            ${bandCte(s"m${p}c", s"sg${p}c")}, ${bandCte(s"m${p}n", s"sg${p}n")},
+            ok$p AS (SELECT bkey FROM m${p}c GROUP BY bkey HAVING count(*) <= 64),
+            cand$p AS MATERIALIZED (
+              SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
+              FROM m${p}n n JOIN ok$p USING (bkey) JOIN m${p}c c USING (bkey)),
+            szc$p AS (SELECT doc_id, count(*) AS n FROM sh${p}c GROUP BY doc_id),
+            szn$p AS (SELECT doc_id, count(*) AS n FROM sh${p}n GROUP BY doc_id),
+            inter$p AS (
+              SELECT cand$p.new_id, cand$p.corp_id, count(*) AS c
+              FROM cand$p
+              JOIN sh${p}n a ON a.doc_id = cand$p.new_id
+              JOIN sh${p}c b ON b.doc_id = cand$p.corp_id AND b.s3 = a.s3
+              GROUP BY cand$p.new_id, cand$p.corp_id),
+            scored$p AS (
+              SELECT new_id, corp_id,
+                     round(c * 1e6 / (szn$p.n + szc$p.n - c)) / 1e6 AS jacc
+              FROM inter$p
+              JOIN szn$p ON szn$p.doc_id = new_id
+              JOIN szc$p ON szc$p.doc_id = corp_id
+              WHERE round(c * 1e6 / (szn$p.n + szc$p.n - c)) / 1e6 >= 0.5),
+            res$p AS (
+              SELECT new_id AS doc_id,
+                     -((max({'j': jacc, 'negid': -corp_id})).negid) AS dup_of,
+                     (max({'j': jacc, 'negid': -corp_id})).j AS jaccard,
+                     CAST(count(*) AS BIGINT) AS n_matches,
+                     '${p.toUpperCase}' AS batch
+              FROM scored$p GROUP BY new_id)"""
+      Some(s"""WITH corpa AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 NOT IN (0, 5)),
+               newa AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 5),
+               corpb AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+               newbb AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+               ${probe("a", "newa", "corpa")},
+               ${probe("b", "newbb", "corpb")}
+               SELECT * FROM resa UNION ALL SELECT * FROM resb
+               ORDER BY batch, doc_id""")
+    },
+    (s, dir) => {
+      val d = docs(s, dir)
+      val m10 = col("doc_id") % 10
+      val corpus = d.filter(m10 =!= 0 && m10 =!= 5).select(col("doc_id"), col("text"))
+      val batchA = d.filter(m10 === 5).select(col("doc_id"), col("text"))
+      val batchB = d.filter(m10 === 0).select(col("doc_id"), col("text"))
+      val path = java.nio.file.Files
+        .createTempDirectory("lsh_index_inc").resolve("idx").toString
+      writeLshIndex(corpus, path)
+      // force the A-probe NOW: its plan reads the index lazily, and the
+      // append below must not leak A's own signatures into A's probe
+      val resA = probeLshIndex(s, path, batchA, corpus)
+        .withColumn("batch", lit("A")).localCheckpoint(true)
+      appendToLshIndex(batchA, path)
+      val resB = probeLshIndex(s, path, batchB, corpus.union(batchA))
+        .withColumn("batch", lit("B"))
+      resA.union(resB).orderBy(col("batch"), col("doc_id"))
+    })
+
   /** Lower-cased word tokens per document — the shared input of the
     * substring-dedup pair (accounting + rewrite). localCheckpointed:
     * feeds the gram explode AND the final join-back.
@@ -718,5 +818,5 @@ object Dedup extends QueryPack {
 
   override def queries: Seq[Q] =
     Seq(qDedupExact, qMinhashSig, qLshBuckets, qSimhash, qNgramJaccard, qCosineDedup,
-      qLshClusters, qLshIndexDedup, qSpanDedup, qSpanRewrite)
+      qLshClusters, qLshIndexDedup, qLshIndexIncremental, qSpanDedup, qSpanRewrite)
 }

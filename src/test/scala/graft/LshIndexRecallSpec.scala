@@ -86,6 +86,49 @@ class LshIndexRecallSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge: a later batch recalls near-dups absorbed from an earlier one") {
+    import spark.implicits._
+    // batch2 = light edits of batch1's EDIT docs (ids 1000+i) — their
+    // true nearest neighbor is the batch1 version, which only an index
+    // that absorbed batch1 can surface
+    val batch2: Seq[(Long, String)] = (0 until 20).map { i =>
+      val words = newDocs(i)._2.split(" ")
+      words((i + 3) % words.length) = vocab(rnd.nextInt(vocab.length))
+      (2000L + i, words.mkString(" "))
+    }
+    val combined = corpusDocs ++ newDocs
+    val truth2: Map[Long, Long] = batch2.flatMap { case (nid, ntext) =>
+      val above = combined
+        .map { case (cid, ctext) => (cid, jaccard(ntext, ctext)) }
+        .filter(_._2 >= 0.5)
+      if (above.isEmpty) None
+      else Some(nid -> above.maxBy { case (cid, j) => (j, -cid) }._1)
+    }.toMap
+    assert(truth2.size >= 15, s"fixture must plant enough true near-dups, got ${truth2.size}")
+    assert(truth2.values.exists(_ >= 1000L),
+      "fixture defect: no true best match lives in batch1")
+
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val batch1 = newDocs.toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("lsh_inc").toString
+    Dedup.writeLshIndex(corpus, path)
+    Dedup.appendToLshIndex(batch1, path)
+    val found = Dedup.probeLshIndex(
+      spark, path, batch2.toDF("doc_id", "text"), corpus.union(batch1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val recalled = found.map(_._1).toSet & truth2.keySet
+    val recall = recalled.size.toDouble / truth2.size
+    assert(recall >= 0.7, s"incremental probe recall = $recall (${recalled.size}/${truth2.size})")
+    // the merge must actually matter: some best matches resolve INTO batch1
+    assert(found.exists(_._2 >= 1000L),
+      "no match resolved to a batch1 doc — the append was a no-op")
+    // and reported bests are the true bests
+    found.foreach { case (nid, cid, _) =>
+      assert(truth2(nid) === cid, s"doc $nid matched $cid but true best is ${truth2(nid)}")
+    }
+  }
+
   test("stop-bucket cap does not eat true neighbors on non-degenerate data") {
     import spark.implicits._
     val corpus = corpusDocs.toDF("doc_id", "text")
