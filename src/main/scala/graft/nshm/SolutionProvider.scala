@@ -34,8 +34,64 @@ final class ManifestSolutionProvider(manifestPath: String) extends SolutionProvi
   override def groupedSources(version: SemVer): Map[String, Seq[(Double, String)]] = {
     val src = scala.io.Source.fromFile(manifestPath)
     val lines =
-      try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+      try src.getLines().toVector
       finally src.close()
+    SolutionProvider.parseManifest(lines)
+  }
+}
+
+/** HTTP-backed provider (≙ the reference's live fetch path,
+  * api.py:41-176: logic-tree walk + archive download): GET
+  * `base/manifest/<version>` for the grouped-branch manifest (same CSV
+  * contract as [[ManifestSolutionProvider]], zip paths relative to
+  * `base`), then GET each distinct referenced archive ONCE into
+  * `cacheDir` and resolve the group lists to the local copies. The
+  * fetch is driver-side glue by design — nothing distributed happens
+  * until the bytes exist locally — and the module stays outside the
+  * core correctness gate exactly as the reference excludes its api
+  * module from CI coverage (pyproject.toml:92-96); the loopback-served
+  * SourcesSpec case is its correctness anchor.
+  */
+final class HttpSolutionProvider(
+    baseUrl: String,
+    cacheDir: java.nio.file.Path) extends SolutionProvider {
+
+  private val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  private def get(url: String): Array[Byte] = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    require(resp.statusCode() == 200, s"GET $url -> HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  override def groupedSources(version: SemVer): Map[String, Seq[(Double, String)]] = {
+    val base = baseUrl.stripSuffix("/")
+    val manifest = new String(
+      get(s"$base/manifest/$version"), java.nio.charset.StandardCharsets.UTF_8)
+    val grouped = SolutionProvider.parseManifest(manifest.linesIterator.toVector)
+    // download each DISTINCT archive once (groups may share branches)
+    val localOf = grouped.valuesIterator.flatMap(_.map(_._2)).distinct.map { remote =>
+      val target = cacheDir.resolve(java.nio.file.Paths.get(remote).getFileName)
+      if (!java.nio.file.Files.exists(target))
+        java.nio.file.Files.write(target, get(s"$base/${remote.stripPrefix("/")}"))
+      remote -> target.toString
+    }.toMap
+    grouped.view.mapValues(_.map { case (w, p) => (w, localOf(p)) }).toMap
+  }
+}
+
+object SolutionProvider {
+
+  /** Shared manifest parse: one line per branch `group,weight,zip-path`
+    * (blank lines and `#` comments ignored; a header line is detected
+    * by a non-numeric weight field). First-seen weight wins per
+    * (group, path) — the reference's `seen_ids` dedup
+    * (api.py:100-110).
+    */
+  def parseManifest(rawLines: Seq[String]): Map[String, Seq[(Double, String)]] = {
+    val lines = rawLines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
     val parsed = lines.flatMap { line =>
       line.split(",", 3) match {
         case Array(group, weight, path) if weight.trim.toDoubleOption.isDefined =>
@@ -43,8 +99,7 @@ final class ManifestSolutionProvider(manifestPath: String) extends SolutionProvi
         case _ => None // header or malformed line
       }
     }
-    // first-seen weight wins per (group, path), reference's seen_ids dedup
-    val grouped = parsed
+    parsed
       .groupBy(_._1)
       .view
       .mapValues { branches =>
@@ -53,11 +108,7 @@ final class ManifestSolutionProvider(manifestPath: String) extends SolutionProvi
         seen.toSeq.map { case (p, w) => (w, p) }
       }
       .toMap
-    grouped
   }
-}
-
-object SolutionProvider {
 
   /** ≙ `download_composite_solution` (api.py:595-622) minus the fetch:
     * resolve the version's grouped branches, weighted-merge each

@@ -54,6 +54,69 @@ class SourcesSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".compact-bak")))
   }
 
+  test("S7: HTTP-backed SolutionProvider resolves a composite over loopback " +
+    "(manifest fetch + archive download + dedup)") {
+    import graft.nshm.{HttpSolutionProvider, Ingest, NshmDb, SemVer, SolutionProvider}
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+
+    val z1 = java.nio.file.Paths.get(ZipFixtures.writeBranchZip(0.01, 0.002, 0.4))
+    val z2 = java.nio.file.Paths.get(ZipFixtures.writeBranchZip(0.03, 0.004, 0.8))
+    // duplicate z2 line: manifest dedup keeps the first weight; the
+    // provider must also download each archive exactly once
+    val manifest =
+      s"""# group,weight,path
+         |CRU,0.25,archives/${z1.getFileName}
+         |CRU,0.75,archives/${z2.getFileName}
+         |CRU,0.99,archives/${z2.getFileName}
+         |""".stripMargin
+
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val path = exchange.getRequestURI.getPath
+      hits.merge(path, 1, (a, b) => a + b)
+      val body: Array[Byte] = path match {
+        case "/manifest/1.0.4" => manifest.getBytes("UTF-8")
+        case p if p == s"/archives/${z1.getFileName}" => java.nio.file.Files.readAllBytes(z1)
+        case p if p == s"/archives/${z2.getFileName}" => java.nio.file.Files.readAllBytes(z2)
+        case _ => Array.emptyByteArray
+      }
+      val code = if (body.isEmpty) 404 else 200
+      exchange.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+      if (body.nonEmpty) exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val cache = java.nio.file.Files.createTempDirectory("graft-http-cache")
+      val provider = new HttpSolutionProvider(base, cache)
+
+      val solutions = SolutionProvider.downloadCompositeSolution(
+        spark, provider, SemVer(1, 0, 4))
+      assert(solutions.size === 1)
+      val rates = solutions.head.ruptureProperties.orderBy("nshm_id")
+        .select("rate").collect().map(_.getDouble(0))
+      assert(math.abs(rates(0) - (0.25 * 0.01 + 0.75 * 0.03)) < 1e-12)
+      assert(math.abs(rates(1) - (0.25 * 0.002 + 0.75 * 0.004)) < 1e-12)
+
+      // each archive fetched exactly once despite the duplicate line
+      assert(hits.get("/manifest/1.0.4") === 1)
+      assert(hits.get(s"/archives/${z1.getFileName}") === 1)
+      assert(hits.get(s"/archives/${z2.getFileName}") === 1)
+
+      // and the composite loads into the store end-to-end
+      val db = NshmDb.inMemory(spark)
+      Ingest.loadComposite(db, solutions)
+      assert(db.getFaultNames === Set("Alpine Fault", "Kakapo"))
+
+      // a missing version surfaces as a loud failure, not a silent empty
+      intercept[IllegalArgumentException](
+        provider.groupedSources(SemVer(9, 9, 9)))
+    } finally server.stop(0)
+  }
+
   test("JSON lines round-trip nested structs") {
     val dir = tmp("graft-json")
     val df = Seq((1L, ("a", 2.0)), (2L, ("b", 3.0))).toDF("id", "payload")
