@@ -28,16 +28,15 @@ object KCore {
   def peelRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var cur = edges.localCheckpoint(true)
+    var cur = Checkpoints.materialize(edges)
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (r <- 1 to rounds) {
       val deg = cur.select(col("a").as("n")).unionAll(cur.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select(col("n")).localCheckpoint(true)
-      cur = cur
+      val keep = Checkpoints.materialize(deg.filter(col("d") >= k).select(col("n")))
+      cur = Checkpoints.materialize(cur
         .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi"))
       trace += ((r.toLong, keep.count(), cur.count()))
     }
     trace.toSeq.toDF("round", "n_nodes", "n_edges")

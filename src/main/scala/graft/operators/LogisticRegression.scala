@@ -27,10 +27,9 @@ object LogisticRegression {
       label: Column,
       lr: Double = 0.5,
       iterations: Int = 5): Array[Double] = {
-    val d = data.select(
+    val d = Checkpoints.materialize(data.select(
       (features.zipWithIndex.map { case (f, j) => f.cast("double").as(s"x$j") } :+
-        label.cast("double").as("y")): _*)
-      .localCheckpoint(true) // features computed once, rescanned per sweep
+        label.cast("double").as("y")): _*)) // features computed once, rescanned per sweep
     val n = d.count().toDouble
     val beta = Array.fill(features.size)(0.0)
     for (_ <- 1 to iterations) {

@@ -36,14 +36,14 @@ object PageRank {
 
     // normalize: p(src→dst) = w / out_weight(src); edge layout fixed once
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val trans = edges.join(outW, Seq("src"))
-      .select(col("src"), col("dst"), (col("w") * lit(1.0) / col("outw")).as("p"))
-      .localCheckpoint(true)
+    val trans = Checkpoints.materialize(
+      edges.join(outW, Seq("src"))
+        .select(col("src"), col("dst"), (col("w") * lit(1.0) / col("outw")).as("p")))
 
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
+    val nodes = Checkpoints.materialize(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct())
     val nNodes = nodes.count()
     val teleport = (1.0 - damping) / nNodes
 
@@ -53,12 +53,12 @@ object PageRank {
         .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("p")).as("contrib"))
-      ranks = nodes
+      ranks = Checkpoints.materialize(nodes
         .join(contrib, Seq("node"), "left")
         .select(
           col("node"),
           (lit(teleport) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-        .localCheckpoint(true) // truncate the lineage, keep each sweep one stage
+      ) // truncate the lineage, keep each sweep one stage
     }
     ranks
   }

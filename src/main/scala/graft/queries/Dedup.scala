@@ -431,12 +431,12 @@ object Dedup extends QueryPack {
     // PRE-PARTITIONED per key: localCheckpoint preserves the physical
     // partitioning in the LogicalRDD, so none of the rounds re-shuffles
     // the membership side of its joins/aggregations.
-    val mByBkey = membership
+    val mByBkey = graft.operators.Checkpoints.materialize(membership
       .withColumn("__n", count(lit(1)).over(bucketDocs))
       .filter(col("__n") > 1)
-      .drop("__n")
-      .localCheckpoint(true)
-    val mByDoc = mByBkey.repartition(col("doc_id")).localCheckpoint(true)
+      .drop("__n"))
+    val mByDoc = graft.operators.Checkpoints.materialize(
+      mByBkey.repartition(col("doc_id")))
     var labels = mByDoc.select(col("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
     val target = exactRounds.getOrElse(maxRounds)
@@ -460,12 +460,12 @@ object Dedup extends QueryPack {
       val next = hopped.join(parents, hopped("lbl") === parents("p_id"))
         .select(hopped("doc_id"), col("p_lbl").as("lbl"))
       if (exactRounds.isEmpty) {
-        // materialize each round (localCheckpoint also truncates the
+        // materialize each round (checkpointing also truncates the
         // 3×-per-round lineage growth), then one count for the
         // convergence check — the round's work is not recomputed.
-        // At cluster scale: a reliable checkpoint dir instead of
-        // executor-local blocks.
-        val mat = next.localCheckpoint(true)
+        // Checkpoints.materialize goes reliable when a checkpoint dir
+        // is configured (cluster), executor-local otherwise.
+        val mat = graft.operators.Checkpoints.materialize(next)
         val changed = mat
           .join(labels.withColumnRenamed("lbl", "prev"), Seq("doc_id"))
           .filter(col("lbl") =!= col("prev"))
@@ -477,7 +477,9 @@ object Dedup extends QueryPack {
         // round — ~9 subtree copies between truncations stays cheap to
         // plan; the eager-materialize barrier is what costs wall time
         labels =
-          if (round % 2 == 0 || round == target) next.localCheckpoint(true) else next
+          if (round % 2 == 0 || round == target)
+            graft.operators.Checkpoints.materialize(next)
+          else next
       }
     }
     if (!converged && exactRounds.isEmpty)

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Checkpoints
+import org.apache.spark.sql.functions._
+
+/** The iterative ops' shared materialization helper must pick the
+  * RELIABLE checkpoint path when a checkpoint dir is configured (the
+  * cluster deployment mode, where executor-local blocks vanish on
+  * executor loss) and fall back to localCheckpoint otherwise — with
+  * identical data either way.
+  */
+class CheckpointsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no checkpoint dir: falls back to a local checkpoint, data intact") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    val df = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    val mat = Checkpoints.materialize(df.filter(col("id") <= 50))
+    assert(mat.count() === 50)
+    assert(mat.agg(sum(col("v"))).head.getDouble(0) === (1 to 50).map(_ * 2.0).sum)
+    assert(sc.getCheckpointDir.isEmpty, "materialize must not invent a dir")
+  }
+
+  test("with a checkpoint dir: goes reliable, writes there, and round-trips") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val df = (1 to 1000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+      val expected = df.filter(col("id") % 7 === 0).orderBy("id").collect().toSeq
+      val mat = Checkpoints.materialize(df.filter(col("id") % 7 === 0))
+      assert(mat.orderBy("id").collect().toSeq === expected)
+      // the reliable path actually landed files in the configured dir
+      def anyFiles(p: java.nio.file.Path): Boolean = {
+        val s = java.nio.file.Files.walk(p)
+        try s.anyMatch(q => java.nio.file.Files.isRegularFile(q))
+        finally s.close()
+      }
+      assert(anyFiles(java.nio.file.Paths.get(dir)),
+        s"no checkpoint files under $dir — the reliable path was not taken")
+      // an iterative consumer sees the truncated lineage, not the scan
+      assert(mat.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+    } finally {
+      // shared session: later suites expect the local fallback
+      sc.setCheckpointDir(null)
+    }
+  }
+}
