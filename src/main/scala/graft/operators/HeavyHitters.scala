@@ -44,10 +44,14 @@ import scala.collection.mutable
 object HeavyHitters {
 
   /** Exact top-k most frequent values of string column `value`.
-    * Output: (rank: long, value, n: long), rank 1-based. Runs jobs
-    * eagerly (the certification check is driver-side).
+    * Output: (rank: long, value, n: long), rank 1-based.
+    *
+    * EAGER — the `collect` prefix is the contract: the certification
+    * check is driver-side, so calling this runs the sketch, recount,
+    * and (rarely) fallback jobs immediately; the returned frame is a
+    * small local result, not a composable lazy plan.
     */
-  def topKFrequent(
+  def collectTopKFrequent(
       values: DataFrame,
       value: Column,
       k: Int,

@@ -24,6 +24,38 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** All unordered co-occurrence pairs (a < b) from (basket, item)
+    * rows — the co-purchase/co-occurrence edge generator feeding the
+    * triangle and k-core gates — with a defensive per-basket
+    * cardinality cap.
+    *
+    * Pair-gen is QUADRATIC in basket size: one degenerate hot basket
+    * (a crawler order with 10⁶ items, a boilerplate mega-container)
+    * emits 5·10¹¹ pairs and sinks the job at scale even though every
+    * normal basket is tiny. Baskets above `maxBasket` are dropped
+    * entirely, not sampled — a mega-basket's pairs are co-occurrence
+    * noise (everything co-occurs with everything), and dropping it is
+    * the standard containment rule. The cap costs one basket-keyed
+    * hash aggregate + a left-semi join before the self-join. The
+    * default (64) is a no-op on TPC-H-shaped baskets (≤ ~7 items);
+    * the gate oracles apply the identical HAVING so the cap is pinned
+    * semantics, not a lossy shortcut.
+    */
+  def basketPairs(
+      items: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasket: Int = 64): DataFrame = {
+    val it = items.select(col(basketCol).as("__bk"), col(itemCol).as("__it")).distinct()
+    val ok = it.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBasket).select(col("__bk"))
+    val kept = it.join(ok, Seq("__bk"), "left_semi")
+    kept.select(col("__bk"), col("__it").as("a"))
+      .join(kept.select(col("__bk"), col("__it").as("b")), Seq("__bk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
   /** Deterministic DOULION thinning: keep `keepParts` of `modParts`. */
   def sampleEdges(edges: DataFrame, modParts: Int, keepParts: Int, salt: String): DataFrame =
     edges.filter(

@@ -1599,7 +1599,7 @@ object PipelineQ extends QueryPack {
     (s, dir) => {
       val tok = docs(s, dir).select(
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("value"))
-      graft.operators.HeavyHitters.topKFrequent(tok, col("value"), k = 20)
+      graft.operators.HeavyHitters.collectTopKFrequent(tok, col("value"), k = 20)
     })
 
   /** Weighted PageRank over the nation→nation trade graph
@@ -2398,9 +2398,11 @@ object PipelineQ extends QueryPack {
   val qTriangleCount: Q = Q(
     "q_triangle_count",
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            okb AS (SELECT l_orderkey FROM items GROUP BY l_orderkey HAVING count(*) <= 64),
+            kept AS (SELECT i.l_orderkey, i.l_partkey FROM items i JOIN okb USING (l_orderkey)),
             alledges AS (
               SELECT a.l_partkey AS a, b.l_partkey AS b
-              FROM items a JOIN items b
+              FROM kept a JOIN kept b
                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
               GROUP BY 1, 2),
             edges AS (
@@ -2421,14 +2423,9 @@ object PipelineQ extends QueryPack {
                    (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_tri_sampled,
                    (SELECT CAST(count(*) * 1000 AS BIGINT) FROM tri) AS est_triangles"""),
     (s, dir) => {
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("b"))
       val edges = graft.operators.Triangles.sampleEdges(
-        a.join(b, Seq("l_orderkey"))
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct(),
+        graft.operators.Triangles.basketPairs(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
         modParts = 10, keepParts = 1, salt = "tri:")
       graft.operators.Triangles.stats(edges)
         .select(
@@ -2449,9 +2446,11 @@ object PipelineQ extends QueryPack {
   val qTriangleSampled: Q = Q(
     "q_triangle_sampled",
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            okb AS (SELECT l_orderkey FROM items GROUP BY l_orderkey HAVING count(*) <= 64),
+            kept AS (SELECT i.l_orderkey, i.l_partkey FROM items i JOIN okb USING (l_orderkey)),
             alledges AS (
               SELECT a.l_partkey AS a, b.l_partkey AS b
-              FROM items a JOIN items b
+              FROM kept a JOIN kept b
                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
               GROUP BY 1, 2),
             h AS (SELECT a, b,
@@ -2484,13 +2483,8 @@ object PipelineQ extends QueryPack {
                    (SELECT CAST(t AS BIGINT) FROM t50) AS n_tri_p50,
                    (SELECT CAST(t * 8 AS BIGINT) FROM t50) AS est_p50"""),
     (s, dir) => {
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("b"))
-      val all = a.join(b, Seq("l_orderkey"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
+      val all = graft.operators.Triangles.basketPairs(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
         .localCheckpoint(true) // pair-gen join feeds both sample rates
       val p20 = graft.operators.Triangles
         .stats(graft.operators.Triangles.sampleEdges(all, 10, 2, "tri:"))
@@ -2518,9 +2512,11 @@ object PipelineQ extends QueryPack {
     "q_kcore", {
       val edges =
         """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           okb AS (SELECT l_orderkey FROM items GROUP BY l_orderkey HAVING count(*) <= 64),
+           kept AS (SELECT i.l_orderkey, i.l_partkey FROM items i JOIN okb USING (l_orderkey)),
            alledges AS (
              SELECT a.l_partkey AS a, b.l_partkey AS b
-             FROM items a JOIN items b
+             FROM kept a JOIN kept b
                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
              GROUP BY 1, 2)
            SELECT a, b FROM alledges
@@ -2528,14 +2524,9 @@ object PipelineQ extends QueryPack {
       Some(graft.operators.KCore.unrolledSql(edges, k = 8, rounds = 6))
     },
     (s, dir) => {
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("b"))
       val edges = graft.operators.Triangles.sampleEdges(
-        a.join(b, Seq("l_orderkey"))
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct(),
+        graft.operators.Triangles.basketPairs(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
         modParts = 10, keepParts = 1, salt = "kc:")
       graft.operators.KCore.peelRounds(edges, k = 8, rounds = 6)
     })

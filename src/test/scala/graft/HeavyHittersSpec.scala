@@ -13,11 +13,11 @@ class HeavyHittersSpec extends SparkSpec {
       .collect().zipWithIndex
       .map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }.toSeq
 
-  test("topKFrequent equals the naive full GROUP BY on Zipf-ish skewed data") {
+  test("collectTopKFrequent equals the naive full GROUP BY on Zipf-ish skewed data") {
     // value i appears ~ 30000/i times: classic heavy-tail
     val rows = (1 to 200).flatMap(i => Seq.fill(30000 / i)(s"w$i"))
     val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 16).toDF("value")
-    val got = HeavyHitters.topKFrequent(df, col("value"), k = 15, capacity = 256)
+    val got = HeavyHitters.collectTopKFrequent(df, col("value"), k = 15, capacity = 256)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === naive(df, 15))
   }
@@ -28,7 +28,7 @@ class HeavyHittersSpec extends SparkSpec {
     val rows = (1 to 10).flatMap(i => Seq.fill(1000)(f"heavy$i%02d")) ++
       (1 to 5000).map(i => s"noise$i")
     val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 8).toDF("value")
-    val got = HeavyHitters.topKFrequent(df, col("value"), k = 10, capacity = 63)
+    val got = HeavyHitters.collectTopKFrequent(df, col("value"), k = 10, capacity = 63)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === naive(df, 10))
     assert(got.forall(_._3 === 1000L))
@@ -42,7 +42,7 @@ class HeavyHittersSpec extends SparkSpec {
     // precondition and return the exact naive answer.
     val rows = (1 to 2000).flatMap(i => Seq.fill(7)(f"v$i%04d"))
     val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 8).toDF("value")
-    val got = HeavyHitters.topKFrequent(df, col("value"), k = 10, capacity = 63)
+    val got = HeavyHitters.collectTopKFrequent(df, col("value"), k = 10, capacity = 63)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === naive(df, 10))
   }
@@ -50,14 +50,14 @@ class HeavyHittersSpec extends SparkSpec {
   test("deterministic tie-break: equal counts rank by value ascending") {
     val rows = Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(3)("c")
     val df = spark.sparkContext.parallelize(rows, 3).toDF("value")
-    val got = HeavyHitters.topKFrequent(df, col("value"), k = 3, capacity = 8)
+    val got = HeavyHitters.collectTopKFrequent(df, col("value"), k = 3, capacity = 8)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === Seq((1L, "a", 5L), (2L, "b", 5L), (3L, "c", 3L)))
   }
 
   test("null values are ignored, not counted") {
     val df = Seq(Some("x"), None, Some("x"), Some("y"), None).toDF("value")
-    val got = HeavyHitters.topKFrequent(df, col("value"), k = 5, capacity = 8)
+    val got = HeavyHitters.collectTopKFrequent(df, col("value"), k = 5, capacity = 8)
       .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
     assert(got === Seq(("x", 2L), ("y", 1L)))
   }

@@ -72,6 +72,27 @@ class SamplingGraphSpec extends SparkSpec {
       s"est $est vs exact $exact")
   }
 
+  test("basketPairs caps a degenerate hot basket instead of going quadratic") {
+    import spark.implicits._
+    // 50 normal baskets of 4 items + one hot basket with 500 items:
+    // uncapped pair-gen emits 500·499/2 = 124750 pairs for the hot key
+    val normal = (0 until 50).flatMap(b => (0 until 4).map(i => (b.toLong, (b * 10 + i).toLong)))
+    val hot = (0 until 500).map(i => (999L, 100000L + i.toLong))
+    val items = (normal ++ hot).toDF("basket", "item")
+
+    val capped = graft.operators.Triangles.basketPairs(items, "basket", "item", maxBasket = 64)
+    val cappedPairs = capped.count()
+    // only the normal baskets' pairs survive: 50 baskets × C(4,2)
+    assert(cappedPairs == 50L * 6, s"got $cappedPairs pairs")
+    // none of the hot basket's items appears in any pair
+    assert(capped.filter(col("a") >= 100000L || col("b") >= 100000L).count() == 0)
+
+    // the uncapped run would include the quadratic hot-basket blowup
+    val uncapped =
+      graft.operators.Triangles.basketPairs(items, "basket", "item", maxBasket = 1000000)
+    assert(uncapped.count() == 50L * 6 + 500L * 499 / 2)
+  }
+
   test("stream-static enrich equals the batch join it claims to converge to") {
     val streamed = run("q_stream_enrich")
     val ev = Tables.load(spark, dir, "events")
