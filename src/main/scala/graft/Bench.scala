@@ -25,6 +25,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.validate(spark, sfDir) // fail loud + early on a data-contract drift
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()

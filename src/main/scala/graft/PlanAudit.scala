@@ -21,6 +21,7 @@ object PlanAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Tables.validate(spark, dir)
     for (name <- SparkEntry.queries.keys.toSeq.sorted if name.startsWith(prefix)) {
       try {
         val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString

@@ -2486,13 +2486,17 @@ object PipelineQ extends QueryPack {
       val all = graft.operators.Triangles.basketPairs(
           t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
         .localCheckpoint(true) // pair-gen join feeds both sample rates
-      val p20 = graft.operators.Triangles
-        .stats(graft.operators.Triangles.sampleEdges(all, 10, 2, "tri:"))
+      // hp % 10 < 2  ⊂  hp % 10 < 5 with the same salt, so the p=0.2
+      // edge set is a re-filter of the p=0.5 one — one thinning scan
+      // over the full pair set instead of two (same hashes either way).
+      val e50 = graft.operators.Triangles.sampleEdges(all, 10, 5, "tri:")
+        .localCheckpoint(true)
+      val e20 = graft.operators.Triangles.sampleEdges(e50, 10, 2, "tri:")
+      val p20 = graft.operators.Triangles.stats(e20)
         .select(
           col("n_edges").as("n_edges_p20"), col("n_triangles").as("n_tri_p20"),
           (col("n_triangles") * 125).as("est_p20"))
-      val p50 = graft.operators.Triangles
-        .stats(graft.operators.Triangles.sampleEdges(all, 10, 5, "tri:"))
+      val p50 = graft.operators.Triangles.stats(e50)
         .select(
           col("n_edges").as("n_edges_p50"), col("n_triangles").as("n_tri_p50"),
           (col("n_triangles") * 8).as("est_p50"))

@@ -18,14 +18,57 @@ import scala.jdk.CollectionConverters._
   */
 object StreamQ extends QueryPack {
 
-  /** events.parquet raw schema with the nanos INT64 ts (streaming
-    * sources need the schema up front; conversion mirrors
-    * [[graft.Tables]]' batch loader).
+  /** Footer-derived raw schema of the events source (streaming sources
+    * need the schema up front; probing it through the batch reader keeps
+    * the stream contract identical to [[graft.Tables]]' batch loader
+    * whatever encoding the producer wrote — legacy INT64-nanos-as-long
+    * or TIMESTAMP(MICROS) — instead of baking one physical layout into
+    * the engine).
     */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private def rawEventSchema(s: org.apache.spark.sql.SparkSession, dir: String): StructType =
+    s.read.parquet(s"$dir/events.parquet").schema
+
+  /** `readStream` over the staged directory with `ts` normalized to
+    * session-zoned TimestampType via [[graft.Tables.normalizeEventTs]]
+    * (same branch-on-declared-dtype as the batch loader).
+    */
+  private def eventStream(
+      s: org.apache.spark.sql.SparkSession,
+      stage: java.nio.file.Path,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val schema = rawEventSchema(s, dir)
+    s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", graft.Tables.normalizeEventTs(schema("ts").dataType))
+  }
+
+  /** Stage a single far-future SENTINEL event (max real ts + 10 days) as
+    * a second source file. The sentinel is written with the SAME `ts`
+    * encoding the real data declares (legacy long-nanos arithmetic vs a
+    * native timestamp + INTERVAL) — a mismatched type would diverge the
+    * source schema mid-stream. Newest mtime so the file source (which
+    * processes oldest-mtime first) never lands it in a batch BEFORE the
+    * real events — its watermark would mark them all late.
+    */
+  private def stageSentinel(
+      s: org.apache.spark.sql.SparkSession, dir: String, stage: java.nio.file.Path): Unit = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val bumped = raw.schema("ts").dataType match {
+      case LongType => max(col("ts")) + lit(10L * 86400L * 1000000000L)
+      case _        => max(col("ts")) + expr("INTERVAL 10 DAYS")
+    }
+    val sentinelOut = java.nio.file.Files.createTempDirectory("sentinel").resolve("p")
+    raw.agg(bumped.as("ts"))
+      .select(
+        lit(-1L).as("event_id"), col("ts"), lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(sentinelOut.toString)
+    val part = java.nio.file.Files.list(sentinelOut).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val staged = stage.resolve("zz_sentinel.parquet")
+    java.nio.file.Files.copy(part, staged)
+    java.nio.file.Files.setLastModifiedTime(
+      staged, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 3600000L))
+  }
 
   /** Hourly tumbling-window counts/sums per event type through
     * [[EventStreams.tumblingAgg]] (the same transform StreamingSpec
@@ -46,9 +89,7 @@ object StreamQ extends QueryPack {
       val stage = java.nio.file.Files.createTempDirectory("stream_events")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val ev = s.readStream.schema(rawSchema)
-        .parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = eventStream(s, stage, dir)
       val agg = EventStreams.tumblingAgg(ev, windowLen = "1 hour")
       val sink = s"stream_window_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       val query = agg.writeStream
@@ -107,25 +148,9 @@ object StreamQ extends QueryPack {
       val stage = java.nio.file.Files.createTempDirectory("stream_sessions")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val maxNs = s.read.parquet(s"$dir/events.parquet")
-        .agg(max(col("ts"))).head.getLong(0)
-      val sentinelOut = java.nio.file.Files.createTempDirectory("sentinel").resolve("p")
-      Seq((-1L, maxNs + 10L * 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.parquet(sentinelOut.toString)
-      val part = java.nio.file.Files.list(sentinelOut).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val staged = stage.resolve("zz_sentinel.parquet")
-      java.nio.file.Files.copy(part, staged)
-      // the file source processes oldest-mtime first: the sentinel must
-      // never land in a batch BEFORE the real events (its watermark
-      // would mark them all late)
-      java.nio.file.Files.setLastModifiedTime(
-        staged, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 3600000L))
+      stageSentinel(s, dir, stage)
 
-      val ev = s.readStream.schema(rawSchema)
-        .parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = eventStream(s, stage, dir)
       val agg = EventStreams.sessionWindowAgg(ev, gap = "30 minutes", watermark = "0 seconds")
       val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       val query = agg.writeStream
@@ -168,9 +193,7 @@ object StreamQ extends QueryPack {
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), stage.resolve("events_replay.parquet"))
-      val ev = s.readStream.schema(rawSchema)
-        .parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = eventStream(s, stage, dir)
       val deduped = EventStreams.dedupEvents(ev, watermark = "1 hour")
       val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       val query = deduped.writeStream
@@ -206,9 +229,7 @@ object StreamQ extends QueryPack {
       val stage = java.nio.file.Files.createTempDirectory("stream_enrich")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val ev = s.readStream.schema(rawSchema)
-        .parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = eventStream(s, stage, dir)
       val dim = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
       val agg = EventStreams.enrich(ev, dim)
@@ -254,9 +275,7 @@ object StreamQ extends QueryPack {
       val stage = java.nio.file.Files.createTempDirectory("stream_join")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val ev = s.readStream.schema(rawSchema)
-        .parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = eventStream(s, stage, dir)
       val joined = EventStreams.clickToPurchase(ev, windowSeconds = 600, watermark = "10 minutes")
       val sink = s"stream_join_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       // A stream-stream join keeps FOUR state stores per partition, each
@@ -307,9 +326,7 @@ object StreamQ extends QueryPack {
       val stage = java.nio.file.Files.createTempDirectory("stream_sliding")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val ev = s.readStream.schema(rawSchema)
-        .parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = eventStream(s, stage, dir)
       val agg = EventStreams.slidingAgg(ev, windowLen = "10 minutes", slide = "5 minutes")
       val sink = s"stream_sliding_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       val query = agg.writeStream
@@ -365,22 +382,9 @@ object StreamQ extends QueryPack {
       val stage = java.nio.file.Files.createTempDirectory("stream_sessionize")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val maxNs = s.read.parquet(s"$dir/events.parquet")
-        .agg(max(col("ts"))).head.getLong(0)
-      val sentinelOut = java.nio.file.Files.createTempDirectory("sentinel_fs").resolve("p")
-      Seq((-1L, maxNs + 10L * 86400L * 1000000000L, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.parquet(sentinelOut.toString)
-      val part = java.nio.file.Files.list(sentinelOut).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val staged = stage.resolve("zz_sentinel.parquet")
-      java.nio.file.Files.copy(part, staged)
-      java.nio.file.Files.setLastModifiedTime(
-        staged, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 3600000L))
+      stageSentinel(s, dir, stage)
 
-      val ev = s.readStream.schema(rawSchema)
-        .parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = eventStream(s, stage, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[EventStreams.Event]
       val sessions = EventStreams.sessionize(ev, gapSeconds = 1800, watermark = "0 seconds")
@@ -433,9 +437,7 @@ object StreamQ extends QueryPack {
       val stage = java.nio.file.Files.createTempDirectory("stream_alerts")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val ev = s.readStream.schema(rawSchema)
-        .parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = eventStream(s, stage, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[EventStreams.Event]
       val sink = s"stream_alerts_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
@@ -483,9 +485,7 @@ object StreamQ extends QueryPack {
       val out = java.nio.file.Files.createTempDirectory("stream_restart_out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("stream_restart_ckpt").toString
       def drain(): Unit = {
-        val ev = s.readStream.schema(rawSchema)
-          .parquet(stage.toString)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val ev = eventStream(s, stage, dir)
         val query = EventStreams.dedupEvents(ev, watermark = "1 hour")
           .writeStream
           .format("parquet")

@@ -23,6 +23,18 @@ object EventStreams {
       user_id: Long, n_events: Int, start: java.sql.Timestamp,
       end: java.sql.Timestamp, total_value: Double)
 
+  /** Full-microsecond instant of a Timestamp. `getTime` alone is
+    * millisecond precision — on µs-grained data, same-millisecond events
+    * would fold in event_id order instead of the oracle's
+    * `ORDER BY ts, event_id` (double addition is order-sensitive, so the
+    * sums drift). Note `getTime` already INCLUDES the integral
+    * milliseconds of the nanos fraction — hence whole-seconds × 1e6 +
+    * nanos/1000, not `getTime*1000 + getNanos/1000`, which would
+    * double-count the millis and be non-monotonic across seconds.
+    */
+  private[graft] def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
   /** Watermarked tumbling-window counts/sums per event type. */
   def tumblingAgg(
       events: DataFrame,
@@ -106,7 +118,7 @@ object EventStreams {
         userId: Long,
         batch: Iterator[Event],
         state: GroupState[Session]): Iterator[Session] = {
-      val gapMs = gapSeconds * 1000
+      val gapUs = gapSeconds * 1000000L
       var open = state.getOption
       val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
       if (state.hasTimedOut) {
@@ -114,12 +126,13 @@ object EventStreams {
         state.remove()
         return closed.iterator
       }
-      // (ts, event_id) — event_id tiebreak pins the fold order of
-      // same-millisecond events so total_value matches the oracle's
-      // ORDER BY ts, event_id (double addition is order-sensitive).
-      batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      // (µs ts, event_id) — full-microsecond key + event_id tiebreak pins
+      // the fold order to the oracle's ORDER BY ts, event_id; the gap
+      // comparison is also in µs so a gap of exactly 1800s + a fraction
+      // of a millisecond splits sessions the same way the oracle does.
+      batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
         open match {
-          case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+          case Some(s) if tsMicros(e.ts) - tsMicros(s.end) <= gapUs =>
             open = Some(Session(
               userId, s.n_events + 1, s.start, e.ts, s.total_value + e.value))
           case Some(s) =>
@@ -132,7 +145,7 @@ object EventStreams {
       open match {
         case Some(s) =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end.getTime + gapMs)
+          state.setTimeoutTimestamp(s.end.getTime + gapSeconds * 1000)
         case None => ()
       }
       closed.iterator
@@ -189,7 +202,9 @@ object EventStreams {
         timerValues: TimerValues): Iterator[ThresholdAlert] = {
       var (total, n) = if (totals.exists()) totals.get() else (0.0, 0L)
       val alerts = scala.collection.mutable.ArrayBuffer.empty[ThresholdAlert]
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      // full-µs fold order — see [[tsMicros]]; the oracle's prefix sums
+      // are built over list(value ORDER BY ts, event_id)
+      rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
         val crossed = math.floor((total + e.value) / threshold).toLong -
           math.floor(total / threshold).toLong
         total += e.value
