@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Synthesize sf1.0 testdata as a 10x FK-consistent replication of sf0.1.
+
+Each replica k (0..9) offsets every surrogate key by k * OFF so joins
+stay consistent within a replica and never cross replicas: lineitem ->
+orders/part/supplier, orders -> customer, customer/supplier -> nation,
+events.user_id -> customer, embeddings/documents ids. Non-key columns
+are copied verbatim (replica 0 IS sf0.1), so value distributions are
+preserved and text dedup operators see exact 10x multiplicity.
+
+Usage: python3 make_sf1.py [src_dir] [dst_dir]
+"""
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata/sf1.0"
+K = 10
+OFF = 10**9  # larger than any key in sf0.1
+
+# table -> columns that carry entity keys (offset per replica)
+KEYED = {
+    "region": [],        # tiny dims: replicating region/nation would break
+    "nation": [],        # nothing (keys stay within-replica) but r8 kept the
+                         # dim row count fixed; joins fan 10 replicas into the
+                         # same 5 regions / 25 nations, which is the realistic
+                         # shape (dims grow slower than facts)
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+import os
+os.makedirs(DST, exist_ok=True)
+for table, keys in KEYED.items():
+    t = pq.read_table(f"{SRC}/{table}.parquet")
+    if not keys:  # dims: copy through unchanged
+        pq.write_table(t, f"{DST}/{table}.parquet")
+        print(f"{table}: {t.num_rows} rows (copied)")
+        continue
+    replicas = []
+    for k in range(K):
+        if k == 0:
+            replicas.append(t)
+            continue
+        cols = []
+        for name in t.schema.names:
+            col = t[name]
+            if name in keys:
+                col = pc.add(col, pa.scalar(k * OFF, type=col.type))
+            cols.append(col)
+        replicas.append(pa.table(dict(zip(t.schema.names, cols))))
+    out = pa.concat_tables(replicas)
+    pq.write_table(out, f"{DST}/{table}.parquet")
+    print(f"{table}: {t.num_rows} -> {out.num_rows} rows")
