@@ -536,8 +536,111 @@ object TrainOps extends QueryPack {
         .orderBy(col("bucket"))
     })
 
+  /** Distributed BPE vocabulary induction: 6 merge rounds over the
+    * frequency-weighted DISTINCT-word table. Each round (a) counts
+    * adjacent symbol pairs weighted by word frequency — ONE shuffle over
+    * the symbol table, which is bounded by the vocabulary's total
+    * character count, never the corpus; (b) picks the heaviest pair
+    * (ties broken lexicographically) with a 1-row driver collect — the
+    * same bounded iteration coordination as PageRank/KCore; (c) applies
+    * the merge leftmost-nonoverlapping via per-word windows ("aaaa" with
+    * merge (a,a) → (aa)(aa): within a run of consecutive matches only
+    * odd positions merge — for left≠right overlapping matches are
+    * impossible, so the parity rule is exact). Per-round lineage is
+    * truncated through [[graft.operators.Checkpoints]]. The gated frame
+    * is the merge-rule trace plus the corpus-weighted symbol count after
+    * each round; the oracle unrolls the identical 6 rounds as CTEs.
+    */
+  val qBpeMerges: Q = Q(
+    "q_bpe_merges", {
+      def roundCtes(r: Int) = s""",
+            p$r AS (SELECT word, freq, pos, sym,
+                           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                    FROM s$r),
+            best$r AS (SELECT sym AS bl, nxt AS br, CAST(sum(freq) AS BIGINT) AS w
+                       FROM p$r WHERE nxt IS NOT NULL
+                       GROUP BY 1, 2 ORDER BY w DESC, bl, br LIMIT 1),
+            m$r AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+                           (p.sym = b.bl AND p.nxt IS NOT DISTINCT FROM b.br) AS mt
+                    FROM p$r p CROSS JOIN best$r b),
+            r$r AS (SELECT *,
+                           pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos) AS runkey
+                    FROM m$r),
+            g$r AS (SELECT *,
+                           mt AND (row_number() OVER (PARTITION BY word, mt, runkey ORDER BY pos) % 2 = 1)
+                             AS merge_at
+                    FROM r$r),
+            h$r AS (SELECT *,
+                           coalesce(lag(merge_at) OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+                    FROM g$r),
+            s${r + 1} AS MATERIALIZED (
+              SELECT word, freq,
+                     row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                     CASE WHEN merge_at THEN sym || nxt ELSE sym END AS sym
+              FROM h$r WHERE NOT consumed)"""
+      val rounds = 6
+      Some("""WITH w AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+              GROUP BY 1),
+            s1 AS MATERIALIZED (
+              SELECT word, freq,
+                     unnest(range(1, len(regexp_extract_all(word, '.')) + 1)) AS pos,
+                     unnest(regexp_extract_all(word, '.')) AS sym
+              FROM w)""" +
+        (1 to rounds).map(roundCtes).mkString +
+        "\nSELECT * FROM (" +
+        (1 to rounds).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS round, b.bl AS left_sym, b.br AS right_sym,
+                     b.w AS pair_weight,
+                     (SELECT CAST(sum(freq) AS BIGINT) FROM s${r + 1}) AS symbols_after
+              FROM best$r b""").mkString(" UNION ALL ") +
+        ") ORDER BY round")
+    },
+    (s, dir) => {
+      import s.implicits._
+      val wWord = Window.partitionBy("word").orderBy("pos")
+      val words = docs(s, dir)
+        .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      var state = graft.operators.Checkpoints.materialize(
+        words.select(col("word"), col("freq"),
+            posexplode(regexp_extract_all(col("word"), lit("."), lit(0))))
+          .select(col("word"), col("freq"), (col("pos") + 1).as("pos"), col("col").as("sym")))
+      val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
+      var exhausted = false
+      for (r <- 1 to 6 if !exhausted) {
+        val pairs = state.withColumn("nxt", lead(col("sym"), 1).over(wWord))
+        val topOpt = pairs.filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("bl"), col("nxt").as("br"))
+          .agg(sum(col("freq")).as("w"))
+          .orderBy(col("w").desc, col("bl"), col("br")).limit(1).collect().headOption
+        if (topOpt.isEmpty) { exhausted = true } // every word is one symbol;
+        // the oracle's CROSS JOIN with an empty best CTE emits no rows for
+        // the remaining rounds either, so early stop matches it exactly
+        else {
+        val top = topOpt.get
+        val (bl, br, w) = (top.getString(0), top.getString(1), top.getLong(2))
+        state = graft.operators.Checkpoints.materialize(pairs
+          .withColumn("mt", col("sym") === lit(bl) && col("nxt") <=> lit(br))
+          .withColumn("runkey",
+            col("pos") - row_number().over(Window.partitionBy("word", "mt").orderBy("pos")))
+          .withColumn("merge_at", col("mt") &&
+            row_number().over(Window.partitionBy("word", "mt", "runkey").orderBy("pos")) % 2 === 1)
+          .withColumn("consumed", coalesce(lag(col("merge_at"), 1).over(wWord), lit(false)))
+          .filter(!col("consumed"))
+          .select(col("word"), col("freq"),
+            row_number().over(wWord).as("pos"),
+            when(col("merge_at"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym")))
+        val symbolsAfter = state.agg(sum(col("freq"))).head.getLong(0)
+        trace += ((r.toLong, bl, br, w, symbolsAfter))
+        }
+      }
+      trace.toSeq.toDF("round", "left_sym", "right_sym", "pair_weight", "symbols_after")
+    })
+
   override def queries: Seq[Q] =
     Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qSampleExactK, qDupClusters,
       qCorpusPipeline, qWeightedSample, qSplitLeakfree, qSourceCap, qGlobalIndex,
-      qShardManifest, qPsiDrift)
+      qShardManifest, qPsiDrift, qBpeMerges)
 }
