@@ -53,7 +53,8 @@ class StreamEncodingSpec extends SparkSpec {
 
   test("windowed agg, session_window, and custom-state sessionize agree across encodings") {
     val (ntzDir, longDir) = fixtures()
-    for (q <- Seq(StreamQ.qStreamWindow, StreamQ.qStreamSessions, StreamQ.qStreamSessionize)) {
+    for (q <- Seq(StreamQ.qStreamWindow, StreamQ.qStreamSessions, StreamQ.qStreamSessionize,
+                  StreamQ.qStreamAlerts)) {
       val a = run(q, ntzDir)
       val b = run(q, longDir)
       assert(a.nonEmpty, s"${q.name}: empty result")
