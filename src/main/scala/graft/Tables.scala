@@ -133,8 +133,17 @@ object Tables {
                         ("n_chars", integral, "integral")),
       "embeddings" -> Seq(("vec_id", integral, "integral"), ("embedding", floatVec, "array<float>"),
                         ("label", integral, "integral")))
+    // Existence is probed through the Hadoop FileSystem resolved from the
+    // path (not java.io.File), so validate() reports the same way for
+    // local, hdfs:// and s3a:// dirs; load() failures still surface as a
+    // per-table error either way.
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val errs = tables.flatMap { t =>
-      if (!new java.io.File(s"$dir/$t.parquet").exists())
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val exists =
+        try p.getFileSystem(hadoopConf).exists(p)
+        catch { case _: Throwable => true } // unknown scheme: let load() report
+      if (!exists)
         Seq(s"$t: missing file $dir/$t.parquet")
       else {
         val loaded =

@@ -42,12 +42,19 @@ object StreamQ extends QueryPack {
   }
 
   /** Stage a single far-future SENTINEL event (max real ts + 10 days) as
-    * a second source file. The sentinel is written with the SAME `ts`
-    * encoding the real data declares (legacy long-nanos arithmetic vs a
-    * native timestamp + INTERVAL) — a mismatched type would diverge the
-    * source schema mid-stream. Newest mtime so the file source (which
-    * processes oldest-mtime first) never lands it in a batch BEFORE the
-    * real events — its watermark would mark them all late.
+    * a second source file. EVERY column — not just `ts` — is written in
+    * the dtype the source file's own footer declares (legacy long-nanos
+    * arithmetic vs a native timestamp + INTERVAL for `ts`; a cast to the
+    * probed dtype for the rest), so a producer refresh that e.g. narrows
+    * `event_id` to INT32 cannot make the sentinel's footer diverge from
+    * the footer-probed stream schema mid-run.
+    *
+    * Ordering — the sentinel must never land in a batch BEFORE the real
+    * events (its watermark would mark them all late) — is by FILE
+    * EXISTENCE, not mtime: callers drain the real events first, call
+    * this, then drain again from the same checkpoint, so the only file
+    * the second drain can see as new is the sentinel. (mtime ordering
+    * worked locally but object stores don't honor it.)
     */
   private def stageSentinel(
       s: org.apache.spark.sql.SparkSession, dir: String, stage: java.nio.file.Path): Unit = {
@@ -56,18 +63,17 @@ object StreamQ extends QueryPack {
       case LongType => max(col("ts")) + lit(10L * 86400L * 1000000000L)
       case _        => max(col("ts")) + expr("INTERVAL 10 DAYS")
     }
+    def typed(c: org.apache.spark.sql.Column, name: String) =
+      c.cast(raw.schema(name).dataType).as(name)
     val sentinelOut = java.nio.file.Files.createTempDirectory("sentinel").resolve("p")
     raw.agg(bumped.as("ts"))
       .select(
-        lit(-1L).as("event_id"), col("ts"), lit(-1L).as("user_id"),
-        lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+        typed(lit(-1L), "event_id"), typed(col("ts"), "ts"), typed(lit(-1L), "user_id"),
+        typed(lit("sentinel"), "event_type"), typed(lit(0.0), "value"), typed(lit("{}"), "props"))
       .coalesce(1).write.parquet(sentinelOut.toString)
     val part = java.nio.file.Files.list(sentinelOut).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet")).get
-    val staged = stage.resolve("zz_sentinel.parquet")
-    java.nio.file.Files.copy(part, staged)
-    java.nio.file.Files.setLastModifiedTime(
-      staged, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 3600000L))
+    java.nio.file.Files.copy(part, stage.resolve("zz_sentinel.parquet"))
   }
 
   /** Hourly tumbling-window counts/sums per event type through
@@ -114,10 +120,12 @@ object StreamQ extends QueryPack {
     * Append mode only emits sessions the watermark has passed, and a
     * drained AvailableNow run's final watermark is the max event time —
     * which would withhold every still-open trailing session. A single
-    * far-future SENTINEL event (staged as a second source file, newest
-    * mtime so it is never processed before the real data) advances the
-    * final watermark past every real session; the sentinel's own
-    * session is filtered out of the gate frame. The oracle is the
+    * far-future SENTINEL event — staged only AFTER a first drain has
+    * consumed the real events, then drained from the same checkpoint
+    * (the restart pattern; ordering by file existence, robust on object
+    * stores where mtime ordering is not) — advances the final watermark
+    * past every real session; the sentinel's own session is filtered
+    * out of the gate frame. The oracle is the
     * batch gaps-and-islands rewrite: new session when the same-user
     * gap ≥ 30 minutes (session_window's interval end is exclusive),
     * session end = last event + gap.
@@ -144,23 +152,27 @@ object StreamQ extends QueryPack {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start"""),
     (s, dir) => {
-      import s.implicits._
       val stage = java.nio.file.Files.createTempDirectory("stream_sessions")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      stageSentinel(s, dir, stage)
-
-      val ev = eventStream(s, stage, dir)
-      val agg = EventStreams.sessionWindowAgg(ev, gap = "30 minutes", watermark = "0 seconds")
-      val sink = s"stream_sessions_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      val query = agg.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(sink)
+      val out = java.nio.file.Files.createTempDirectory("stream_sessions_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_sessions_ckpt").toString
+      def drain(): Unit = {
+        val ev = eventStream(s, stage, dir)
+        EventStreams.sessionWindowAgg(ev, gap = "30 minutes", watermark = "0 seconds")
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+      drain()                     // life 1: real events only
+      stageSentinel(s, dir, stage) // now the sentinel exists…
+      drain()                     // life 2, same checkpoint: flushes trailing sessions
+      s.read.parquet(out)
         .filter(col("user_id") >= 0)
         .select(
           col("user_id"),
@@ -382,21 +394,26 @@ object StreamQ extends QueryPack {
       val stage = java.nio.file.Files.createTempDirectory("stream_sessionize")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      stageSentinel(s, dir, stage)
-
-      val ev = eventStream(s, stage, dir)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        .as[EventStreams.Event]
-      val sessions = EventStreams.sessionize(ev, gapSeconds = 1800, watermark = "0 seconds")
-      val sink = s"stream_sessionize_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      val query = sessions.toDF.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(sink)
+      val out = java.nio.file.Files.createTempDirectory("stream_sessionize_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_sessionize_ckpt").toString
+      def drain(): Unit = {
+        val ev = eventStream(s, stage, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[EventStreams.Event]
+        EventStreams.sessionize(ev, gapSeconds = 1800, watermark = "0 seconds")
+          .toDF.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+      drain()                      // life 1: real events; open sessions stay in state
+      stageSentinel(s, dir, stage) // sentinel appears only after life 1 finished
+      drain()                      // life 2, same checkpoint + state: event-time timeouts flush the rest
+      s.read.parquet(out)
         .filter(col("user_id") >= 0)
         .select(
           col("user_id"),

@@ -13,7 +13,11 @@ import org.apache.spark.sql.streaming.{
   * batch frame or a `readStream` source — the Spark contract that makes
   * the pipeline testable in batch and deployable as a stream.
   */
-object EventStreams {
+// Serializable: local defs passed to flatMapGroupsWithState (sessionize's
+// `update`) reference module methods like tsMicros directly, so the lifted
+// closure captures the module instance — which then rides along in the
+// serialized task closure.
+object EventStreams extends Serializable {
 
   final case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -145,7 +149,13 @@ object EventStreams {
       open match {
         case Some(s) =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end.getTime + gapSeconds * 1000)
+          // Timeout is ms-granular but the gap comparison is µs-granular:
+          // ceil the µs deadline to the next millisecond so the session
+          // can never time out before the full µs gap has elapsed (a
+          // floor would close up to ~1ms early, splitting a session the
+          // oracle's ORDER BY ts fold would extend).
+          state.setTimeoutTimestamp(
+            Math.floorDiv(tsMicros(s.end) + gapSeconds * 1000000L + 999, 1000))
         case None => ()
       }
       closed.iterator
