@@ -24,16 +24,28 @@ object PlanAudit {
     Tables.validate(spark, dir)
     for (name <- SparkEntry.queries.keys.toSeq.sorted if name.startsWith(prefix)) {
       try {
-        val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
-        val shuffles = "Exchange (hash|range)partitioning|Exchange SinglePartition".r.findAllIn(p).length
-        val bcast = "BroadcastExchange".r.findAllIn(p).length
-        val smj = "SortMergeJoin".r.findAllIn(p).length
-        val wsc = "WholeStageCodegen".r.findAllIn(p).length
-        println(f"$name%-22s shuffles=$shuffles%-3d bcast=$bcast%-3d smj=$smj%-3d codegenSpans=$wsc")
+        if (RoundPlans.plans.contains(name)) {
+          // driver-coordinated iterative query: its final frame is only
+          // the collected trace (a LocalTableScan) — audit one
+          // representative ROUND per distinct per-round shape instead
+          for ((label, frame) <- RoundPlans.plans(name)(spark, dir))
+            println(row(s"$name@$label", frame.queryExecution.executedPlan.toString))
+        } else {
+          println(row(name,
+            SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString))
+        }
       } catch {
         case e: Throwable => println(f"$name%-22s ERROR ${e.getMessage.take(80)}")
       }
     }
     spark.stop()
+  }
+
+  private def row(name: String, p: String): String = {
+    val shuffles = "Exchange (hash|range)partitioning|Exchange SinglePartition".r.findAllIn(p).length
+    val bcast = "BroadcastExchange".r.findAllIn(p).length
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    val wsc = "WholeStageCodegen".r.findAllIn(p).length
+    f"$name%-22s shuffles=$shuffles%-3d bcast=$bcast%-3d smj=$smj%-3d codegenSpans=$wsc"
   }
 }

@@ -21,23 +21,64 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** Nodes meeting the degree bar against the current edge set — the
+    * first half of one peel round (one hash aggregation). */
+  private[graft] def degreeKeep(cur: DataFrame, k: Int): DataFrame =
+    cur.select(col("a").as("n")).unionAll(cur.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k).select(col("n"))
+
+  /** Edges whose endpoints both survive — the second half of one peel
+    * round (two left-semi equi-joins). */
+  private[graft] def dropEdges(cur: DataFrame, keep: DataFrame): DataFrame =
+    cur
+      .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+      .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+
+  /** One full peel round as a single frame (degree agg + both
+    * semi-joins) — what [[graft.PlanAudit]] audits for the per-round
+    * invariants, since [[peelRounds]]'s final frame is only the
+    * driver-collected trace (a LocalTableScan that hides the real work).
+    * The input is materialized first, exactly as the loop holds it: the
+    * round references the edge set three times, and the real rounds
+    * reference a checkpointed copy, not three re-derivations.
+    */
+  def roundPlan(edges: DataFrame, k: Int): DataFrame = {
+    val cur = Checkpoints.materialize(edges)
+    dropEdges(cur, degreeKeep(cur, k))
+  }
+
   /** Peel `rounds` rounds toward the k-core. Returns one row per round:
     * (round, n_nodes = nodes meeting the degree bar that round,
-    * n_edges = edges surviving after the drop).
+    * n_edges = edges surviving after the drop). Stops early once the
+    * edge set reaches a fixpoint (nothing peeled in a round): the
+    * remaining rounds could only repeat the same counts, so the trace
+    * is extended with copies of the fixpoint row — identical output to
+    * running them, without paying rounds × (agg + 2 joins) after
+    * convergence (the oracle's unrolled CTE rounds replay the same
+    * arithmetic either way).
     */
   def peelRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     var cur = Checkpoints.materialize(edges)
+    var prevEdges = -1L
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    for (r <- 1 to rounds) {
-      val deg = cur.select(col("a").as("n")).unionAll(cur.select(col("b").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val keep = Checkpoints.materialize(deg.filter(col("d") >= k).select(col("n")))
-      cur = Checkpoints.materialize(cur
-        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi"))
-      trace += ((r.toLong, keep.count(), cur.count()))
+    var r = 1
+    var fixed = false
+    while (r <= rounds && !fixed) {
+      val keep = Checkpoints.materialize(degreeKeep(cur, k))
+      cur = Checkpoints.materialize(dropEdges(cur, keep))
+      val (nNodes, nEdges) = (keep.count(), cur.count())
+      trace += ((r.toLong, nNodes, nEdges))
+      if (nEdges == prevEdges) {
+        // fixpoint: every later round sees the same degrees, keeps the
+        // same nodes, drops nothing
+        fixed = true
+        for (rr <- r + 1 to rounds) trace += ((rr.toLong, nNodes, nEdges))
+      }
+      prevEdges = nEdges
+      r += 1
     }
     trace.toSeq.toDF("round", "n_nodes", "n_edges")
   }

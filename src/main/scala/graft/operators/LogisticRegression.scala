@@ -33,18 +33,35 @@ object LogisticRegression {
     val n = d.count().toDouble
     val beta = Array.fill(features.size)(0.0)
     for (_ <- 1 to iterations) {
-      val z = (0 until beta.length)
-        .map(j => lit(beta(j)) * col(s"x$j"))
-        .reduce(_ + _)
-      val err = col("y") - lit(1.0) / (lit(1.0) + exp(-z))
-      val grads = d.agg(
-        sum(err * col("x0")).as("g0"),
-        (1 until beta.length).map(j => sum(err * col(s"x$j")).as(s"g$j")): _*)
-        .collect().head
+      val grads = gradientFrame(d, beta).collect().head
       for (j <- beta.indices)
         beta(j) = beta(j) + lr * grads.getDouble(j) / n
     }
     beta
+  }
+
+  /** One gradient sweep as an UNEXECUTED 1-row frame: a single scan of
+    * the featurized data with map-side partial aggregation. Shared by
+    * [[train]]'s loop and [[graft.PlanAudit]]'s per-round audit.
+    */
+  private[graft] def gradientFrame(d: DataFrame, beta: Array[Double]): DataFrame = {
+    val z = beta.indices
+      .map(j => lit(beta(j)) * col(s"x$j"))
+      .reduce(_ + _)
+    val err = col("y") - lit(1.0) / (lit(1.0) + exp(-z))
+    d.agg(
+      sum(err * col("x0")).as("g0"),
+      (1 until beta.length).map(j => sum(err * col(s"x$j")).as(s"g$j")): _*)
+  }
+
+  /** The audit entry point: featurize + materialize (as [[train]] does —
+    * the sweeps rescan the checkpointed feature frame, they do not
+    * recompute it) + one zero-β gradient sweep. */
+  def roundPlan(data: DataFrame, features: Seq[Column], label: Column): DataFrame = {
+    val d = Checkpoints.materialize(data.select(
+      (features.zipWithIndex.map { case (f, j) => f.cast("double").as(s"x$j") } :+
+        label.cast("double").as("y")): _*))
+    gradientFrame(d, Array.fill(features.size)(0.0))
   }
 
   /** Per-row predicted probability for fitted coefficients. */

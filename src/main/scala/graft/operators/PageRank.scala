@@ -49,18 +49,47 @@ object PageRank {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
     for (_ <- 1 to iterations) {
-      val contrib = trans
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") * col("p")).as("contrib"))
-      ranks = Checkpoints.materialize(nodes
-        .join(contrib, Seq("node"), "left")
-        .select(
-          col("node"),
-          (lit(teleport) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      ranks = Checkpoints.materialize(
+        sweep(trans, nodes, ranks, damping, teleport)
       ) // truncate the lineage, keep each sweep one stage
     }
     ranks
+  }
+
+  /** One damped sweep: broadcast the (|V|-sized) rank frame into the
+    * edge scan, aggregate contributions per dst, re-attach dangling
+    * nodes. Shared by [[run]]'s loop and [[roundPlan]], so the audited
+    * per-round plan IS the executed one.
+    */
+  private[graft] def sweep(
+      trans: DataFrame, nodes: DataFrame, ranks: DataFrame,
+      damping: Double, teleport: Double): DataFrame = {
+    val contrib = trans
+      .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("rank") * col("p")).as("contrib"))
+    nodes
+      .join(contrib, Seq("node"), "left")
+      .select(
+        col("node"),
+        (lit(teleport) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+  }
+
+  /** One representative sweep over `edges` (broadcast-join + per-dst
+    * aggregation + dangling re-attach) for [[graft.PlanAudit]] —
+    * [[run]]'s returned frame is a checkpointed LogicalRDD that hides
+    * the per-sweep shuffle structure. trans/nodes/ranks are materialized
+    * first, exactly as [[run]] holds them between sweeps.
+    */
+  def roundPlan(edges: DataFrame, damping: Double = 0.85): DataFrame = {
+    val e = Checkpoints.materialize(edges)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val trans = Checkpoints.materialize(e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") * lit(1.0) / col("outw")).as("p")))
+    val nodes = Checkpoints.materialize(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val ranks = Checkpoints.materialize(nodes.withColumn("rank", lit(1.0)))
+    sweep(trans, nodes, ranks, damping, teleport = 0.15)
   }
 
   /** The identical computation as ANSI SQL: `iterations` unrolled CTE

@@ -412,6 +412,45 @@ object Dedup extends QueryPack {
     * Returns (labels, roundsRun) where roundsRun includes the final
     * no-change round.
     */
+  /** One min-label-propagation round with pointer jumping — the body of
+    * [[propagateLabels]]' loop, also audited standalone by
+    * [[graft.PlanAudit]] (the gate query's final frame is checkpointed,
+    * hiding the per-round aggregations/joins). One m ⋈ labels join
+    * feeds BOTH the bucket-min and the doc-min aggregation (the naive
+    * form joins m against labels twice per round); every candidate doc
+    * has a bucket, so no left join needed.
+    */
+  private[graft] def propagateRound(
+      mByDoc: DataFrame, mByBkey: DataFrame, labels: DataFrame): DataFrame = {
+    val ml = mByDoc.join(labels, Seq("doc_id"))
+    val b = ml.groupBy(col("bkey")).agg(min(col("lbl")).as("blbl"))
+    val docmin = mByBkey.join(b, Seq("bkey"))
+      .groupBy(col("doc_id")).agg(min(col("blbl")).as("mb"))
+    val hopped = labels
+      .join(docmin, Seq("doc_id"), "left")
+      .select(col("doc_id"), least(col("lbl"), coalesce(col("mb"), col("lbl"))).as("lbl"))
+    // pointer jumping: label := label's label (labels are doc ids, so
+    // the parent row always exists) — distance doubles per round
+    val parents = hopped.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
+    hopped.join(parents, hopped("lbl") === parents("p_id"))
+      .select(hopped("doc_id"), col("p_lbl").as("lbl"))
+  }
+
+  /** One representative propagation round over the real membership
+    * (materialized per key exactly as [[propagateLabels]] holds it, so
+    * the audit sees the round's true incremental shuffle/join structure)
+    * for [[graft.PlanAudit]]. */
+  def lshClusterRoundPlan(s: SparkSession, dir: String): DataFrame = {
+    val mByBkey = graft.operators.Checkpoints.materialize(
+      lshMembership(Tables.loadDistributed(s, dir, "documents", "doc_id")))
+    val mByDoc = graft.operators.Checkpoints.materialize(
+      mByBkey.repartition(col("doc_id")))
+    val labels = graft.operators.Checkpoints.materialize(
+      mByDoc.select(col("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("lbl")))
+    propagateRound(mByDoc, mByBkey, labels)
+  }
+
   def propagateLabels(
       membership: DataFrame,
       maxRounds: Int,
@@ -444,21 +483,7 @@ object Dedup extends QueryPack {
     var converged = false
     while (round < target && !converged) {
       round += 1
-      // one m ⋈ labels join feeds BOTH the bucket-min and the doc-min
-      // aggregation (the naive form joins m against labels twice per
-      // round); every candidate doc has a bucket, so no left join needed
-      val ml = mByDoc.join(labels, Seq("doc_id"))
-      val b = ml.groupBy(col("bkey")).agg(min(col("lbl")).as("blbl"))
-      val docmin = mByBkey.join(b, Seq("bkey"))
-        .groupBy(col("doc_id")).agg(min(col("blbl")).as("mb"))
-      val hopped = labels
-        .join(docmin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("lbl"), coalesce(col("mb"), col("lbl"))).as("lbl"))
-      // pointer jumping: label := label's label (labels are doc ids, so
-      // the parent row always exists) — distance doubles per round
-      val parents = hopped.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
-      val next = hopped.join(parents, hopped("lbl") === parents("p_id"))
-        .select(hopped("doc_id"), col("p_lbl").as("lbl"))
+      val next = propagateRound(mByDoc, mByBkey, labels)
       if (exactRounds.isEmpty) {
         // materialize each round (checkpointing also truncates the
         // 3×-per-round lineage growth), then one count for the

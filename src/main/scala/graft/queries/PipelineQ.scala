@@ -1624,17 +1624,20 @@ object PipelineQ extends QueryPack {
       Some(s"""${graft.operators.PageRank.unrolledSql(edges).replace("SELECT node, rank FROM r10",
         "SELECT node, round(rank * 1e6) / 1e6 AS rank FROM r10 ORDER BY node")}""")
     },
-    (s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
-      graft.operators.PageRank.run(edges)
+    (s, dir) =>
+      graft.operators.PageRank.run(tradeEdges(s, dir))
         .select(col("node"), (round(col("rank") * 1e6) / 1e6).as("rank"))
-        .orderBy(col("node"))
-    })
+        .orderBy(col("node")))
+
+  /** The nation→nation trade graph q_pagerank propagates over — also the
+    * input to its [[graft.PlanAudit]] per-round plan. */
+  private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
 
   /** Quartile + equal-width bucketing — ntile(4) per order priority (the
     * one window normalizer q_rank_battery doesn't exercise) next to an
@@ -1693,11 +1696,8 @@ object PipelineQ extends QueryPack {
       val d = docs(s, dir)
       val beta = graft.operators.LogisticRegression.train(
         d,
-        features = Seq(
-          lit(1.0),
-          size(tokens(col("text"))).cast("double") / lit(100.0).cast("double"),
-          col("n_chars").cast("double") / lit(1000.0).cast("double")),
-        label = when(col("lang") === "en", 1.0).otherwise(0.0),
+        features = logregFeatures,
+        label = logregLabel,
         lr = 0.5, iterations = 5)
       beta.zipWithIndex
         .map { case (b, j) => (j.toLong, b) }.toSeq
@@ -2527,13 +2527,24 @@ object PipelineQ extends QueryPack {
            WHERE ('0x' || substr(md5('kc:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 10 < 1"""
       Some(graft.operators.KCore.unrolledSql(edges, k = 8, rounds = 6))
     },
-    (s, dir) => {
-      val edges = graft.operators.Triangles.sampleEdges(
-        graft.operators.Triangles.basketPairs(
-          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
-        modParts = 10, keepParts = 1, salt = "kc:")
-      graft.operators.KCore.peelRounds(edges, k = 8, rounds = 6)
-    })
+    (s, dir) => graft.operators.KCore.peelRounds(kcoreEdges(s, dir), k = 8, rounds = 6))
+
+  /** q_logreg_quality's feature/label columns, shared with its
+    * [[graft.PlanAudit]] per-round gradient plan. */
+  private[graft] def logregFeatures: Seq[org.apache.spark.sql.Column] = Seq(
+    lit(1.0),
+    size(tokens(col("text"))).cast("double") / lit(100.0).cast("double"),
+    col("n_chars").cast("double") / lit(1000.0).cast("double"))
+  private[graft] def logregLabel: org.apache.spark.sql.Column =
+    when(col("lang") === "en", 1.0).otherwise(0.0)
+
+  /** The thinned co-purchase edge set q_kcore peels — also the input to
+    * its [[graft.PlanAudit]] per-round plan. */
+  private[graft] def kcoreEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Triangles.sampleEdges(
+      graft.operators.Triangles.basketPairs(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+      modParts = 10, keepParts = 1, salt = "kc:")
 
   override def queries: Seq[Q] = Seq(
     qTriangleCount, qTriangleSampled, qKcore,

@@ -599,45 +599,77 @@ object TrainOps extends QueryPack {
     },
     (s, dir) => {
       import s.implicits._
-      val wWord = Window.partitionBy("word").orderBy("pos")
-      val words = docs(s, dir)
-        .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      var state = graft.operators.Checkpoints.materialize(
-        words.select(col("word"), col("freq"),
-            posexplode(regexp_extract_all(col("word"), lit("."), lit(0))))
-          .select(col("word"), col("freq"), (col("pos") + 1).as("pos"), col("col").as("sym")))
+      var state = graft.operators.Checkpoints.materialize(bpeInitState(docs(s, dir)))
       val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
       var exhausted = false
       for (r <- 1 to 6 if !exhausted) {
-        val pairs = state.withColumn("nxt", lead(col("sym"), 1).over(wWord))
-        val topOpt = pairs.filter(col("nxt").isNotNull)
-          .groupBy(col("sym").as("bl"), col("nxt").as("br"))
-          .agg(sum(col("freq")).as("w"))
-          .orderBy(col("w").desc, col("bl"), col("br")).limit(1).collect().headOption
+        val pairs = bpePairs(state)
+        val topOpt = bpeTopPair(pairs).collect().headOption
         if (topOpt.isEmpty) { exhausted = true } // every word is one symbol;
         // the oracle's CROSS JOIN with an empty best CTE emits no rows for
         // the remaining rounds either, so early stop matches it exactly
         else {
         val top = topOpt.get
         val (bl, br, w) = (top.getString(0), top.getString(1), top.getLong(2))
-        state = graft.operators.Checkpoints.materialize(pairs
-          .withColumn("mt", col("sym") === lit(bl) && col("nxt") <=> lit(br))
-          .withColumn("runkey",
-            col("pos") - row_number().over(Window.partitionBy("word", "mt").orderBy("pos")))
-          .withColumn("merge_at", col("mt") &&
-            row_number().over(Window.partitionBy("word", "mt", "runkey").orderBy("pos")) % 2 === 1)
-          .withColumn("consumed", coalesce(lag(col("merge_at"), 1).over(wWord), lit(false)))
-          .filter(!col("consumed"))
-          .select(col("word"), col("freq"),
-            row_number().over(wWord).as("pos"),
-            when(col("merge_at"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym")))
+        state = graft.operators.Checkpoints.materialize(bpeApplyMerge(pairs, bl, br))
         val symbolsAfter = state.agg(sum(col("freq"))).head.getLong(0)
         trace += ((r.toLong, bl, br, w, symbolsAfter))
         }
       }
       trace.toSeq.toDF("round", "left_sym", "right_sym", "pair_weight", "symbols_after")
     })
+
+  // ── BPE round bodies — shared by qBpeMerges' loop and graft.PlanAudit's
+  //    per-round audit (the gate query's final frame is a driver-collected
+  //    trace, so only these expose the real per-round plan shapes) ──────
+
+  private val wWord = Window.partitionBy("word").orderBy("pos")
+
+  /** (word, freq, pos, sym) character state from the corpus: one
+    * tokenization + word-frequency aggregation, symbols via posexplode. */
+  private[graft] def bpeInitState(d: DataFrame): DataFrame =
+    d.select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        posexplode(regexp_extract_all(col("word"), lit("."), lit(0))))
+      .select(col("word"), col("freq"), (col("pos") + 1).as("pos"), col("col").as("sym"))
+
+  /** Adjacent-pair view: each symbol with its successor (per-word window). */
+  private[graft] def bpePairs(state: DataFrame): DataFrame =
+    state.withColumn("nxt", lead(col("sym"), 1).over(wWord))
+
+  /** Best pair of the round: ONE hash aggregation bounded by the pair
+    * vocabulary (never corpus size), then a 1-row TakeOrdered. */
+  private[graft] def bpeTopPair(pairs: DataFrame): DataFrame =
+    pairs.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("bl"), col("nxt").as("br"))
+      .agg(sum(col("freq")).as("w"))
+      .orderBy(col("w").desc, col("bl"), col("br")).limit(1)
+
+  /** Apply the round's merge: per-word windows with an exact run-parity
+    * rule for self-pairs (aaa → (aa)a, not a(aa)). */
+  private[graft] def bpeApplyMerge(pairs: DataFrame, bl: String, br: String): DataFrame =
+    pairs
+      .withColumn("mt", col("sym") === lit(bl) && col("nxt") <=> lit(br))
+      .withColumn("runkey",
+        col("pos") - row_number().over(Window.partitionBy("word", "mt").orderBy("pos")))
+      .withColumn("merge_at", col("mt") &&
+        row_number().over(Window.partitionBy("word", "mt", "runkey").orderBy("pos")) % 2 === 1)
+      .withColumn("consumed", coalesce(lag(col("merge_at"), 1).over(wWord), lit(false)))
+      .filter(!col("consumed"))
+      .select(col("word"), col("freq"),
+        row_number().over(wWord).as("pos"),
+        when(col("merge_at"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+
+  /** One representative round (pair count + merge application over the
+    * materialized round-1 state, as the loop holds it) for
+    * [[graft.PlanAudit]]. */
+  def bpeRoundPlans(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val pairs = bpePairs(graft.operators.Checkpoints.materialize(bpeInitState(docs(s, dir))))
+    Seq(
+      "pair_count" -> bpeTopPair(pairs),
+      "apply_merge" -> bpeApplyMerge(pairs, "t", "h"))
+  }
 
   override def queries: Seq[Q] =
     Seq(qTfidf, qQualityGate, qPiiRedact, qHashSample, qSampleExactK, qDupClusters,

@@ -221,6 +221,60 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_zipf").contains("TakeOrderedAndProject"), "q_zipf lost its top-k plan")
   }
 
+  test("iterative queries: per-round plans hold their scale invariants") {
+    // The gate frames of the driver-coordinated family are collected
+    // traces (LocalTableScan) — the per-round frames in RoundPlans are
+    // what actually executes each iteration, so the invariants guard
+    // THOSE. Build each round frame once and assert on its plan text.
+    def roundPlan(q: String, label: String): String = {
+      val frame = RoundPlans.plans(q)(spark, dir)
+        .collectFirst { case (l, f) if l == label => f }.get
+      frame.queryExecution.executedPlan.toString
+    }
+
+    // k-core peel: one hash aggregation for degrees + two semi-joins;
+    // never a cartesian, never an unpartitioned window
+    val peel = roundPlan("q_kcore", "peel")
+    assert("LeftSemi".r.findAllIn(peel).length === 2, peel)
+    assert(!peel.contains("CartesianProduct") && !peel.contains("Window"), peel)
+
+    // PageRank sweep: the rank frame broadcasts into the edge scan
+    // (edges are never re-shuffled per sweep), contributions hash-agg
+    val sweepP = roundPlan("q_pagerank", "sweep")
+    assert(sweepP.contains("BroadcastHashJoin"), sweepP)
+    assert(sweepP.contains("HashAggregate"), sweepP)
+    assert(!sweepP.contains("CartesianProduct"), sweepP)
+
+    // logreg gradient: ONE scan with map-side partial aggregation —
+    // exactly one exchange (the 1-row final agg), no joins at all
+    val grad = roundPlan("q_logreg_quality", "gradient")
+    assert("Exchange".r.findAllIn(grad).length === 1, grad)
+    assert(!grad.contains("Join"), grad)
+
+    // BPE pair counting: bounded hash-agg + 1-row TakeOrdered — the
+    // shuffle is pair-vocabulary-sized, and the pick is top-1, never a
+    // global sort
+    val pairCount = roundPlan("q_bpe_merges", "pair_count")
+    assert(pairCount.contains("TakeOrderedAndProject"), pairCount)
+    assert(pairCount.contains("HashAggregate"), pairCount)
+    // BPE merge application: per-word windows only — every WindowExec
+    // is partitioned (no global funnel)
+    val merge = RoundPlans.plans("q_bpe_merges")(spark, dir)
+      .collectFirst { case ("apply_merge", f) => f }.get
+      .queryExecution.sparkPlan
+    val unpartitioned = merge.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, "BPE merge has an unpartitioned window")
+
+    // LSH label propagation: key-partitioned aggregations + equi-joins,
+    // no cartesian, no unpartitioned window
+    val prop = roundPlan("q_lsh_clusters", "propagate")
+    assert(!prop.contains("CartesianProduct") && !prop.contains("Window"), prop)
+    assert("HashAggregate".r.findAllIn(prop).nonEmpty, prop)
+  }
+
   test("SemVer parse/compare (F9)") {
     assert(SemVer.parse("1.0.4") === SemVer(1, 0, 4))
     assert(SemVer.parse("2.0.0") > SemVer.parse("1.9.9"))
