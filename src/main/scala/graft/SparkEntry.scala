@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.Extras,
     graft.queries.Corpus,
     graft.queries.PipelineQ,
+    graft.queries.SkewQ,
     graft.queries.StreamQ)
 
   private lazy val allQueries: Seq[Q] = packs.flatMap(_.queries)

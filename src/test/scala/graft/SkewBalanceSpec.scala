@@ -1,0 +1,66 @@
+package graft
+
+import graft.queries.SkewQ
+import org.apache.spark.sql.functions._
+
+/** The skew gate's balance evidence, on DETERMINISTIC record counts
+  * (task timing is noise on a loaded CI host; record routing is not).
+  * The q_skew_* oracles prove the salted operators return the right
+  * ANSWERS under a 20%-hot key; this spec proves they actually SPREAD
+  * the hot key — the property that saves the stage at 100 TB.
+  */
+class SkewBalanceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("the skew fixture concentrates ~20% of events on the hot user") {
+    val ev = SkewQ.skewedEvents(spark, dir)
+    val total = ev.count().toDouble
+    val hot = ev.filter(col("user_id") === -42L).count().toDouble
+    assert(hot / total > 0.15 && hot / total < 0.25,
+      s"hot fraction ${hot / total} drifted from the ~20% design point")
+  }
+
+  test("unsalted grouping funnels the hot key into one reduce group") {
+    import spark.implicits._
+    val sizes = SkewQ.skewedEvents(spark, dir)
+      .groupBy(col("user_id")).count()
+      .select(col("count")).as[Long].collect().sorted
+    val median = sizes(sizes.length / 2)
+    assert(sizes.last >= 20 * median,
+      s"fixture too mild: hot group ${sizes.last} vs median $median — " +
+        "the salted path would be indistinguishable from the plain one")
+  }
+
+  test("salting splits the hot key across all buckets within 2x of even") {
+    import spark.implicits._
+    // the same salt expression Skew.saltedAgg uses
+    val hotGroups = SkewQ.skewedEvents(spark, dir)
+      .filter(col("user_id") === -42L)
+      .withColumn("__salt", (rand(seed = 42) * 32).cast("int"))
+      .groupBy(col("__salt")).count()
+      .select(col("count")).as[Long].collect()
+    val hotTotal = hotGroups.sum
+    assert(hotGroups.length === 32, s"only ${hotGroups.length}/32 salt buckets hit")
+    val even = hotTotal.toDouble / 32
+    assert(hotGroups.max <= 2 * even,
+      s"worst salted sub-group ${hotGroups.max} exceeds 2x the even share $even")
+  }
+
+  test("salted join replicates the build row per bucket, probe spread holds") {
+    import spark.implicits._
+    val li = SkewQ.skewedLineitem(spark, dir)
+      .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+    val build = Tables.load(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val joined = graft.operators.Skew.saltedJoin(li, build, Seq("p_partkey"), saltBuckets = 16)
+    // row-for-row equal to the plain inner join…
+    assert(joined.count() === li.join(build, Seq("p_partkey")).count())
+    // …and the hot part's probe rows divide across the 16 salted sub-keys
+    val hotPerSalt = li.filter(col("p_partkey") === 1L)
+      .withColumn("__salt", (rand(seed = 43) * 16).cast("int"))
+      .groupBy(col("__salt")).count()
+      .select(col("count")).as[Long].collect()
+    assert(hotPerSalt.length === 16)
+    assert(hotPerSalt.max <= 2.0 * hotPerSalt.sum / 16)
+  }
+}
