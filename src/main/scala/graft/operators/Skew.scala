@@ -14,19 +14,36 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Content-derived salt: `pmod(hash(cols), buckets)`. Unlike
+    * `rand(seed)` — which is deterministic per PARTITION but reshuffles
+    * whenever the input is split differently — this routes a row by its
+    * own bytes, so a restarted or incrementally re-run pipeline salts
+    * identically no matter how the input was repartitioned. Pass
+    * secondary columns (not the hot key itself: hashing only the hot
+    * key maps all its rows to ONE bucket, defeating the salt).
+    */
+  def contentSalt(saltBuckets: Int, cols: Column*): Column =
+    pmod(hash(cols: _*), lit(saltBuckets))
+
   /** Σ/count per key via salted two-phase aggregation. `aggs` maps output
     * column name → (partial agg of the value column, final re-agg of the
     * partial). E.g. sum → (sum, sum); count → (count, sum).
+    *
+    * `saltBy` picks the routing: default `rand(seed)` is cheapest and
+    * fine for one-shot algebraic aggregates (any salt assignment yields
+    * identical finals); pass [[contentSalt]] over secondary columns for
+    * replayable routing in restartable/incremental pipelines.
     */
   def saltedAgg(
       df: DataFrame,
       keyCols: Seq[String],
-      saltBuckets: Int)(
+      saltBuckets: Int,
+      saltBy: Option[Column] = None)(
       partialAggs: Seq[Column],
       finalAggs: Seq[Column]): DataFrame = {
     require(saltBuckets > 0)
-    val salted = df.withColumn(
-      "__salt", (rand(seed = 42) * saltBuckets).cast("int"))
+    val salt = saltBy.getOrElse((rand(seed = 42) * saltBuckets).cast("int"))
+    val salted = df.withColumn("__salt", salt)
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -70,10 +87,11 @@ object Skew {
       probe: DataFrame,
       build: DataFrame,
       keyCols: Seq[String],
-      saltBuckets: Int): DataFrame = {
+      saltBuckets: Int,
+      saltBy: Option[Column] = None): DataFrame = {
     require(saltBuckets > 0)
     val saltedProbe = probe.withColumn(
-      "__salt", (rand(seed = 43) * saltBuckets).cast("int"))
+      "__salt", saltBy.getOrElse((rand(seed = 43) * saltBuckets).cast("int")))
     val replicatedBuild = build.withColumn(
       "__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedProbe

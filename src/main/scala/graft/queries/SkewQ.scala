@@ -63,6 +63,31 @@ object SkewQ extends QueryPack {
           (round(sum(col("pv")) * 100) / 100).as("sum_value")))
         .orderBy(col("user_id")))
 
+  /** Same hot-key aggregation but with CONTENT-DERIVED salt
+    * ([[graft.operators.Skew.contentSalt]] over `event_id`) instead of
+    * `rand(seed)`, and the input deliberately `repartition(7)`-ed first:
+    * rand-based salt is deterministic per partition, so reshaping the
+    * input reshapes the routing — content salt must not care. The oracle
+    * is the same plain GROUP BY; [[graft.SkewBalanceSpec]] additionally
+    * asserts the per-row salt assignment is identical across different
+    * input partitionings (the replayability property itself).
+    */
+  val qSkewSaltedAggStable: Q = Q(
+    "q_skew_salted_agg_stable",
+    Some(s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                    round(sum(value) * 100) / 100 AS sum_value
+             FROM ($skewedEventsSql)
+             GROUP BY user_id ORDER BY user_id"""),
+    (s, dir) =>
+      graft.operators.Skew.saltedAgg(
+        skewedEvents(s, dir).repartition(7), Seq("user_id"), saltBuckets = 32,
+        saltBy = Some(graft.operators.Skew.contentSalt(32, col("event_id"))))(
+        Seq(count(lit(1)).as("pn"), sum(col("value")).as("pv")),
+        Seq(
+          sum(col("pn")).cast("long").as("n"),
+          (round(sum(col("pv")) * 100) / 100).as("sum_value")))
+        .orderBy(col("user_id")))
+
   /** Salted join under a 20%-hot probe key: the hot part's line items
     * spread over 16 salt buckets (build side replicated ×16 — part-dim
     * sized, fine when the build is far smaller than the probe), then
@@ -179,5 +204,6 @@ object SkewQ extends QueryPack {
     })
 
   override def queries: Seq[Q] =
-    Seq(qSkewSaltedAgg, qSkewSaltedJoin, qSkewSessionize, qSkewAttribution)
+    Seq(qSkewSaltedAgg, qSkewSaltedAggStable, qSkewSaltedJoin, qSkewSessionize,
+      qSkewAttribution)
 }

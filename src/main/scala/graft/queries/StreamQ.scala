@@ -515,10 +515,11 @@ object StreamQ extends QueryPack {
       }
       drain() // first life: the original file
       val replay = stage.resolve("events_replay.parquet")
+      // No mtime bump: Files.copy (without COPY_ATTRIBUTES) stamps the copy
+      // with "now", and the second drain discovers it by listing diff against
+      // the checkpoint's seen-files log — not by modification-time order.
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), replay)
-      java.nio.file.Files.setLastModifiedTime(
-        replay, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 1000L))
       drain() // second life, same checkpoint: replay must be a no-op
       s.read.parquet(out).agg(
         count(lit(1)).as("n_events"),

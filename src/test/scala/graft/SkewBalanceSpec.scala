@@ -47,6 +47,30 @@ class SkewBalanceSpec extends SparkSpec {
       s"worst salted sub-group ${hotGroups.max} exceeds 2x the even share $even")
   }
 
+  test("content salt routes identically regardless of input partitioning") {
+    import spark.implicits._
+    // rand(seed)-salt is per-partition-deterministic, so repartitioning the
+    // input reshuffles the routing; contentSalt hashes the row's own bytes
+    // and must assign every event_id the same bucket under any split.
+    def routing(parts: Int): Map[Long, Int] =
+      SkewQ.skewedEvents(spark, dir)
+        .repartition(parts)
+        .withColumn("__salt", graft.operators.Skew.contentSalt(32, col("event_id")))
+        .select(col("event_id").as[Long], col("__salt").as[Int])
+        .collect().toMap
+    val a = routing(7)
+    val b = routing(13)
+    assert(a === b, "content-derived salt changed under repartitioning")
+    // and it still spreads the hot user across all 32 buckets within 2x even
+    val hotGroups = SkewQ.skewedEvents(spark, dir)
+      .filter(col("user_id") === -42L)
+      .withColumn("__salt", graft.operators.Skew.contentSalt(32, col("event_id")))
+      .groupBy(col("__salt")).count()
+      .select(col("count")).as[Long].collect()
+    assert(hotGroups.length === 32, s"only ${hotGroups.length}/32 salt buckets hit")
+    assert(hotGroups.max <= 2.0 * hotGroups.sum / 32)
+  }
+
   test("salted join replicates the build row per bucket, probe spread holds") {
     import spark.implicits._
     val li = SkewQ.skewedLineitem(spark, dir)
