@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Skew-mitigation evidence at scale: runs the 20%-hot-key fixtures from
+  * [[graft.queries.SkewQ]] BOTH ways — plain and salted — against a large
+  * SF, and records wall time plus the STRAGGLER RATIO (max task duration /
+  * median task duration, over the stage with the largest total task time).
+  * SkewBalanceSpec proves the salted ROUTING on record counts at sf0.01;
+  * this program produces the timing-side artifact the balance spec
+  * deliberately avoids — run it on a quiet host and read the ratio, not
+  * the absolute seconds.
+  *
+  * Two scenarios, because they behave differently and the difference is
+  * the point:
+  *
+  *  - aggregation (count+sum per user, one user owns 20% of events):
+  *    Spark's map-side partial aggregation already collapses the hot key
+  *    to one partial row PER MAP PARTITION, so the reduce stage is
+  *    skew-immune for algebraic aggregates — expect ratio ≈ 1 both ways.
+  *    The honest conclusion: salted aggregation is insurance for
+  *    holistic/partial-defeating shapes, not a win for plain sum/count.
+  *  - shuffle join (lineitem⋈part on a part owning 20% of line items,
+  *    broadcast DISABLED — at 100 TB the build side often exceeds any
+  *    broadcast threshold, which is saltedJoin's stated use case): the
+  *    hot key's probe rows land on ONE sort-merge task — expect a large
+  *    unsalted ratio that the ×16 salt spread flattens.
+  *
+  * AQE is disabled so its skew-join splitting and partition coalescing
+  * don't mask the effect being measured (AQE is the right FIRST answer in
+  * production; saltedJoin is for the shapes AQE can't reach — e.g. the
+  * skewed side feeding an aggregation above the join, or pre-AQE engines).
+  *
+  * Usage: java -cp ... graft.SkewBench [sfDir] ; prints ONE JSON line.
+  */
+object SkewBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-skew-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Per-stage task durations from the scheduler's own task clock.
+    val taskMs = scala.collection.mutable.Map[Int, ArrayBuffer[Long]]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = taskMs.synchronized {
+        taskMs.getOrElseUpdate(t.stageId, ArrayBuffer.empty) += t.taskInfo.duration
+      }
+    })
+
+    def run(label: String)(body: => Unit): String = {
+      taskMs.synchronized(taskMs.clear())
+      val t0 = System.nanoTime()
+      body
+      val wall = (System.nanoTime() - t0) / 1e9
+      val stages = taskMs.synchronized(taskMs.toMap)
+      val (_, ds) = stages.maxBy(_._2.sum) // the heavy stage: agg or join
+      val sorted = ds.sorted
+      val ratio = sorted.last.toDouble / math.max(1L, sorted(sorted.length / 2))
+      f""""$label":{"wall_s":$wall%.3f,"straggler_ratio":$ratio%.1f,"heavy_stage_tasks":${sorted.length}}"""
+    }
+
+    // ---- aggregation scenario ------------------------------------------
+    val ev = queries.SkewQ.skewedEvents(spark, sfDir)
+      .select(col("user_id"), col("value"), col("event_id"))
+    ev.cache().count() // all agg variants read the same in-memory input
+
+    val aggUnsalted = run("agg_unsalted") {
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val aggSalted = run("agg_salted") {
+      operators.Skew.saltedAgg(ev, Seq("user_id"), saltBuckets = 32)(
+        Seq(count(lit(1)).as("pn"), sum(col("value")).as("pv")),
+        Seq(sum(col("pn")).as("n"), sum(col("pv")).as("sum_value")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val aggContent = run("agg_salted_content") {
+      operators.Skew.saltedAgg(ev, Seq("user_id"), saltBuckets = 32,
+        saltBy = Some(operators.Skew.contentSalt(32, col("event_id"))))(
+        Seq(count(lit(1)).as("pn"), sum(col("value")).as("pv")),
+        Seq(sum(col("pn")).as("n"), sum(col("pv")).as("sum_value")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val evRows = ev.count()
+    ev.unpersist()
+
+    // ---- shuffle-join scenario -----------------------------------------
+    val li = queries.SkewQ.skewedLineitem(spark, sfDir)
+      .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+    val part = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    li.cache().count(); part.cache().count()
+
+    val joinUnsalted = run("join_unsalted") {
+      li.join(part, Seq("p_partkey"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val joinSalted = run("join_salted") {
+      operators.Skew.saltedJoin(li, part, Seq("p_partkey"), saltBuckets = 16)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val liRows = li.count()
+
+    println(s"""{"sf_dir":"$sfDir","agg_rows":$evRows,"join_probe_rows":$liRows,""" +
+      s""""salt_buckets_agg":32,"salt_buckets_join":16,""" +
+      Seq(aggUnsalted, aggSalted, aggContent, joinUnsalted, joinSalted).mkString(",") + "}")
+    spark.stop()
+  }
+}
