@@ -2116,7 +2116,7 @@ object PipelineQ extends QueryPack {
               FROM o s FULL OUTER JOIN log l ON s.o_orderkey = l.o_orderkey
               WHERE l.op IS NULL OR l.op <> 'D')
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                   round(sum(o_totalprice) * 100) / 100 AS total,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total,
                    CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
                    CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
             FROM applied"""),
@@ -2143,7 +2143,10 @@ object PipelineQ extends QueryPack {
           col("op"))
       applied.agg(
         count(lit(1)).cast("long").as("n_rows"),
-        (round(sum(col("o_totalprice")) * 100) / 100).as("total"),
+        // exact integer-cent accumulation — order-independent at any SF
+        // (sum(double) drifts past the last cent at sf1.0's 3.7e11 total)
+        (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100)
+          .as("total"),
         sum(when(col("op") === "U", 1L).otherwise(0L)).cast("long").as("n_updated"),
         sum(when(col("op") === "I", 1L).otherwise(0L)).cast("long").as("n_inserted"))
     })

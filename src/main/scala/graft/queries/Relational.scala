@@ -73,7 +73,8 @@ object Relational extends QueryPack {
   val qJoinStar: Q = Q(
     "q_join_star",
     Some("""SELECT n_name,
-            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+              / 100 AS revenue,
             count(*) AS n_rows
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -108,8 +109,14 @@ object Relational extends QueryPack {
         .filter(r("r_name") === "ASIA")
         .groupBy(n("n_name").as("n_name"))
         .agg(
-          round(sum(li("l_extendedprice") * (lit(1) - li("l_discount"))), 2)
-            .as("revenue"),
+          // Order-independent money sum: per-row round to integer cents
+          // (positive values: HALF_UP == away-from-zero in both engines),
+          // EXACT int64 accumulation, one final division. A plain
+          // sum(double) is summation-order-nondeterministic; at sf1.0 the
+          // accumulated error already exceeds the last rounded cent, and
+          // at 100 TB it only grows.
+          (sum(round(li("l_extendedprice") * (lit(1) - li("l_discount")) * 100)
+            .cast("long")).cast("double") / 100).as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("n_name"))
     })
