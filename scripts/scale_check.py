@@ -10,7 +10,7 @@ down the whole pass.
 
 Usage: scale_check.py sf_dir out_dir report.json [timeout_s] [mem_limit]
 """
-import glob, json, math, multiprocessing as mp, os, sys, tempfile
+import glob, json, math, multiprocessing as mp, os, shutil, sys, tempfile
 
 SF_DIR, OUT_DIR, REPORT = sys.argv[1], sys.argv[2], sys.argv[3]
 TIMEOUT = int(sys.argv[4]) if len(sys.argv) > 4 else 900
@@ -19,12 +19,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def run_oracle(sql, result_q):
+def run_oracle(sql, result_q, spill_dir):
     """Subprocess body: run one oracle + compare against the Spark parquet."""
     import duckdb
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{MEM}'")
-    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'")
+    con.execute(f"SET temp_directory='{spill_dir}'")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(p):
@@ -63,8 +63,12 @@ def main():
             print(f"ENGINE_ERR {name}: no spark output", flush=True)
             continue
         q = mp.Queue()
+        # spill dir owned by the PARENT so a killed/died oracle can't orphan
+        # tens of GB of duckdb temp storage on /tmp (q_triangle_count's
+        # wedge CTE spill at sf1.0 is ~50 GB before it dies)
+        spill = tempfile.mkdtemp(prefix="duck_spill_")
         p = mp.Process(target=run_oracle,
-                       args=({"oracle": oracle[name], "files": files}, q))
+                       args=({"oracle": oracle[name], "files": files}, q, spill))
         p.start()
         p.join(TIMEOUT)
         if p.is_alive():
@@ -80,6 +84,7 @@ def main():
             status, reason = q.get()
             report[name] = {"status": status, "reason": reason}
             print(f"{status.upper():10s} {name}: {reason}", flush=True)
+        shutil.rmtree(spill, ignore_errors=True)
     counts = {}
     for v in report.values():
         counts[v["status"]] = counts.get(v["status"], 0) + 1

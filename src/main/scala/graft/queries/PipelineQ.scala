@@ -2408,15 +2408,15 @@ object PipelineQ extends QueryPack {
               FROM kept a JOIN kept b
                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
               GROUP BY 1, 2),
-            edges AS (
+            edges AS MATERIALIZED (
               SELECT a, b FROM alledges
               WHERE ('0x' || substr(md5('tri:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 10 < 1),
-            deg AS (SELECT n, count(*) AS d FROM
+            deg AS MATERIALIZED (SELECT n, count(*) AS d FROM
                       (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges) GROUP BY n),
-            o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+            o AS MATERIALIZED (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
                          CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst
                   FROM edges e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
-            w AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
+            w AS MATERIALIZED (SELECT o1.src, o1.dst AS x, o2.dst AS y
                   FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
             tri AS (SELECT w.src FROM w
                     JOIN edges e ON e.a = least(w.x, w.y) AND e.b = greatest(w.x, w.y))
@@ -2456,28 +2456,28 @@ object PipelineQ extends QueryPack {
               FROM kept a JOIN kept b
                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
               GROUP BY 1, 2),
-            h AS (SELECT a, b,
+            h AS MATERIALIZED (SELECT a, b,
                          ('0x' || substr(md5('tri:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 10 AS hp
                   FROM alledges),
-            e20 AS (SELECT a, b FROM h WHERE hp < 2),
-            d20 AS (SELECT n, count(*) AS d FROM
+            e20 AS MATERIALIZED (SELECT a, b FROM h WHERE hp < 2),
+            d20 AS MATERIALIZED (SELECT n, count(*) AS d FROM
                      (SELECT a AS n FROM e20 UNION ALL SELECT b FROM e20) GROUP BY n),
-            o20 AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+            o20 AS MATERIALIZED (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
                           CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst
                    FROM e20 e JOIN d20 da ON da.n = e.a JOIN d20 db ON db.n = e.b),
-            w20 AS (SELECT oa.src, oa.dst AS x, ob.dst AS y
+            w20 AS MATERIALIZED (SELECT oa.src, oa.dst AS x, ob.dst AS y
                    FROM o20 oa JOIN o20 ob ON oa.src = ob.src AND oa.dst < ob.dst),
-            t20 AS (SELECT count(*) AS t FROM w20
+            t20 AS MATERIALIZED (SELECT count(*) AS t FROM w20
                    JOIN e20 e ON e.a = least(w20.x, w20.y) AND e.b = greatest(w20.x, w20.y)),
-            e50 AS (SELECT a, b FROM h WHERE hp < 5),
-            d50 AS (SELECT n, count(*) AS d FROM
+            e50 AS MATERIALIZED (SELECT a, b FROM h WHERE hp < 5),
+            d50 AS MATERIALIZED (SELECT n, count(*) AS d FROM
                      (SELECT a AS n FROM e50 UNION ALL SELECT b FROM e50) GROUP BY n),
-            o50 AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+            o50 AS MATERIALIZED (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
                           CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst
                    FROM e50 e JOIN d50 da ON da.n = e.a JOIN d50 db ON db.n = e.b),
-            w50 AS (SELECT oa.src, oa.dst AS x, ob.dst AS y
+            w50 AS MATERIALIZED (SELECT oa.src, oa.dst AS x, ob.dst AS y
                    FROM o50 oa JOIN o50 ob ON oa.src = ob.src AND oa.dst < ob.dst),
-            t50 AS (SELECT count(*) AS t FROM w50
+            t50 AS MATERIALIZED (SELECT count(*) AS t FROM w50
                    JOIN e50 e ON e.a = least(w50.x, w50.y) AND e.b = greatest(w50.x, w50.y))
             SELECT (SELECT CAST(count(*) AS BIGINT) FROM e20) AS n_edges_p20,
                    (SELECT CAST(t AS BIGINT) FROM t20) AS n_tri_p20,
