@@ -8,7 +8,11 @@ events.user_id -> customer, embeddings/documents ids. Non-key columns
 are copied verbatim (replica 0 IS sf0.1), so value distributions are
 preserved and text dedup operators see exact 10x multiplicity.
 
-Usage: python3 make_sf1.py [src_dir] [dst_dir]
+Usage: python3 make_sf1.py [src_dir] [dst_dir] [K] [OFF]
+
+K (default 10) is the replication factor; OFF (default 1e9) the per-replica
+key offset — it must exceed every key in src. Chaining works: sf1.0 from
+sf0.1 with OFF=1e9 (keys < 1e10), then sf10 from sf1.0 with OFF=1e10.
 """
 import sys
 
@@ -18,8 +22,8 @@ import pyarrow.parquet as pq
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata/sf1.0"
-K = 10
-OFF = 10**9  # larger than any key in sf0.1
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+OFF = int(float(sys.argv[4])) if len(sys.argv) > 4 else 10**9
 
 # table -> columns that carry entity keys (offset per replica)
 KEYED = {

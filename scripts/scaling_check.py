@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Oracle-free correctness gate at scale factors DuckDB can't reach.
+
+`make_sf1.py` replication is FK-consistent and content-preserving, so a
+K-fold replica implies EXACT algebraic relations between a query's output
+at sf(N) and sf(K*N) — no second engine needed:
+
+ - group-preserving aggregates (q1_agg, q_join_star, q_funnel): same
+   group rows, counts and integer-cent money sums exactly xK, double
+   sums xK within fp tolerance, averages unchanged;
+ - per-entity outputs (q_sessionize, q_topk_per_key): row count exactly
+   xK, and the replica-0 slice (keys < OFF) byte-identical to the sf(N)
+   output — replication cannot change what happens inside a replica;
+ - content-keyed dedup (q_dedup_exact): per-source n_docs xK while
+   distinct-content counts follow content multiplicity (each source's
+   corpus is copied verbatim K times, so every content group gains K
+   copies; n_unique is whatever the query's uniqueness key implies -
+   the check asserts n_docs xK exactly and prints the n_unique relation
+   for the record).
+
+Usage: scaling_check.py out_sfN out_sfKN [K] [OFF]
+Exits non-zero on any violated relation.
+"""
+import glob, json, sys
+
+import pyarrow.parquet as pq
+
+OUT1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf1"
+OUTK = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf10"
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+OFF = int(float(sys.argv[4])) if len(sys.argv) > 4 else 10**10
+
+fails = []
+
+
+def load(out, q):
+    return pq.read_table(glob.glob(f"{out}/{q}/*.parquet")).to_pydict()
+
+
+def rows(d):
+    cols = sorted(d)
+    return {tuple(str(d[c][i]) for c in cols) for i in range(len(d[cols[0]]))}
+
+
+def check(name, ok, detail):
+    status = "OK  " if ok else "FAIL"
+    print(f"{status} {name}: {detail}")
+    if not ok:
+        fails.append(name)
+
+
+def keyed(d, keys):
+    n = len(d[keys[0]])
+    return {tuple(d[k][i] for k in keys): i for i in range(n)}
+
+
+# ---- group-preserving aggregates ---------------------------------------
+a1, aK = load(OUT1, "q1_agg"), load(OUTK, "q1_agg")
+k1, kK = keyed(a1, ["l_returnflag", "l_linestatus"]), keyed(aK, ["l_returnflag", "l_linestatus"])
+check("q1_agg groups", set(k1) == set(kK), f"{len(k1)} vs {len(kK)} group rows")
+for g, i in k1.items():
+    j = kK[g]
+    for c in ["count_order", "sum_qty"]:  # integer-valued: exact xK
+        check(f"q1_agg {c}{g}", aK[c][j] == K * a1[c][i], f"{a1[c][i]} -> {aK[c][j]}")
+    for c in ["sum_base_price", "sum_disc_price"]:  # double sums: xK within fp
+        check(f"q1_agg {c}{g}", abs(aK[c][j] - K * a1[c][i]) < 0.05 * K,
+              f"{a1[c][i]} -> {aK[c][j]}")
+    check(f"q1_agg avg_qty{g}", abs(aK["avg_qty"][j] - a1["avg_qty"][i]) < 1e-6,
+          f"{a1['avg_qty'][i]} -> {aK['avg_qty'][j]}")
+
+j1, jK = load(OUT1, "q_join_star"), load(OUTK, "q_join_star")
+k1, kK = keyed(j1, ["n_name"]), keyed(jK, ["n_name"])
+check("q_join_star groups", set(k1) == set(kK), f"{len(k1)} vs {len(kK)} nations")
+for g, i in k1.items():
+    j = kK[g]
+    check(f"q_join_star n_rows{g}", jK["n_rows"][j] == K * j1["n_rows"][i],
+          f"{j1['n_rows'][i]} -> {jK['n_rows'][j]}")
+    # integer-cent accumulation -> exactly xK to the cent
+    check(f"q_join_star revenue{g}",
+          round(jK["revenue"][j] * 100) == K * round(j1["revenue"][i] * 100),
+          f"{j1['revenue'][i]} -> {jK['revenue'][j]}")
+
+f1, fK = load(OUT1, "q_funnel"), load(OUTK, "q_funnel")
+for c in ["n_view", "n_view_click", "n_full_funnel"]:
+    check(f"q_funnel {c}", fK[c][0] == K * f1[c][0], f"{f1[c][0]} -> {fK[c][0]}")
+
+# ---- per-entity outputs: xK rows + replica-0 slice identity ------------
+for q, key in [("q_sessionize", "user_id"), ("q_topk_per_key", "o_custkey")]:
+    d1, dK = load(OUT1, q), load(OUTK, q)
+    n1, nK = len(d1[key]), len(dK[key])
+    check(f"{q} rowcount", nK == K * n1, f"{n1} -> {nK}")
+    sel = [i for i, v in enumerate(dK[key]) if v < OFF]
+    slice0 = {c: [dK[c][i] for i in sel] for c in dK}
+    check(f"{q} replica-0 slice", rows(slice0) == rows(d1),
+          f"{len(sel)} slice rows vs {n1}")
+
+# ---- content-keyed dedup ----------------------------------------------
+d1, dK = load(OUT1, "q_dedup_exact"), load(OUTK, "q_dedup_exact")
+k1, kK = keyed(d1, ["source"]), keyed(dK, ["source"])
+check("q_dedup_exact sources", set(k1) == set(kK), f"{len(k1)} vs {len(kK)}")
+for g, i in k1.items():
+    j = kK[g]
+    check(f"q_dedup_exact n_docs{g}", dK["n_docs"][j] == K * d1["n_docs"][i],
+          f"{d1['n_docs'][i]} -> {dK['n_docs'][j]}")
+    print(f"     q_dedup_exact n_unique{g}: {d1['n_unique'][i]} -> {dK['n_unique'][j]}"
+          f" (ratio {dK['n_unique'][j] / max(1, d1['n_unique'][i]):.2f})")
+
+print("=" * 40)
+print(f"{len(fails)} failures" if fails else "all replication invariants hold")
+sys.exit(1 if fails else 0)

@@ -74,7 +74,11 @@ object Bench {
           catch { case _: Throwable => -1.0 }
         name -> sec
       }.toMap
-    val all = SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith(prefix))
+    // comma-separated prefixes select a subset (e.g. the scaling-curve
+    // family list); a single empty prefix means everything, as before
+    val prefixes = prefix.split(',').toSeq
+    val all = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => prefixes.exists(n.startsWith))
     val s0 = stealJiffies()
     val p1 = measure(all)
     val s1 = stealJiffies()
