@@ -143,11 +143,18 @@ object SkewBench {
       operators.Skew.saltedJoin(li, part, Seq("p_partkey"), saltBuckets = 16)
         .write.format("noop").mode("overwrite").save()
     }
+    val joinSaltedHot = run("join_salted_hot") {
+      val hot = operators.Skew.hotKeys(li, Seq("p_partkey"), minShare = 0.05)
+      operators.Skew
+        .saltedJoinSkewOnly(li, part, Seq("p_partkey"), saltBuckets = 16, hotKeys = hot)
+        .write.format("noop").mode("overwrite").save()
+    }
     val liRows = li.count()
 
     println(s"""{"sf_dir":"$sfDir","agg_rows":$evRows,"join_probe_rows":$liRows,""" +
       s""""salt_buckets_agg":32,"salt_buckets_join":16,""" +
-      Seq(aggUnsalted, aggSalted, aggContent, joinUnsalted, joinSalted).mkString(",") + "}")
+      Seq(aggUnsalted, aggSalted, aggContent, joinUnsalted, joinSalted, joinSaltedHot)
+        .mkString(",") + "}")
     spark.stop()
   }
 }

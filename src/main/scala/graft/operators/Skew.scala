@@ -98,4 +98,57 @@ object Skew {
       .join(replicatedBuild, keyCols :+ "__salt")
       .drop("__salt")
   }
+
+  /** Keys holding at least `minShare` of `df`'s rows — the detection
+    * pass for [[saltedJoinSkewOnly]]. One hash aggregation (the hot
+    * key's count is itself map-side combined, so detection can't
+    * straggle) plus a broadcast scalar total; stays fully in-plan.
+    */
+  def hotKeys(df: DataFrame, keyCols: Seq[String], minShare: Double): DataFrame = {
+    require(minShare > 0 && minShare < 1)
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    val total = df.agg(count(lit(1)).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("__n") >= col("__tot") * minShare)
+      .select(keyCols.map(col): _*)
+  }
+
+  /** Skew join that salts ONLY the hot keys: [[saltedJoin]] replicates
+    * the ENTIRE build side ×saltBuckets, which at a 2M-row build and 16
+    * buckets is 30M+ wasted rows for the ~1 key that actually needed
+    * spreading. Here every probe/build row is tagged hot via a BROADCAST
+    * semi-lookup of `hotKeys` (a small frame by definition — keys above
+    * a row-share threshold; there can be at most 1/minShare of them);
+    * hot probe rows salt across `saltBuckets`, cold rows salt 0, and
+    * build rows replicate only when hot. One equi-join on
+    * (keys, salt) — no union of a hot and cold path, so the plan stays
+    * a single exchange per side. Result equals
+    * `probe.join(build, keyCols)` row-for-row.
+    *
+    * This is the manual spelling of AQE's skew-join split for the
+    * shapes AQE can't reach (skewed output feeding an aggregation, a
+    * pre-shuffled cache, or a non-AQE engine).
+    */
+  def saltedJoinSkewOnly(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCols: Seq[String],
+      saltBuckets: Int,
+      hotKeys: DataFrame,
+      saltBy: Option[Column] = None): DataFrame = {
+    require(saltBuckets > 0)
+    val hot = broadcast(
+      hotKeys.select(keyCols.map(col): _*).distinct().withColumn("__hot", lit(1)))
+    val salt = saltBy.getOrElse((rand(seed = 44) * saltBuckets).cast("int"))
+    val p = probe.join(hot, keyCols, "left")
+      .withColumn("__salt", when(col("__hot") === 1, salt).otherwise(lit(0)))
+      .drop("__hot")
+    val b = build.join(hot, keyCols, "left")
+      .withColumn(
+        "__salt",
+        explode(sequence(
+          lit(0), when(col("__hot") === 1, lit(saltBuckets - 1)).otherwise(lit(0)))))
+      .drop("__hot")
+    p.join(b, keyCols :+ "__salt").drop("__salt")
+  }
 }

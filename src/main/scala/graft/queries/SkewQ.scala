@@ -115,6 +115,38 @@ object SkewQ extends QueryPack {
         .orderBy(col("p_brand"))
     })
 
+  /** Hot-only salted join on the same 20%-hot fixture: hot keys are
+    * DETECTED in-plan ([[graft.operators.Skew.hotKeys]], ≥5% row share)
+    * and only their rows salt/replicate — the build side is replicated
+    * per HOT key, not wholesale ([[graft.operators.Skew.saltedJoinSkewOnly]]),
+    * which is the difference between ×16 of 2M build rows and ×16 of
+    * one. The result must still equal the plain inner join — same
+    * oracle as q_skew_salted_join.
+    */
+  val qSkewJoinHotOnly: Q = Q(
+    "q_skew_join_hotonly",
+    Some("""WITH li AS (
+              SELECT CASE WHEN l_partkey % 5 = 0 THEN 1 ELSE l_partkey END AS l_partkey,
+                     l_extendedprice
+              FROM lineitem)
+            SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(li.l_extendedprice) * 100) / 100 AS revenue
+            FROM li JOIN part p ON p.p_partkey = li.l_partkey
+            GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val li = skewedLineitem(s, dir)
+        .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+      val build = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val hot = graft.operators.Skew.hotKeys(li, Seq("p_partkey"), minShare = 0.05)
+      graft.operators.Skew
+        .saltedJoinSkewOnly(li, build, Seq("p_partkey"), saltBuckets = 16, hotKeys = hot)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          (round(sum(col("l_extendedprice")) * 100) / 100).as("revenue"))
+        .orderBy(col("p_brand"))
+    })
+
   /** Gaps-and-islands sessionization where ONE window partition holds
     * 20% of the corpus — the worst case for per-key sequential logic
     * (sessions can't salt: order within the key is the semantics). The
@@ -204,6 +236,6 @@ object SkewQ extends QueryPack {
     })
 
   override def queries: Seq[Q] =
-    Seq(qSkewSaltedAgg, qSkewSaltedAggStable, qSkewSaltedJoin, qSkewSessionize,
-      qSkewAttribution)
+    Seq(qSkewSaltedAgg, qSkewSaltedAggStable, qSkewSaltedJoin, qSkewJoinHotOnly,
+      qSkewSessionize, qSkewAttribution)
 }

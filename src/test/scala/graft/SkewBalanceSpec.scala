@@ -71,6 +71,28 @@ class SkewBalanceSpec extends SparkSpec {
     assert(hotGroups.max <= 2.0 * hotGroups.sum / 32)
   }
 
+  test("hot-only salted join bounds build replication to the hot keys") {
+    import spark.implicits._
+    val li = SkewQ.skewedLineitem(spark, dir)
+      .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+    val build = Tables.load(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val hot = graft.operators.Skew.hotKeys(li, Seq("p_partkey"), minShare = 0.05)
+    val hotRows = hot.collect().map(_.getLong(0))
+    assert(hotRows.toSeq === Seq(1L), "the 20% fixture should detect exactly the hot part")
+    // result equals the plain inner join row-for-row
+    val joined = graft.operators.Skew.saltedJoinSkewOnly(
+      li, build, Seq("p_partkey"), saltBuckets = 16, hotKeys = hot)
+    assert(joined.count() === li.join(build, Seq("p_partkey")).count())
+    // the hot key's probe rows spread over all 16 buckets within 2x even —
+    // same salt expression the operator uses (seed 44)
+    val hotPerSalt = li.filter(col("p_partkey") === 1L)
+      .withColumn("__salt", (rand(seed = 44) * 16).cast("int"))
+      .groupBy(col("__salt")).count()
+      .select(col("count")).as[Long].collect()
+    assert(hotPerSalt.length === 16)
+    assert(hotPerSalt.max <= 2.0 * hotPerSalt.sum / 16)
+  }
+
   test("salted join replicates the build row per bucket, probe spread holds") {
     import spark.implicits._
     val li = SkewQ.skewedLineitem(spark, dir)
