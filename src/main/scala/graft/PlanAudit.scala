@@ -22,17 +22,40 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.validate(spark, dir)
-    for (name <- SparkEntry.queries.keys.toSeq.sorted if name.startsWith(prefix)) {
+    // With AQE on, executedPlan.toString is the AdaptiveSparkPlan's
+    // INITIAL plan — comparable round over round, but pre-codegen. The
+    // codegen span count comes from a second planning pass with AQE off,
+    // whose static plan carries the `*(id)` star prefixes
+    // CollapseCodegenStages assigns. (AQE-off also inserts ReusedExchange,
+    // so its Exchange counts are NOT comparable — only the star ids are
+    // read from it.)
+    def staticPlan(build: => org.apache.spark.sql.DataFrame): String = {
+      val conf = spark.sessionState.conf
+      val key = "spark.sql.adaptive.enabled"
+      val prev = conf.getConfString(key)
+      conf.setConfString(key, "false")
+      try build.queryExecution.executedPlan.toString
+      finally conf.setConfString(key, prev)
+    }
+    val prefixes = prefix.split(',').toSeq
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+         if prefixes.exists(name.startsWith)) {
       try {
         if (RoundPlans.plans.contains(name)) {
           // driver-coordinated iterative query: its final frame is only
           // the collected trace (a LocalTableScan) — audit one
           // representative ROUND per distinct per-round shape instead
-          for ((label, frame) <- RoundPlans.plans(name)(spark, dir))
-            println(row(s"$name@$label", frame.queryExecution.executedPlan.toString))
+          val labels = RoundPlans.plans(name)(spark, dir).map(_._1)
+          for (label <- labels) {
+            def frame = RoundPlans.plans(name)(spark, dir)
+              .collectFirst { case (`label`, f) => f }.get
+            println(row(s"$name@$label",
+              frame.queryExecution.executedPlan.toString, staticPlan(frame)))
+          }
         } else {
           println(row(name,
-            SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString))
+            SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString,
+            staticPlan(SparkEntry.queries(name)(spark, dir))))
         }
       } catch {
         case e: Throwable => println(f"$name%-22s ERROR ${e.getMessage.take(80)}")
@@ -41,11 +64,11 @@ object PlanAudit {
     spark.stop()
   }
 
-  private def row(name: String, p: String): String = {
+  private def row(name: String, p: String, staticP: String): String = {
     val shuffles = "Exchange (hash|range)partitioning|Exchange SinglePartition".r.findAllIn(p).length
     val bcast = "BroadcastExchange".r.findAllIn(p).length
     val smj = "SortMergeJoin".r.findAllIn(p).length
-    val wsc = "WholeStageCodegen".r.findAllIn(p).length
+    val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(staticP).map(_.group(1)).toSet.size
     f"$name%-22s shuffles=$shuffles%-3d bcast=$bcast%-3d smj=$smj%-3d codegenSpans=$wsc"
   }
 }
