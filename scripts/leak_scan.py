@@ -25,9 +25,13 @@ PATTERNS = {
     "internal-host": re.compile(
         r"\b[\w-]+\.(?:corp|internal|intranet|local)\b", re.I),
 }
+# host must END at an allowed domain (followed by /, :port, or end of
+# match) and the domain must sit on a label boundary - otherwise an
+# allowed name embedded in a longer hostname (prefix or suffix) would pass
 ALLOWED_URL = re.compile(
-    r"https?://(?:localhost|127\.0\.0\.1|[\w.-]*apache\.org|example\.(?:com|org)|"
-    r"github\.com|www\.w3\.org|json-schema\.org|opensearch\.org)")
+    r"https?://(?:localhost|127\.0\.0\.1|(?:[\w-]+\.)*"
+    r"(?:apache\.org|example\.com|example\.org|github\.com|w3\.org|"
+    r"json-schema\.org|opensearch\.org))(?::\d+)?(?:/|$)")
 ALLOWED_ENV = {"SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS", "JAVA_OPTS", "PATH"}
 ALLOWED_BUCKET = re.compile(r"(?:s3a?|gs|wasbs?|abfss?)://(?:bucket|my-bucket|\.\.\.|<)")
 
@@ -44,7 +48,7 @@ for root in ROOTS:
                 for cat, pat in PATTERNS.items():
                     for m in pat.finditer(line):
                         frag = m.group(0)
-                        if cat == "url" and ALLOWED_URL.match(frag):
+                        if cat == "url" and ALLOWED_URL.match(frag + "/"):
                             continue
                         if cat == "env-var" and m.group(1) in ALLOWED_ENV:
                             continue

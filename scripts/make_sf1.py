@@ -50,6 +50,10 @@ for table, keys in KEYED.items():
         pq.write_table(t, f"{DST}/{table}.parquet")
         print(f"{table}: {t.num_rows} rows (copied)")
         continue
+    for name in keys:  # OFF must clear every key or replicas collide
+        mx = pc.max(t[name]).as_py()
+        assert mx is None or mx < OFF, \
+            f"{table}.{name} max {mx} >= OFF {OFF}: pass a larger OFF"
     replicas = []
     for k in range(K):
         if k == 0:

@@ -29,36 +29,39 @@ object PlanAudit {
     // CollapseCodegenStages assigns. (AQE-off also inserts ReusedExchange,
     // so its Exchange counts are NOT comparable — only the star ids are
     // read from it.)
-    def staticPlan(build: => org.apache.spark.sql.DataFrame): String = {
+    // A Dataset caches its QueryExecution, so the static plan needs a
+    // FRESH frame built under the flipped conf. Each builder runs exactly
+    // TWICE (once per planning mode) — the RoundPlans builders run eager
+    // checkpoint setup, so per-label rebuilds would multiply that cost.
+    def withAqeOff[A](body: => A): A = {
       val conf = spark.sessionState.conf
       val key = "spark.sql.adaptive.enabled"
       val prev = conf.getConfString(key)
       conf.setConfString(key, "false")
-      try build.queryExecution.executedPlan.toString
-      finally conf.setConfString(key, prev)
+      try body finally conf.setConfString(key, prev)
     }
+    def planStrings(name: String): Seq[(String, String, String)] =
+      if (RoundPlans.plans.contains(name)) {
+        // driver-coordinated iterative query: its final frame is only
+        // the collected trace (a LocalTableScan) — audit one
+        // representative ROUND per distinct per-round shape instead
+        val aqe = RoundPlans.plans(name)(spark, dir)
+          .map { case (l, f) => l -> f.queryExecution.executedPlan.toString }
+        val static = withAqeOff(RoundPlans.plans(name)(spark, dir)
+          .map { case (l, f) => l -> f.queryExecution.executedPlan.toString }.toMap)
+        aqe.map { case (l, p) => (s"$name@$l", p, static(l)) }
+      } else {
+        val aqe = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+        val static = withAqeOff(
+          SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString)
+        Seq((name, aqe, static))
+      }
     val prefixes = prefix.split(',').toSeq
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if prefixes.exists(name.startsWith)) {
-      try {
-        if (RoundPlans.plans.contains(name)) {
-          // driver-coordinated iterative query: its final frame is only
-          // the collected trace (a LocalTableScan) — audit one
-          // representative ROUND per distinct per-round shape instead
-          val labels = RoundPlans.plans(name)(spark, dir).map(_._1)
-          for (label <- labels) {
-            def frame = RoundPlans.plans(name)(spark, dir)
-              .collectFirst { case (`label`, f) => f }.get
-            println(row(s"$name@$label",
-              frame.queryExecution.executedPlan.toString, staticPlan(frame)))
-          }
-        } else {
-          println(row(name,
-            SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString,
-            staticPlan(SparkEntry.queries(name)(spark, dir))))
-        }
-      } catch {
-        case e: Throwable => println(f"$name%-22s ERROR ${e.getMessage.take(80)}")
+      try planStrings(name).foreach { case (label, p, s) => println(row(label, p, s)) }
+      catch {
+        case e: Throwable => println(f"$name%-22s ERROR ${e.toString.take(100)}")
       }
     }
     spark.stop()

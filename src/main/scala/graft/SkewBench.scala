@@ -67,22 +67,38 @@ object SkewBench {
       val t0 = System.nanoTime()
       body
       val wall = (System.nanoTime() - t0) / 1e9
-      val stages = taskMs.synchronized(taskMs.toMap)
+      // TaskEnd events arrive on the async listener bus AFTER the action
+      // returns — and the last event to land is the straggler this bench
+      // exists to measure. Wait for the snapshot to stabilize (two
+      // consecutive equal task counts) before reading it.
+      def taskCount(): Int = taskMs.synchronized(taskMs.valuesIterator.map(_.length).sum)
+      var prev = -1
+      var cur = taskCount()
+      var waited = 0
+      while ((cur != prev || cur == 0) && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        prev = cur; cur = taskCount()
+      }
+      val stages = taskMs.synchronized(taskMs.map { case (k, v) => k -> v.toSeq }.toMap)
       def ratioOf(ds: Seq[Long]): Double = {
         val s = ds.sorted
         s.last.toDouble / math.max(1L, s(s.length / 2))
       }
+      // locale-independent number rendering — the f interpolator uses the
+      // default locale, which on comma-decimal locales breaks the JSON
+      def num(v: Double, digits: Int): String =
+        String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
       // the REDUCE stage (largest stageId: post-exchange agg/join + noop
       // write) is where a hot key stalls one task; map-side stages are
       // always even and would mask the ratio if picked by total time
       val (_, reduce) = stages.maxBy(_._1)
-      val worst = stages.values.map(r => ratioOf(r.toSeq)).max
+      val worst = stages.values.map(ratioOf).max
       val detail = stages.toSeq.sortBy(_._1).map { case (id, ds) =>
         val s = ds.sorted
         s"""{"stage":$id,"tasks":${s.length},"max_ms":${s.last},"med_ms":${s(s.length / 2)}}"""
       }.mkString("[", ",", "]")
-      f""""$label":{"wall_s":$wall%.3f,"reduce_straggler_ratio":${ratioOf(reduce.toSeq)}%.1f,""" +
-        f""""worst_stage_ratio":$worst%.1f,"reduce_tasks":${reduce.length},"stages":$detail}"""
+      s""""$label":{"wall_s":${num(wall, 3)},"reduce_straggler_ratio":${num(ratioOf(reduce), 1)},""" +
+        s""""worst_stage_ratio":${num(worst, 1)},"reduce_tasks":${reduce.length},"stages":$detail}"""
     }
 
     // ---- aggregation scenario ------------------------------------------

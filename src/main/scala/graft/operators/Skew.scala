@@ -107,7 +107,9 @@ object Skew {
   def hotKeys(df: DataFrame, keyCols: Seq[String], minShare: Double): DataFrame = {
     require(minShare > 0 && minShare < 1)
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
-    val total = df.agg(count(lit(1)).as("__tot"))
+    // total from the (key-cardinality-sized) counts frame, NOT a second
+    // full scan of df; Spark reuses the aggregation exchange for both
+    val total = counts.agg(sum(col("__n")).as("__tot"))
     counts.crossJoin(broadcast(total))
       .filter(col("__n") >= col("__tot") * minShare)
       .select(keyCols.map(col): _*)

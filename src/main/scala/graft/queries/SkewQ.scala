@@ -46,21 +46,25 @@ object SkewQ extends QueryPack {
     * user. A plain groupBy sends every hot-user row to ONE reducer; the
     * salted partial/final pair spreads them across 32 sub-keys and must
     * still produce the byte-identical totals the oracle's plain GROUP BY
-    * yields (sum order differs — absorbed by the shared 2-decimal
-    * rounding convention).
+    * yields. Money sums accumulate in exact integer cents (per-row round,
+    * int64 partials, one final division) so the result is summation-order
+    * independent at ANY scale factor — the hot group's addend count grows
+    * with SF, and a double sum's drift crosses the last rounded cent
+    * past ~1M addends.
     */
   val qSkewSaltedAgg: Q = Q(
     "q_skew_salted_agg",
     Some(s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-                    round(sum(value) * 100) / 100 AS sum_value
+                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
              FROM ($skewedEventsSql)
              GROUP BY user_id ORDER BY user_id"""),
     (s, dir) =>
       graft.operators.Skew.saltedAgg(skewedEvents(s, dir), Seq("user_id"), saltBuckets = 32)(
-        Seq(count(lit(1)).as("pn"), sum(col("value")).as("pv")),
+        Seq(count(lit(1)).as("pn"),
+          sum(round(col("value") * 100).cast("long")).as("pv")),
         Seq(
           sum(col("pn")).cast("long").as("n"),
-          (round(sum(col("pv")) * 100) / 100).as("sum_value")))
+          (sum(col("pv")).cast("double") / 100).as("sum_value")))
         .orderBy(col("user_id")))
 
   /** Same hot-key aggregation but with CONTENT-DERIVED salt
@@ -75,17 +79,18 @@ object SkewQ extends QueryPack {
   val qSkewSaltedAggStable: Q = Q(
     "q_skew_salted_agg_stable",
     Some(s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-                    round(sum(value) * 100) / 100 AS sum_value
+                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
              FROM ($skewedEventsSql)
              GROUP BY user_id ORDER BY user_id"""),
     (s, dir) =>
       graft.operators.Skew.saltedAgg(
         skewedEvents(s, dir).repartition(7), Seq("user_id"), saltBuckets = 32,
         saltBy = Some(graft.operators.Skew.contentSalt(32, col("event_id"))))(
-        Seq(count(lit(1)).as("pn"), sum(col("value")).as("pv")),
+        Seq(count(lit(1)).as("pn"),
+          sum(round(col("value") * 100).cast("long")).as("pv")),
         Seq(
           sum(col("pn")).cast("long").as("n"),
-          (round(sum(col("pv")) * 100) / 100).as("sum_value")))
+          (sum(col("pv")).cast("double") / 100).as("sum_value")))
         .orderBy(col("user_id")))
 
   /** Salted join under a 20%-hot probe key: the hot part's line items
@@ -100,7 +105,7 @@ object SkewQ extends QueryPack {
                      l_extendedprice
               FROM lineitem)
             SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
-                   round(sum(li.l_extendedprice) * 100) / 100 AS revenue
+                   CAST(sum(CAST(round(li.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
             FROM li JOIN part p ON p.p_partkey = li.l_partkey
             GROUP BY 1 ORDER BY 1"""),
     (s, dir) => {
@@ -111,7 +116,8 @@ object SkewQ extends QueryPack {
         .groupBy(col("p_brand"))
         .agg(
           count(lit(1)).as("n"),
-          (round(sum(col("l_extendedprice")) * 100) / 100).as("revenue"))
+          (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100)
+            .as("revenue"))
         .orderBy(col("p_brand"))
     })
 
@@ -130,7 +136,7 @@ object SkewQ extends QueryPack {
                      l_extendedprice
               FROM lineitem)
             SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
-                   round(sum(li.l_extendedprice) * 100) / 100 AS revenue
+                   CAST(sum(CAST(round(li.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
             FROM li JOIN part p ON p.p_partkey = li.l_partkey
             GROUP BY 1 ORDER BY 1"""),
     (s, dir) => {
@@ -143,7 +149,8 @@ object SkewQ extends QueryPack {
         .groupBy(col("p_brand"))
         .agg(
           count(lit(1)).as("n"),
-          (round(sum(col("l_extendedprice")) * 100) / 100).as("revenue"))
+          (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100)
+            .as("revenue"))
         .orderBy(col("p_brand"))
     })
 
@@ -214,7 +221,7 @@ object SkewQ extends QueryPack {
               FROM ev)
             SELECT coalesce(touch, 'none') AS touch,
                    CAST(count(*) AS BIGINT) AS n_purchases,
-                   round(sum(value) * 100) / 100 AS revenue
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
             FROM tagged WHERE event_type = 'purchase'
             GROUP BY 1 ORDER BY touch"""),
     (s, dir) => {
@@ -228,10 +235,11 @@ object SkewQ extends QueryPack {
         .withColumn("touch", coalesce(touch, lit("none")))
         .filter(col("event_type") === "purchase")
       graft.operators.Skew.saltedAgg(purchases, Seq("touch"), saltBuckets = 32)(
-        Seq(count(lit(1)).as("pn"), sum(col("value")).as("pv")),
+        Seq(count(lit(1)).as("pn"),
+          sum(round(col("value") * 100).cast("long")).as("pv")),
         Seq(
           sum(col("pn")).cast("long").as("n_purchases"),
-          (round(sum(col("pv")) * 100) / 100).as("revenue")))
+          (sum(col("pv")).cast("double") / 100).as("revenue")))
         .orderBy(col("touch"))
     })
 
