@@ -111,6 +111,28 @@ for g, i in k1.items():
     print(f"     q_dedup_exact n_unique{g}: {d1['n_unique'][i]} -> {dK['n_unique'][j]}"
           f" (ratio {dK['n_unique'][j] / max(1, d1['n_unique'][i]):.2f})")
 
+# ---- dedup cascade: the strongest replication invariant ----------------
+# content collapse makes reps and their near-pair graph REPLICATION
+# INVARIANT, while doc count scales xK and pair mass (mult_a*mult_b over
+# near pairs) scales exactly xK^2
+try:
+    if not (glob.glob(f"{OUT1}/q_dedup_cascade/*.parquet")
+            and glob.glob(f"{OUTK}/q_dedup_cascade/*.parquet")):
+        raise FileNotFoundError("q_dedup_cascade outputs absent")
+    c1, cK = load(OUT1, "q_dedup_cascade"), load(OUTK, "q_dedup_cascade")
+    check("q_dedup_cascade n_docs", cK["n_docs"][0] == K * c1["n_docs"][0],
+          f"{c1['n_docs'][0]} -> {cK['n_docs'][0]}")
+    check("q_dedup_cascade n_reps invariant", cK["n_reps"][0] == c1["n_reps"][0],
+          f"{c1['n_reps'][0]} -> {cK['n_reps'][0]}")
+    check("q_dedup_cascade n_near_pairs invariant",
+          cK["n_near_pairs"][0] == c1["n_near_pairs"][0],
+          f"{c1['n_near_pairs'][0]} -> {cK['n_near_pairs'][0]}")
+    check("q_dedup_cascade mass xK^2",
+          cK["near_pair_mass"][0] == K * K * c1["near_pair_mass"][0],
+          f"{c1['near_pair_mass'][0]} -> {cK['near_pair_mass'][0]}")
+except FileNotFoundError:
+    print("     q_dedup_cascade outputs absent in one dir - skipped")
+
 print("=" * 40)
 print(f"{len(fails)} failures" if fails else "all replication invariants hold")
 sys.exit(1 if fails else 0)

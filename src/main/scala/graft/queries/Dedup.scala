@@ -142,6 +142,109 @@ object Dedup extends QueryPack {
         .filter(col("simhash").isNotNull)
         .orderBy(col("doc_id")))
 
+  /** Dedup CASCADE: exact content collapse FIRST, then SimHash banded
+    * near-dup on the (far smaller) representative set, multiplicities
+    * carried through so each near-pair reports the underlying duplicate
+    * mass it stands for.
+    *
+    * This ordering is the load-bearing scale property, demonstrated by
+    * this round's sf10 run: direct banding over a corpus where every
+    * document has K verbatim copies is quadratic in K (all K copies of a
+    * doc share every band bucket — at K=100 the candidate self-join
+    * spilled past local disk, the sf10 board's only engine DNF), while
+    * the cascade's banding runs on content-unique reps (500k → 5k at
+    * sf10) and K only ever appears as a per-rep integer weight. A
+    * production pipeline always runs the cascade, never direct banding.
+    */
+  val qDedupCascade: Q = Q(
+    "q_dedup_cascade", {
+      val bitSums = (0 until 16)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS __bit$b")
+        .mkString(", ")
+      val combine = (0 until 16)
+        .map(b => s"CASE WHEN __bit$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      Some(s"""WITH reps AS MATERIALIZED (
+                 SELECT text, min(doc_id) AS rep_id, count(*) AS mult
+                 FROM documents GROUP BY text),
+               toks AS (SELECT rep_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+                        FROM reps),
+               h AS (SELECT rep_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks),
+               bits AS (SELECT rep_id, $bitSums FROM h GROUP BY rep_id),
+               sh AS MATERIALIZED (SELECT rep_id, $combine AS simhash FROM bits),
+               bands AS MATERIALIZED (
+                 SELECT rep_id, simhash, 0 AS band, simhash & 255 AS v FROM sh
+                 UNION ALL
+                 SELECT rep_id, simhash, 1 AS band, (simhash >> 8) & 255 AS v FROM sh),
+               cand AS MATERIALIZED (
+                 SELECT DISTINCT a.rep_id AS ra, b.rep_id AS rb,
+                        a.simhash AS sa, b.simhash AS sb
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.v = b.v AND a.rep_id < b.rep_id),
+               near AS MATERIALIZED (
+                 SELECT ra, rb FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+               mass AS (
+                 SELECT CAST(count(*) AS BIGINT) AS n_near_pairs,
+                        CAST(coalesce(sum(m1.mult * m2.mult), 0) AS BIGINT) AS near_pair_mass
+                 FROM near
+                 JOIN reps m1 ON m1.rep_id = near.ra
+                 JOIN reps m2 ON m2.rep_id = near.rb)
+               SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                      (SELECT CAST(count(*) AS BIGINT) FROM reps) AS n_reps,
+                      (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                        - (SELECT CAST(count(*) AS BIGINT) FROM reps) AS n_exact_dups,
+                      n_near_pairs, near_pair_mass
+               FROM mass""")
+    },
+    (s, dir) => {
+      // exact collapse: one hash shuffle on content; reps is rep-count
+      // sized (content-unique), so the checkpoint that lets four branches
+      // reuse it is tiny at any SF
+      val reps = docs(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("mult"))
+        .localCheckpoint(true)
+      val sh = reps
+        .select(col("rep_id"), col("mult"),
+          graft.functions.MinhashFunctions.simhash16Native(col("text")).as("simhash"))
+        .filter(col("simhash").isNotNull)
+      val bands = sh.select(
+          col("rep_id"), col("simhash"),
+          explode(array(
+            struct(lit(0).as("band"), col("simhash").bitwiseAND(lit(255L)).as("v")),
+            struct(lit(1).as("band"),
+              shiftright(col("simhash"), 8).bitwiseAND(lit(255L)).as("v")))).as("bv"))
+        .select(col("rep_id"), col("simhash"),
+          col("bv.band").as("band"), col("bv.v").as("v"))
+      val a = bands.select(
+        col("band"), col("v"), col("rep_id").as("ra"), col("simhash").as("sa"))
+      val b = bands.select(
+        col("band").as("band_b"), col("v").as("v_b"),
+        col("rep_id").as("rb"), col("simhash").as("sb"))
+      val near = a
+        .join(b, col("band") === col("band_b") && col("v") === col("v_b") &&
+          col("ra") < col("rb"))
+        .select(col("ra"), col("rb"), col("sa"), col("sb"))
+        .distinct()
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+        .select(col("ra"), col("rb"))
+      val m = reps.select(col("rep_id"), col("mult"))
+      val mass = near
+        .join(m.select(col("rep_id").as("ra"), col("mult").as("ma")), Seq("ra"))
+        .join(m.select(col("rep_id").as("rb"), col("mult").as("mb")), Seq("rb"))
+        .agg(
+          count(lit(1)).cast("long").as("n_near_pairs"),
+          coalesce(sum(col("ma") * col("mb")), lit(0L)).cast("long").as("near_pair_mass"))
+      val totals = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val nReps = reps.agg(count(lit(1)).as("n_reps"))
+      totals.crossJoin(nReps).crossJoin(mass) // three 1-row frames
+        .select(
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_reps").cast("long").as("n_reps"),
+          (col("n_docs") - col("n_reps")).cast("long").as("n_exact_dups"),
+          col("n_near_pairs"), col("near_pair_mass"))
+    })
+
   /** Exact n-gram Jaccard near-dup pairs over a bounded candidate subset
     * (doc_id < 100): shingle-explode, self-join on shingle, intersection
     * counts vs set sizes.
@@ -844,6 +947,7 @@ object Dedup extends QueryPack {
     })
 
   override def queries: Seq[Q] =
-    Seq(qDedupExact, qMinhashSig, qLshBuckets, qSimhash, qNgramJaccard, qCosineDedup,
-      qLshClusters, qLshIndexDedup, qLshIndexIncremental, qSpanDedup, qSpanRewrite)
+    Seq(qDedupExact, qDedupCascade, qMinhashSig, qLshBuckets, qSimhash, qNgramJaccard,
+      qCosineDedup, qLshClusters, qLshIndexDedup, qLshIndexIncremental, qSpanDedup,
+      qSpanRewrite)
 }
