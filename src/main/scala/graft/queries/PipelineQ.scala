@@ -1422,7 +1422,13 @@ object PipelineQ extends QueryPack {
     (s, dir) => {
       val p = t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
-      val a = p.select(
+      // Co-partition the PROBE side by the block key: in-block scoring is
+      // quadratic in block size, and a small dim often arrives as ONE
+      // parquet split — without this shuffle the broadcast self-join runs
+      // every comparison on a single task (observed at sf10: 2M parts =
+      // one ~50 MB split = 1.6B Jaro-Winkler calls on one core). At
+      // 100 TB the same hash partitioning is how both sides co-locate.
+      val a = p.repartition(col("p_brand"), col("p_size")).select(
         col("p_partkey").as("pk_a"), col("p_brand"), col("p_size"),
         col("p_name").as("na"))
       val b = p.select(
