@@ -89,14 +89,55 @@ for c in ["n_view", "n_view_click", "n_full_funnel"]:
     check(f"q_funnel {c}", fK[c][0] == K * f1[c][0], f"{f1[c][0]} -> {fK[c][0]}")
 
 # ---- per-entity outputs: xK rows + replica-0 slice identity ------------
-for q, key in [("q_sessionize", "user_id"), ("q_topk_per_key", "o_custkey")]:
+# applies to ANY query whose rows are scoped to one keyed entity and whose
+# logic never crosses entities (windows partitioned by the key, per-entity
+# joins): replication cannot change what happens inside a replica, so the
+# slice keyed below OFF must be set-identical to the sf(N) output. Queries
+# with GLOBAL-distribution outputs (ntile quartiles, global ranks) are
+# deliberately absent - their rows depend on the whole corpus.
+PER_ENTITY = [
+    ("q_sessionize", "user_id"), ("q_topk_per_key", "o_custkey"),
+    ("q_gaps_islands", "o_custkey"), ("q_locf", "user_id"),
+    ("q_ewma", "user_id"), ("q_asof", "user_id"),
+    ("q_asof_forward", "user_id"), ("q_window", "l_suppkey"),
+    ("q_state_runs", "user_id"), ("q_rolling_fp", "doc_id"),
+    ("q_interp_linear", "user_id"),
+]
+import pyarrow.compute as pc
+for q, key in PER_ENTITY:
+    if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
+        print(f"     {q} outputs absent - skipped")
+        continue
+    t1 = pq.read_table(glob.glob(f"{OUT1}/{q}/*.parquet"))
+    tK = pq.read_table(glob.glob(f"{OUTK}/{q}/*.parquet"))
+    check(f"{q} rowcount", tK.num_rows == K * t1.num_rows,
+          f"{t1.num_rows} -> {tK.num_rows}")
+    # Arrow-side slice so 60M-row outputs never materialize in Python
+    slice0 = tK.filter(pc.less(tK[key], OFF)).to_pydict()
+    check(f"{q} replica-0 slice", rows(slice0) == rows(t1.to_pydict()),
+          f"{len(slice0[key])} slice rows vs {t1.num_rows}")
+
+# ---- group aggregates over replica-invariant keys ----------------------
+# cohort retention counts scale xK; histogram counts xK with invariant
+# per-bucket averages (each replica contributes the identical value set)
+gr = [("q_retention", ["cohort_week", "week_offset"], ["n_users"], []),
+      ("q_histogram", ["bucket"], ["n"], ["avg_disc"])]
+for q, keys, xk_cols, inv_cols in gr:
+    if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
+        print(f"     {q} outputs absent - skipped")
+        continue
     d1, dK = load(OUT1, q), load(OUTK, q)
-    n1, nK = len(d1[key]), len(dK[key])
-    check(f"{q} rowcount", nK == K * n1, f"{n1} -> {nK}")
-    sel = [i for i, v in enumerate(dK[key]) if v < OFF]
-    slice0 = {c: [dK[c][i] for i in sel] for c in dK}
-    check(f"{q} replica-0 slice", rows(slice0) == rows(d1),
-          f"{len(sel)} slice rows vs {n1}")
+    k1, kK = keyed(d1, keys), keyed(dK, keys)
+    check(f"{q} groups", set(k1) == set(kK), f"{len(k1)} vs {len(kK)}")
+    for g, i in k1.items():
+        if g not in kK:
+            continue
+        j = kK[g]
+        for c in xk_cols:
+            check(f"{q} {c}{g}", dK[c][j] == K * d1[c][i], f"{d1[c][i]} -> {dK[c][j]}")
+        for c in inv_cols:
+            check(f"{q} {c}{g}", abs(dK[c][j] - d1[c][i]) < 1e-9,
+                  f"{d1[c][i]} -> {dK[c][j]}")
 
 # ---- content-keyed dedup ----------------------------------------------
 d1, dK = load(OUT1, "q_dedup_exact"), load(OUTK, "q_dedup_exact")
