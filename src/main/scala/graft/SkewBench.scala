@@ -165,12 +165,22 @@ object SkewBench {
         .saltedJoinSkewOnly(li, part, Seq("p_partkey"), saltBuckets = 16, hotKeys = hot)
         .write.format("noop").mode("overwrite").save()
     }
+    // the honest baseline: AQE's skew-join split IS the first answer for a
+    // plain skewed join — manual salting earns its keep only where AQE
+    // can't reach (skewed side feeding an agg, pre-shuffled caches)
+    val joinAqe = run("join_unsalted_aqe") {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      try li.join(part, Seq("p_partkey"))
+        .write.format("noop").mode("overwrite").save()
+      finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
     val liRows = li.count()
 
     println(s"""{"sf_dir":"$sfDir","agg_rows":$evRows,"join_probe_rows":$liRows,""" +
       s""""salt_buckets_agg":32,"salt_buckets_join":16,""" +
-      Seq(aggUnsalted, aggSalted, aggContent, joinUnsalted, joinSalted, joinSaltedHot)
-        .mkString(",") + "}")
+      Seq(aggUnsalted, aggSalted, aggContent, joinUnsalted, joinSalted, joinSaltedHot,
+        joinAqe).mkString(",") + "}")
     spark.stop()
   }
 }

@@ -93,6 +93,19 @@ class SkewBalanceSpec extends SparkSpec {
     assert(hotPerSalt.max <= 2.0 * hotPerSalt.sum / 16)
   }
 
+  test("hot-only salted join degenerates to the plain join when nothing is hot") {
+    val li = SkewQ.skewedLineitem(spark, dir)
+      .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+    val build = Tables.load(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    // minShare above the hot key's ~20% share -> empty hot set -> every row
+    // salts 0, build replicates x1, result identical to the plain join
+    val hot = graft.operators.Skew.hotKeys(li, Seq("p_partkey"), minShare = 0.5)
+    assert(hot.count() === 0)
+    val joined = graft.operators.Skew.saltedJoinSkewOnly(
+      li, build, Seq("p_partkey"), saltBuckets = 16, hotKeys = hot)
+    assert(joined.count() === li.join(build, Seq("p_partkey")).count())
+  }
+
   test("salted join replicates the build row per bucket, probe spread holds") {
     import spark.implicits._
     val li = SkewQ.skewedLineitem(spark, dir)
