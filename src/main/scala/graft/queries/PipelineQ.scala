@@ -231,6 +231,23 @@ object PipelineQ extends QueryPack {
     * equi-join on short bucket keys (the q_lsh_buckets shape), never
     * all-pairs, and both the banding arithmetic and the popcount refine
     * are codegen'd integer built-ins.
+    *
+    * SIGNATURE-COLLAPSE pre-pass (round 12, part of the operator's
+    * SEMANTICS — the oracle applies the identical collapse): documents
+    * are first grouped BY SIGNATURE (one linear hash-agg with map-side
+    * partial aggregation), and the banded self-join runs over the
+    * distinct signatures only. The signature space is 16-bit, so the
+    * join input is ≤ 65 536 rows — and ≤ 512 buckets of ≤ 256 distinct
+    * values each — at ANY corpus size; corpus duplication appears only
+    * as a per-signature multiplicity. Without the collapse, K verbatim
+    * copies of every document made the candidate join quadratic in K
+    * (all K copies share every band bucket): the direct form DNF'd the
+    * sf10 board on ~70 GB of spill. Output is one row per candidate
+    * SIGNATURE pair — (rep doc ids, Hamming distance, induced doc-pair
+    * count na·nb) — plus one Hamming-0 row per duplicated signature
+    * carrying its n·(n−1)/2 intra-group pair mass, so the full
+    * candidate-pair accounting of the direct form is preserved without
+    * enumerating it.
     */
   val qSimhashBand: Q = Q(
     "q_simhash_band", {
@@ -246,48 +263,67 @@ object PipelineQ extends QueryPack {
                h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks),
                bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
                sh AS (SELECT doc_id, $combine AS simhash FROM bits),
+               grp AS MATERIALIZED (
+                 SELECT simhash, min(doc_id) AS rep, count(*) AS n
+                 FROM sh GROUP BY simhash),
                bands AS (
-                 SELECT doc_id, simhash, 0 AS band, simhash & 255 AS v FROM sh
+                 SELECT simhash, rep, n, 0 AS band, simhash & 255 AS v FROM grp
                  UNION ALL
-                 SELECT doc_id, simhash, 1 AS band, (simhash >> 8) & 255 AS v FROM sh),
+                 SELECT simhash, rep, n, 1 AS band, (simhash >> 8) & 255 AS v FROM grp),
                cand AS (
-                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        a.simhash AS sa, b.simhash AS sb
+                 SELECT DISTINCT a.simhash AS sa, a.rep AS ra, a.n AS na,
+                        b.simhash AS sb, b.rep AS rb, b.n AS nb
                  FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
-               SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+                   ON a.band = b.band AND a.v = b.v AND a.simhash < b.simhash)
+               SELECT least(ra, rb) AS doc_a, greatest(ra, rb) AS doc_b,
+                      CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
+                      CAST(na * nb AS BIGINT) AS n_pairs
                FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+               UNION ALL
+               SELECT rep AS doc_a, rep AS doc_b, CAST(0 AS BIGINT) AS hamming,
+                      CAST((n * (n - 1)) // 2 AS BIGINT) AS n_pairs
+               FROM grp WHERE n >= 2
                ORDER BY doc_a, doc_b""")
     },
     (s, dir) => {
-      // native one-pass kernel: the signature is a projection, so the
-      // only remaining work is the banded self-join; materialize the
-      // one-long-per-doc frame once for its two join sides
-      val sh = docs(s, dir)
+      // native one-pass kernel: the signature is a projection; the
+      // collapse is one linear hash-agg whose output is ≤ 65 536 rows
+      // at any corpus size, so the eager checkpoint feeding the two
+      // join sides and the Hamming-0 branch is tiny
+      val grp = docs(s, dir)
         .select(col("doc_id"),
           graft.functions.MinhashFunctions.simhash16Native(col("text")).as("simhash"))
         .filter(col("simhash").isNotNull)
+        .groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
         .localCheckpoint(true)
-      val bands = sh.select(
-        col("doc_id"), col("simhash"),
+      val bands = grp.select(
+        col("simhash"), col("rep"), col("n"),
         explode(array(
           struct(lit(0).as("band"), col("simhash").bitwiseAND(lit(255L)).as("v")),
           struct(lit(1).as("band"), shiftright(col("simhash"), 8).bitwiseAND(lit(255L)).as("v"))))
           .as("bv"))
-        .select(col("doc_id"), col("simhash"), col("bv.band").as("band"), col("bv.v").as("v"))
+        .select(col("simhash"), col("rep"), col("n"),
+          col("bv.band").as("band"), col("bv.v").as("v"))
       val a = bands.select(
-        col("band"), col("v"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
+        col("band"), col("v"), col("simhash").as("sa"), col("rep").as("ra"), col("n").as("na"))
       val b = bands.select(
         col("band").as("band_b"), col("v").as("v_b"),
-        col("doc_id").as("doc_b"), col("simhash").as("sb"))
-      a.join(b, col("band") === col("band_b") && col("v") === col("v_b") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        col("simhash").as("sb"), col("rep").as("rb"), col("n").as("nb"))
+      val cross = a.join(b, col("band") === col("band_b") && col("v") === col("v_b") &&
+          col("sa") < col("sb"))
+        .select(col("sa"), col("ra"), col("na"), col("sb"), col("rb"), col("nb"))
         .distinct()
         .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
         .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
+        .select(least(col("ra"), col("rb")).as("doc_a"),
+          greatest(col("ra"), col("rb")).as("doc_b"),
+          col("hamming"), (col("na") * col("nb")).cast("long").as("n_pairs"))
+      val intra = grp.filter(col("n") >= 2)
+        .select(col("rep").as("doc_a"), col("rep").as("doc_b"),
+          lit(0L).as("hamming"),
+          expr("(n * (n - 1)) div 2").cast("long").as("n_pairs"))
+      cross.unionByName(intra).orderBy(col("doc_a"), col("doc_b"))
     })
 
   /** Peak concurrent user-sessions per event type via the +1/−1 sweep:

@@ -65,11 +65,13 @@ class PipelineQSpec extends SparkSpec {
 
   test("q_simhash_band: all reported pairs within Hamming 3; Hamming-1 recall is total") {
     val out = PipelineQ.qSimhashBand.run(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(out.values.forall(_ <= 3))
-    // brute-force simhashes, check the pigeonhole guarantee: with two
-    // 8-bit bands any pair at Hamming ≤ 1 shares an intact band and MUST
-    // be a candidate, hence reported
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.values.forall { case (ham, np) => ham <= 3 && np >= 1 })
+    // brute-force simhashes, check the pigeonhole guarantee at the
+    // signature-collapse grain: any DOC pair at Hamming ≤ 1 either
+    // shares a signature (→ its group's Hamming-0 row must carry it in
+    // n_pairs) or spans two signatures sharing an intact 8-bit band
+    // (→ the rep pair must be reported with n_pairs = na·nb)
     val sh = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(col("t")).as("w"))
@@ -79,10 +81,19 @@ class PipelineQSpec extends SparkSpec {
         graft.text.TextFunctions.simhashBitAggs(col("h")).tail: _*)
       .select(col("doc_id"), graft.text.TextFunctions.simhashFromBits().as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val groups = sh.groupBy(_._2).map { case (s, ds) =>
+      s -> ((ds.map(_._1).min, ds.length.toLong))
+    }
+    for ((_, (rep, n)) <- groups if n >= 2)
+      assert(out.get((rep, rep)).contains((0L, n * (n - 1) / 2)),
+        s"group at rep $rep missing its Hamming-0 mass row")
     for {
-      (a, sa) <- sh; (b, sb) <- sh if a < b
+      (a, sa) <- sh; (b, sb) <- sh if a < b && sa != sb
       ham = java.lang.Long.bitCount(sa ^ sb) if ham <= 1
-    } assert(out.get((a, b)).contains(ham.toLong), s"missed Hamming-$ham pair ($a,$b)")
+      (ra, na) = groups(sa); (rb, nb) = groups(sb)
+      key = (math.min(ra, rb), math.max(ra, rb))
+    } assert(out.get(key).contains((ham.toLong, na * nb)),
+      s"missed Hamming-$ham signature pair via docs ($a,$b) → reps $key")
   }
 
   test("q_interval_sweep matches a driver-side timeline scan") {
