@@ -22,6 +22,9 @@ PATTERNS = {
         r"(?:api[_-]?key|secret|token|passwd|password)\s*[:=]\s*['\"][^'\"]{8,}", re.I),
     "aws-key": re.compile(r"\bAKIA[0-9A-Z]{16}\b"),
     "env-var": re.compile(r"\bsys\.env(?:\.getOrElse)?\(\"([A-Z0-9_]+)\""),
+    # Python in scripts/ reads env too — same allowlist as the Scala side
+    "py-env-var": re.compile(
+        r"\bos\.(?:environ(?:\.get)?[\[\(]|getenv\()\s*['\"]([A-Z0-9_]+)['\"]"),
     "internal-host": re.compile(
         r"\b[\w-]+\.(?:corp|internal|intranet|local)\b", re.I),
 }
@@ -50,7 +53,7 @@ for root in ROOTS:
                         frag = m.group(0)
                         if cat == "url" and ALLOWED_URL.match(frag + "/"):
                             continue
-                        if cat == "env-var" and m.group(1) in ALLOWED_ENV:
+                        if cat in ("env-var", "py-env-var") and m.group(1) in ALLOWED_ENV:
                             continue
                         if cat == "bucket-uri" and ALLOWED_BUCKET.match(frag):
                             continue

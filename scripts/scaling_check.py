@@ -22,6 +22,7 @@ Usage: scaling_check.py out_sfN out_sfKN [K] [OFF]
 Exits non-zero on any violated relation.
 """
 import glob, json, sys
+from collections import Counter
 
 import pyarrow.parquet as pq
 
@@ -40,6 +41,14 @@ def load(out, q):
 def rows(d):
     cols = sorted(d)
     return {tuple(str(d[c][i]) for c in cols) for i in range(len(d[cols[0]]))}
+
+
+def rows_ms(d):
+    """Row MULTISET — the slice-identity gate is 'byte-identical', so a
+    dropped copy of a duplicated row must fail even when a stray row
+    elsewhere keeps the set (and the global rowcount) unchanged."""
+    cols = sorted(d)
+    return Counter(tuple(str(d[c][i]) for c in cols) for i in range(len(d[cols[0]])))
 
 
 def check(name, ok, detail):
@@ -65,7 +74,11 @@ for g, i in k1.items():
     for c in ["count_order", "sum_qty"]:  # integer-valued: exact xK
         check(f"q1_agg {c}{g}", aK[c][j] == K * a1[c][i], f"{a1[c][i]} -> {aK[c][j]}")
     for c in ["sum_base_price", "sum_disc_price"]:  # double sums: xK within fp
-        check(f"q1_agg {c}{g}", abs(aK[c][j] - K * a1[c][i]) < 0.05 * K,
+        # RELATIVE tolerance: these sums are ~1e11-1e12, where a fixed
+        # 0.05*K bound is the same order as honest fp drift across a
+        # different partial-aggregation tree
+        check(f"q1_agg {c}{g}",
+              abs(aK[c][j] - K * a1[c][i]) < 1e-9 * abs(K * a1[c][i]) + 1e-9,
               f"{a1[c][i]} -> {aK[c][j]}")
     check(f"q1_agg avg_qty{g}", abs(aK["avg_qty"][j] - a1["avg_qty"][i]) < 1e-6,
           f"{a1['avg_qty'][i]} -> {aK['avg_qty'][j]}")
@@ -114,8 +127,10 @@ for q, key in PER_ENTITY:
           f"{t1.num_rows} -> {tK.num_rows}")
     # Arrow-side slice so 60M-row outputs never materialize in Python
     slice0 = tK.filter(pc.less(tK[key], OFF)).to_pydict()
-    check(f"{q} replica-0 slice", rows(slice0) == rows(t1.to_pydict()),
-          f"{len(slice0[key])} slice rows vs {t1.num_rows}")
+    n_slice = len(slice0[sorted(slice0)[0]]) if slice0 else 0
+    check(f"{q} replica-0 slice",
+          n_slice == t1.num_rows and rows_ms(slice0) == rows_ms(t1.to_pydict()),
+          f"{n_slice} slice rows vs {t1.num_rows}")
 
 # ---- group aggregates over replica-invariant keys ----------------------
 # cohort retention counts scale xK; histogram counts xK with invariant

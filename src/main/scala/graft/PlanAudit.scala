@@ -45,11 +45,16 @@ object PlanAudit {
         // driver-coordinated iterative query: its final frame is only
         // the collected trace (a LocalTableScan) — audit one
         // representative ROUND per distinct per-round shape instead
+        // the two passes are zipped POSITIONALLY: per-round labels are
+        // not required to be unique, and a keyed map would silently
+        // print one round's codegen spans against another's AQE plan
         val aqe = RoundPlans.plans(name)(spark, dir)
           .map { case (l, f) => l -> f.queryExecution.executedPlan.toString }
         val static = withAqeOff(RoundPlans.plans(name)(spark, dir)
-          .map { case (l, f) => l -> f.queryExecution.executedPlan.toString }.toMap)
-        aqe.map { case (l, p) => (s"$name@$l", p, static(l)) }
+          .map { case (_, f) => f.queryExecution.executedPlan.toString })
+        require(aqe.length == static.length,
+          s"$name: AQE pass emitted ${aqe.length} rounds, static pass ${static.length}")
+        aqe.zip(static).map { case ((l, p), s) => (s"$name@$l", p, s) }
       } else {
         val aqe = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
         val static = withAqeOff(

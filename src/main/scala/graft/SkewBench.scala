@@ -62,7 +62,10 @@ object SkewBench {
       }
     })
 
-    def run(label: String)(body: => Unit): String = {
+    // expectTasks: the reduce-stage task count this scenario should show
+    // (the configured shuffle-partition count for static plans; pass -1
+    // to skip the check where AQE legitimately coalesces partitions)
+    def run(label: String, expectTasks: Int = cpus.toInt)(body: => Unit): String = {
       taskMs.synchronized(taskMs.clear())
       val t0 = System.nanoTime()
       body
@@ -79,6 +82,10 @@ object SkewBench {
         Thread.sleep(100); waited += 100
         prev = cur; cur = taskCount()
       }
+      // still-moving (or empty) snapshot at the cap → the ratios below
+      // may be computed from an incomplete event stream; say so in the
+      // JSON instead of silently reporting a distorted number
+      val drainCapped = cur != prev || cur == 0
       val stages = taskMs.synchronized(taskMs.map { case (k, v) => k -> v.toSeq }.toMap)
       def ratioOf(ds: Seq[Long]): Double = {
         val s = ds.sorted
@@ -97,8 +104,16 @@ object SkewBench {
         val s = ds.sorted
         s"""{"stage":$id,"tasks":${s.length},"max_ms":${s.last},"med_ms":${s(s.length / 2)}}"""
       }.mkString("[", ",", "]")
+      // reduce_tasks should equal the configured shuffle partition count
+      // (the reduce stage is post-exchange); a mismatch means the maxBy
+      // picked some other stage — flag it rather than trusting the ratio
+      val anomalies = Seq(
+        if (drainCapped) Some(""""listener_drain_capped":true""") else None,
+        if (expectTasks >= 0 && reduce.length != expectTasks)
+          Some(s""""reduce_tasks_expected":$expectTasks""") else None).flatten
+      val anomalyJson = if (anomalies.isEmpty) "" else anomalies.mkString(",", ",", "")
       s""""$label":{"wall_s":${num(wall, 3)},"reduce_straggler_ratio":${num(ratioOf(reduce), 1)},""" +
-        s""""worst_stage_ratio":${num(worst, 1)},"reduce_tasks":${reduce.length},"stages":$detail}"""
+        s""""worst_stage_ratio":${num(worst, 1)},"reduce_tasks":${reduce.length}$anomalyJson,"stages":$detail}"""
     }
 
     // ---- aggregation scenario ------------------------------------------
@@ -168,19 +183,32 @@ object SkewBench {
     // the honest baseline: AQE's skew-join split IS the first answer for a
     // plain skewed join — manual salting earns its keep only where AQE
     // can't reach (skewed side feeding an agg, pre-shuffled caches)
-    val joinAqe = run("join_unsalted_aqe") {
+    val joinAqe = run("join_unsalted_aqe", expectTasks = -1) {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       try li.join(part, Seq("p_partkey"))
         .write.format("noop").mode("overwrite").save()
       finally spark.conf.set("spark.sql.adaptive.enabled", "false")
     }
+    // Skew.* composed WITH AQE (the gates' default-config regime): the
+    // hot-only salted join must keep its spread — and its wall time —
+    // when AQE's coalescing/skew rules re-plan around it
+    val joinSaltedHotAqe = run("join_salted_hot_aqe", expectTasks = -1) {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      try {
+        val hot = operators.Skew.hotKeys(li, Seq("p_partkey"), minShare = 0.05)
+        operators.Skew
+          .saltedJoinSkewOnly(li, part, Seq("p_partkey"), saltBuckets = 16, hotKeys = hot)
+          .write.format("noop").mode("overwrite").save()
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
     val liRows = li.count()
 
     println(s"""{"sf_dir":"$sfDir","agg_rows":$evRows,"join_probe_rows":$liRows,""" +
       s""""salt_buckets_agg":32,"salt_buckets_join":16,""" +
       Seq(aggUnsalted, aggSalted, aggContent, joinUnsalted, joinSalted, joinSaltedHot,
-        joinAqe).mkString(",") + "}")
+        joinAqe, joinSaltedHotAqe).mkString(",") + "}")
     spark.stop()
   }
 }

@@ -102,7 +102,13 @@ object Skew {
   /** Keys holding at least `minShare` of `df`'s rows — the detection
     * pass for [[saltedJoinSkewOnly]]. One hash aggregation (the hot
     * key's count is itself map-side combined, so detection can't
-    * straggle) plus a broadcast scalar total; stays fully in-plan.
+    * straggle) plus a broadcast scalar total; stays fully in-plan, and
+    * the total is computed FROM the counts frame, so the counts
+    * exchange is reused for both branches (SkewBalanceSpec asserts the
+    * ReusedExchange) — detection costs one scan + one shuffle of df,
+    * never two scans. At 100 TB, pass the pipeline's already-cached /
+    * checkpointed probe frame as `df` and even that scan comes from
+    * memory; detection never needs a cold re-read of the input.
     */
   def hotKeys(df: DataFrame, keyCols: Seq[String], minShare: Double): DataFrame = {
     require(minShare > 0 && minShare < 1)

@@ -106,6 +106,78 @@ class SkewBalanceSpec extends SparkSpec {
     assert(joined.count() === li.join(build, Seq("p_partkey")).count())
   }
 
+  test("AQE ON: hot-only salted join keeps the answer exact and the hot key spread") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "spark.sql.shuffle.partitions",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = keys.map(k => k -> conf.getOption(k)).toMap
+    // AQE + coalescing ACTIVE, advisory sized between a cold fragment and
+    // a hot salted sub-group, so coalescing really merges cold partitions
+    // while the hot key's 16 sub-groups stay separate reducers
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
+    // the 1MB default would swallow this whole sf0.01 stage into one
+    // partition regardless of salt — scale the floor with the fixture
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1024")
+    conf.set("spark.sql.shuffle.partitions", "32")
+    // the sf0.01 part dim auto-broadcasts, which would skip the probe
+    // shuffle this test measures — the production regime is a build side
+    // too big to broadcast (saltedJoinSkewOnly's stated use case)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = SkewQ.skewedLineitem(spark, dir)
+        .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+      val build = Tables.load(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val hot = graft.operators.Skew.hotKeys(li, Seq("p_partkey"), minShare = 0.05)
+      val joined = graft.operators.Skew.saltedJoinSkewOnly(
+        li, build, Seq("p_partkey"), saltBuckets = 16, hotKeys = hot)
+      // answer identity survives AQE's re-planning
+      assert(joined.count() === li.join(build, Seq("p_partkey")).count())
+      // the unsalted join puts EVERY hot row in one reduce partition; the
+      // salted join's spread must survive AQE's partition coalescing.
+      // pid is projected BEFORE the hot-key filter: spark_partition_id is
+      // nondeterministic, so Catalyst cannot push the filter below it —
+      // filtering first would shrink the join stage and AQE would
+      // (correctly) coalesce the small remnant, measuring nothing
+      def hotPids(df: org.apache.spark.sql.DataFrame): Long = df
+        .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+        .filter(col("p_partkey") === 1L)
+        .select(col("pid")).distinct().count()
+      val plainPids = hotPids(li.join(build, Seq("p_partkey")))
+      val saltedPids = hotPids(joined)
+      assert(plainPids === 1L, s"fixture drifted: plain join spread hot key over $plainPids")
+      assert(saltedPids >= 4L,
+        s"AQE coalescing collapsed the salted hot key to $saltedPids partitions")
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("hot-key detection reuses the counts exchange — one aggregation, not two scans") {
+    val li = SkewQ.skewedLineitem(spark, dir)
+      .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+    val hot = graft.operators.Skew.hotKeys(li, Seq("p_partkey"), minShare = 0.05)
+    // static planning so ReuseExchange is visible in the plan string (AQE
+    // performs the same reuse at stage-materialization time)
+    val conf = spark.conf
+    val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.operators.Skew.hotKeys(li, Seq("p_partkey"), minShare = 0.05)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"total-side should reuse the counts exchange, not rescan:\n$p")
+    } finally prevAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("salted join replicates the build row per bucket, probe spread holds") {
     import spark.implicits._
     val li = SkewQ.skewedLineitem(spark, dir)
