@@ -115,7 +115,52 @@ PER_ENTITY = [
     ("q_asof_forward", "user_id"), ("q_window", "l_suppkey"),
     ("q_state_runs", "user_id"), ("q_rolling_fp", "doc_id"),
     ("q_interp_linear", "user_id"),
+    # round-12 widening: anything whose rows are scoped to one offset-keyed
+    # entity and whose cross-row inputs are replication-invariant ratios
+    # (e.g. tfidf's ln(N/df): N and df both xK). q_bigram_lm is EXCLUDED
+    # on principle: its add-one smoothing (c_xy+1)/(c_x+vocab) is not a
+    # pure ratio, so per-doc scores legitimately change under replication.
+    ("q_any_value", "c_custkey"), ("q_exists_subq", "c_custkey"),
+    ("q_semi_join", "c_custkey"),
+    ("q_collect_sorted", "l_orderkey"), ("q_having_countd", "l_orderkey"),
+    ("q_dedup_first", "l_orderkey"),
+    ("q_array_funcs", "o_custkey"), ("q_minmax_by", "o_custkey"),
+    ("q_window_range", "o_orderkey"),
+    ("q_anti_join", "p_partkey"), ("q_right_join", "p_partkey"),
+    ("q_full_outer", "custkey"), ("q_top_supplier", "s_suppkey"),
+    ("q_event_pattern", "user_id"), ("q_zscore_anomaly", "user_id"),
+    ("q_scd2", "user_id"),
+    ("q_text_stats", "doc_id"), ("q_token_entropy", "doc_id"),
+    ("q_quality_gate", "doc_id"), ("q_repetition", "doc_id"),
+    ("q_fingerprint", "doc_id"), ("q_chunk_text", "doc_id"),
+    ("q_pii_redact", "doc_id"),
+    ("q_regex_replace_groups", "doc_id"), ("q_regex_filter", "doc_id"),
+    ("q_simhash", "doc_id"), ("q_minhash_sig", "doc_id"),
+    ("q_tfidf", "doc_id"), ("q_bpe_tokens", "doc_id"),
+    ("q_embed_norms", "vec_id"), ("q_random_projection", "vec_id"),
+    # streaming gates: watermarks/session logic are per-user; replication
+    # adds whole new users with verbatim event times
+    ("q_stream_sessionize", "user_id"), ("q_stream_sessions", "user_id"),
+    ("q_stream_alerts", "user_id"), ("q_stream_join", "user_id"),
 ]
+
+# pair outputs: the predicate deciding a pair (and its measure) depends
+# only on the two members' replication-invariant content, so the
+# both-keys-below-OFF slice must be byte-identical to sf(N). No global
+# rowcount relation is asserted: cross-replica pairs (exact copies at
+# similarity 1.0) legitimately appear at sf(K*N).
+PAIR_SLICE = [
+    ("q_ngram_jaccard", "doc_a", "doc_b"),
+    ("q_ngram_containment", "doc_a", "doc_b"),
+    ("q_edit_distance", "doc_a", "doc_b"),
+    ("q_jaro_fuzzy", "pk_a", "pk_b"),
+    ("q_cosine_dedup", "vec_a", "vec_b"),
+]
+
+# outputs that must be COMPLETELY identical at both SFs: the query pins a
+# fixed replica-0 id range (q_posexplode doc_id<20, q_quantize_embed
+# vec_id<1000), so replication adds nothing it can see
+FULL_IDENTITY = ["q_posexplode", "q_quantize_embed"]
 import pyarrow.compute as pc
 for q, key in PER_ENTITY:
     if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
@@ -132,26 +177,176 @@ for q, key in PER_ENTITY:
           n_slice == t1.num_rows and rows_ms(slice0) == rows_ms(t1.to_pydict()),
           f"{n_slice} slice rows vs {t1.num_rows}")
 
+for q, ka, kb in PAIR_SLICE:
+    if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
+        print(f"     {q} outputs absent - skipped")
+        continue
+    t1 = pq.read_table(glob.glob(f"{OUT1}/{q}/*.parquet"))
+    tK = pq.read_table(glob.glob(f"{OUTK}/{q}/*.parquet"))
+    slice0 = tK.filter(
+        pc.and_(pc.less(tK[ka], OFF), pc.less(tK[kb], OFF))).to_pydict()
+    n_slice = len(slice0[sorted(slice0)[0]]) if slice0 else 0
+    check(f"{q} replica-0 pair slice", rows_ms(slice0) == rows_ms(t1.to_pydict()),
+          f"{n_slice} slice rows vs {t1.num_rows}")
+
+for q in FULL_IDENTITY:
+    if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
+        print(f"     {q} outputs absent - skipped")
+        continue
+    d1 = pq.read_table(glob.glob(f"{OUT1}/{q}/*.parquet")).to_pydict()
+    dK = pq.read_table(glob.glob(f"{OUTK}/{q}/*.parquet")).to_pydict()
+    check(f"{q} full identity", rows_ms(d1) == rows_ms(dK),
+          f"{len(d1[sorted(d1)[0]])} rows byte-identical")
+
 # ---- group aggregates over replica-invariant keys ----------------------
-# cohort retention counts scale xK; histogram counts xK with invariant
-# per-bucket averages (each replica contributes the identical value set)
-gr = [("q_retention", ["cohort_week", "week_offset"], ["n_users"], []),
-      ("q_histogram", ["bucket"], ["n"], ["avg_disc"])]
-for q, keys, xk_cols, inv_cols in gr:
+# (q, group_keys, xK_cols, invariant_cols, tolerance_cols):
+#  - group keys live in replication-invariant domains (flags, nations,
+#    time buckets, ranks), so the group SET must be identical;
+#  - xK_cols scale exactly xK (ints exact; double sums within fp);
+#  - invariant_cols are byte-identical (counts of distinct content,
+#    medians/percentiles of a K-fold-duplicated multiset, argmax rows
+#    with scale-invariant deterministic tiebreaks);
+#  - tolerance_cols are ratio-derived doubles (averages, shares,
+#    probabilities, PMI/PSI/Zipf-slope style log-ratios): mathematically
+#    invariant because every count appears in both numerator and
+#    denominator, fp-compared at 1e-6 relative.
+# keys == [] means a single-row global output.
+GROUPED = [
+    ("q_retention", ["cohort_week", "week_offset"], ["n_users"], [], []),
+    ("q_histogram", ["bucket"], ["n"], [], ["avg_disc"]),
+    ("q_union", ["l_returnflag"], ["n_rows", "sum_qty"], [], []),
+    ("q_decimal_math", ["l_returnflag"], ["n", "revenue", "total_disc"], [], []),
+    ("q_date_parts", ["yr", "mo"], ["n_orders", "revenue"], [], []),
+    ("q_date_spine", ["month"], ["n", "total"], [], []),
+    ("q_mom_growth", ["month"], ["revenue"], [], ["mom_growth"]),
+    ("q_market_share", ["order_year"], ["asia_rev", "total_rev"], [], ["asia_share"]),
+    ("q_mode_stat", ["source"], ["n"], ["mode_value"], []),
+    ("q_markov_transitions", ["cur_type", "next_type"], ["n_trans"], [], ["p_next"]),
+    ("q_lang_id", ["lang", "predicted"], ["n"], [], []),
+    # corpus_pipeline dedups to content-unique docs before the rollup, so
+    # its per-lang yield is fully replication-INVARIANT, not xK
+    ("q_corpus_pipeline", ["lang"], [], ["n_docs", "total_words"], ["avg_words"]),
+    ("q_token_count", ["source"], ["n_docs", "total_tokens"], ["n_vocab"], ["avg_tokens"]),
+    ("q_vocab_overlap", ["source_a", "source_b"], [], ["n_shared"], ["jaccard"]),
+    ("q_zipf", [], [], ["n_terms"], ["zipf_slope", "r2"]),
+    ("q_heavy_hitters", ["rank"], ["n"], ["value"], []),
+    ("q_key_skew", [], ["n_keys"],
+     ["max_n", "heaviest_key", "heaviest_n"], ["avg_n", "skew_factor"]),
+    ("q_psi_drift", ["bucket"], ["n_ref", "n_cur"], [], ["psi_contrib"]),
+    ("q_mix_weights", ["source"], ["n"], [], ["actual_share", "weight"]),
+    # q_cdc_apply is deliberately ABSENT: its change-batch membership is
+    # keyed on value/date predicates that offset keys cross differently
+    # per replica, so xK does not hold (verified sf0.1->sf1.0: 150553 ->
+    # 1505537 rows); its correctness gate is the DuckDB oracle at sf1.0
+    ("q_attribution", ["touch"], ["n_purchases", "revenue"], [], []),
+    ("q_attribution_decay", ["touch"],
+     ["attributed_purchases", "attributed_revenue"], [], []),
+    ("q_skew_attribution", ["touch"], ["n_purchases", "revenue"], [], []),
+    ("q_skew_join_hotonly", ["p_brand"], ["n", "revenue"], [], []),
+    ("q_skew_salted_join", ["p_brand"], ["n", "revenue"], [], []),
+    ("q_left_join", ["segment"], ["n_orders", "sum_price"], [], []),
+    ("q_bucketed_join", ["o_orderpriority"], ["n_items", "revenue"], [], []),
+    ("q_incremental_agg", ["o_orderpriority"], ["n", "total"], [], ["avg_price"]),
+    ("q_bloom_join", ["o_orderpriority"], ["n", "revenue"], [], []),
+    ("q_banded_range", ["band_id"], ["n", "band_revenue"], [], []),
+    ("q_range_join", ["band_id"], ["n", "band_revenue"], [], []),
+    ("q_null_safe_join", ["priority"], ["n_orders", "revenue"], [], []),
+    ("q_crosstab", ["o_orderpriority_l_returnflag"], ["A", "N", "R"], [], []),
+    ("q_cube", ["flag", "status"], ["n"], [], []),
+    ("q_rollup", ["flag", "status"], ["n", "qty"], [], []),
+    ("q_grouping_sets", ["flag", "status"], ["n"], [], []),
+    ("q_grouping_id", ["flag", "status", "g_flag", "g_status"], ["n"], [], []),
+    ("q_null_semantics", [], ["matched", "unmatched", "null_safe_null"], [], []),
+    ("q_chunk_roundtrip", ["source"], ["n_docs", "n_exact"], [], []),
+    # p25/p75 are deliberately absent: percentile() INTERPOLATES, and the
+    # (N-1)q vs (KN-1)q positions can interpolate across a run boundary of
+    # the K-fold-duplicated multiset (observed: p25 26913.25 -> 26913.1) —
+    # a semantic property of interpolation, not an engine defect
+    ("q_percentile_exact", ["l_returnflag"], [], ["p50", "med_qty"], []),
+    ("q_weighted_median", ["l_returnflag"], [], [], ["wp25", "wmedian", "wp75"]),
+    ("q_histogram_depth", ["bucket"], ["n"], [], ["lo", "hi"]),
+    ("q_winsor_mean", ["l_returnflag"], [], [], ["wmean", "mean"]),
+    ("q_cross_join", ["r_name", "seg"], ["n_cust"], [], []),
+    ("q_listagg", ["r_name"], [], ["nations", "n"], []),
+    ("q_recursive_walk", ["n_nationkey"], [], ["root_key", "chain_len"], []),
+    ("q_pagerank", ["node"], [], [], ["rank"]),
+    # symbols_after counts corpus symbol OCCURRENCES (xK), while the merge
+    # choice itself (argmax pair weight, lex tiebreak) is scale-invariant
+    ("q_bpe_merges", ["round"], ["pair_weight", "symbols_after"],
+     ["left_sym", "right_sym"], []),
+    ("q_table_checksum", ["l_returnflag"], ["n_rows"], [], []),
+    # streaming: replication adds users with verbatim timestamps, so
+    # windowed counts/sums scale xK with the window-key set invariant
+    ("q_stream_window", ["bucket", "event_type"], ["n", "sum_value"], [], []),
+    ("q_time_bucket", ["bucket", "event_type"], ["n", "sum_value"], [], []),
+    ("q_stream_sliding", ["bucket"], ["n"], [], ["avg_value"]),
+    ("q_stream_enrich", ["bucket", "segment"], ["n", "sum_value"], [], []),
+    ("q_stream_dedup", [], ["n_events", "n_users", "total_value"], [], []),
+]
+
+
+def dec_places(x):
+    s = repr(float(x))
+    if "e" in s or "E" in s:
+        return 9
+    frac = s.split(".")[1] if "." in s else ""
+    return min(9, len(frac.rstrip("0")))
+
+
+def quantum(a, b):
+    """Size of one step of the output's rounding grid. Queries round
+    doubles to a fixed decimal count (2 for money, 4-6 for ratios); two
+    correct values can sit one grid step apart from fp drift, and a xK
+    comparison amplifies the sf(N) value's rounding by K. Inferred from
+    the finest decimal representation actually present (zeros carry no
+    information, so zero-valued sides are ignored)."""
+    ds = [dec_places(v) for v in (a, b) if v not in (None, 0, 0.0)]
+    return 10.0 ** -max(ds) if ds else 1e-9
+
+
+def rel_ok(got, want, tol, ulps=1.1, qpair=None):
+    """qpair: the two values AS OBSERVED in the outputs, for grid
+    inference — a derived `want` (e.g. K*a) carries fp noise in its
+    decimal representation and would make the inferred grid spuriously
+    fine."""
+    if got is None and want is None:
+        return True
+    if got is None or want is None:
+        return False
+    q = quantum(*qpair) if qpair else quantum(got, want)
+    return abs(got - want) <= tol * abs(want) + ulps * q + 1e-9
+
+
+for q, keys, xk_cols, inv_cols, tol_cols in GROUPED:
     if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
         print(f"     {q} outputs absent - skipped")
         continue
     d1, dK = load(OUT1, q), load(OUTK, q)
-    k1, kK = keyed(d1, keys), keyed(dK, keys)
-    check(f"{q} groups", set(k1) == set(kK), f"{len(k1)} vs {len(kK)}")
-    for g, i in k1.items():
-        if g not in kK:
-            continue
-        j = kK[g]
+    if keys:
+        k1, kK = keyed(d1, keys), keyed(dK, keys)
+        check(f"{q} groups", set(k1) == set(kK), f"{len(k1)} vs {len(kK)}")
+        items = [(g, i, kK[g]) for g, i in k1.items() if g in kK]
+    else:
+        items = [((), 0, 0)]
+    for g, i, j in items:
         for c in xk_cols:
-            check(f"{q} {c}{g}", dK[c][j] == K * d1[c][i], f"{d1[c][i]} -> {dK[c][j]}")
+            a, b = d1[c][i], dK[c][j]
+            if isinstance(a, float) or isinstance(b, float):
+                # K amplifies the sf(N) side's rounding: K half-steps of
+                # the grid plus the sf(K*N) side's own half-step
+                check(f"{q} {c}{g} xK",
+                      rel_ok(b, None if a is None else K * a, 1e-9,
+                             ulps=(K + 1) * 0.6, qpair=(a, b)),
+                      f"{a} -> {b}")
+            else:
+                check(f"{q} {c}{g} xK",
+                      (a is None and b is None) or (a is not None and b == K * a),
+                      f"{a} -> {b}")
         for c in inv_cols:
-            check(f"{q} {c}{g}", abs(dK[c][j] - d1[c][i]) < 1e-9,
+            check(f"{q} {c}{g} inv", str(d1[c][i]) == str(dK[c][j]),
+                  f"{d1[c][i]} -> {dK[c][j]}")
+        for c in tol_cols:
+            check(f"{q} {c}{g} inv~", rel_ok(dK[c][j], d1[c][i], 1e-6),
                   f"{d1[c][i]} -> {dK[c][j]}")
 
 # ---- content-keyed dedup ----------------------------------------------
@@ -188,6 +383,157 @@ try:
           f"{c1['near_pair_mass'][0]} -> {cK['near_pair_mass'][0]}")
 except FileNotFoundError:
     print("     q_dedup_cascade outputs absent in one dir - skipped")
+
+# ---- bespoke algebras --------------------------------------------------
+def have(q):
+    ok = bool(glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet"))
+    if not ok:
+        print(f"     {q} outputs absent - skipped")
+    return ok
+
+
+# scalar min/max over offset keys: max lives in the last replica
+if have("q_scalar_agg"):
+    d1, dK = load(OUT1, "q_scalar_agg"), load(OUTK, "q_scalar_agg")
+    check("q_scalar_agg max_key", dK["max_key"][0] == d1["max_key"][0] + (K - 1) * OFF,
+          f"{d1['max_key'][0]} -> {dK['max_key'][0]}")
+    check("q_scalar_agg min_key inv", dK["min_key"][0] == d1["min_key"][0],
+          f"{d1['min_key'][0]} -> {dK['min_key'][0]}")
+    check("q_scalar_agg n_orders xK", dK["n_orders"][0] == K * d1["n_orders"][0],
+          f"{d1['n_orders'][0]} -> {dK['n_orders'][0]}")
+
+# simhash signature collapse: the 16-bit signature set is content-derived
+# and replication-invariant, reps are min doc ids (replica 0), so cross-
+# signature rows are invariant with pair mass xK^2; Hamming-0 rows carry
+# Kn(Kn-1)/2, including NEW rows (n_pairs == K(K-1)/2) for signatures
+# that were singletons at sf(N)
+if have("q_simhash_band"):
+    d1, dK = load(OUT1, "q_simhash_band"), load(OUTK, "q_simhash_band")
+    p1 = {(d1["doc_a"][i], d1["doc_b"][i]): (d1["hamming"][i], d1["n_pairs"][i])
+          for i in range(len(d1["doc_a"]))}
+    pK = {(dK["doc_a"][i], dK["doc_b"][i]): (dK["hamming"][i], dK["n_pairs"][i])
+          for i in range(len(dK["doc_a"]))}
+    cross1 = {k: v for k, v in p1.items() if k[0] != k[1]}
+    crossK = {k: v for k, v in pK.items() if k[0] != k[1]}
+    check("q_simhash_band cross pairs inv", set(cross1) == set(crossK),
+          f"{len(cross1)} vs {len(crossK)} rep pairs")
+    bad = [k for k in cross1 if k in crossK and
+           (crossK[k][0] != cross1[k][0] or crossK[k][1] != K * K * cross1[k][1])]
+    check("q_simhash_band cross mass xK^2", not bad, f"{len(bad)} violations")
+    zero1 = {k[0]: v[1] for k, v in p1.items() if k[0] == k[1]}
+    zeroK = {k[0]: v[1] for k, v in pK.items() if k[0] == k[1]}
+    check("q_simhash_band H0 carried", set(zero1) <= set(zeroK),
+          f"{len(zero1)} -> {len(zeroK)} rows")
+    bad = []
+    for rep, pk in zeroK.items():
+        if rep in zero1:
+            # n(n-1)/2 = p1  ->  n = (1+sqrt(1+8 p1))/2, then Kn(Kn-1)/2
+            n = round((1 + (1 + 8 * zero1[rep]) ** 0.5) / 2)
+            if pk != (K * n) * (K * n - 1) // 2:
+                bad.append(rep)
+        elif pk != K * (K - 1) // 2:  # sf(N) singleton signature
+            bad.append(rep)
+    check("q_simhash_band H0 mass Kn(Kn-1)/2", not bad, f"{len(bad)} violations")
+
+# LSH buckets (n_docs > 1 filter): content-derived bucket ids are
+# invariant; shared buckets scale xK and buckets NEW at sf(K*N) must have
+# been singletons, hence carry exactly K docs
+if have("q_lsh_buckets"):
+    d1, dK = load(OUT1, "q_lsh_buckets"), load(OUTK, "q_lsh_buckets")
+    b1 = {(d1["band"][i], d1["bucket"][i]): d1["n_docs"][i]
+          for i in range(len(d1["band"]))}
+    bK = {(dK["band"][i], dK["bucket"][i]): dK["n_docs"][i]
+          for i in range(len(dK["band"]))}
+    check("q_lsh_buckets carried", set(b1) <= set(bK), f"{len(b1)} -> {len(bK)}")
+    bad = [k for k, n in bK.items()
+           if (b1[k] * K if k in b1 else K) != n]
+    check("q_lsh_buckets xK / new==K", not bad, f"{len(bad)} violations")
+
+# bucket-graph clustering: replicas attach to the same content-derived
+# buckets, so components are invariant and min-id labels live in replica
+# 0 — but the output filters to cluster_size >= 2, and replication
+# PROMOTES every sf(N) singleton into a K-member cluster of its own
+# copies (cluster_id = its own id), so the slice gains exactly those rows
+for q in ["q_lsh_clusters", "q_dup_clusters"]:
+    if not have(q):
+        continue
+    t1 = pq.read_table(glob.glob(f"{OUT1}/{q}/*.parquet"))
+    tK = pq.read_table(glob.glob(f"{OUTK}/{q}/*.parquet"))
+    d1 = t1.to_pydict()
+    s0 = tK.filter(pc.less(tK["doc_id"], OFF)).to_pydict()
+    m1 = {d1["doc_id"][i]: (d1["cluster_id"][i], d1["cluster_size"][i])
+          for i in range(len(d1["doc_id"]))}
+    mK = {s0["doc_id"][i]: (s0["cluster_id"][i], s0["cluster_size"][i])
+          for i in range(len(s0["doc_id"]))}
+    # replicas are symmetric, so the K slices partition the output evenly
+    check(f"{q} rowcount K*slice", tK.num_rows == K * len(mK),
+          f"{tK.num_rows} rows = {K} x {len(mK)}")
+    check(f"{q} carried labels", set(m1) <= set(mK) and
+          all(mK[d][0] == m1[d][0] and mK[d][1] == K * m1[d][1] for d in m1),
+          f"{len(m1)} sf(N) rows: labels invariant, sizes xK")
+    promoted = set(mK) - set(m1)
+    check(f"{q} promoted singletons", all(mK[d] == (d, K) for d in promoted),
+          f"{len(promoted)} sf(N)-singletons now own-cluster of {K} copies")
+
+# normalized-content dedup: fp and canonical flags are replica-0-stable,
+# cluster populations scale xK
+if have("q_dedup_norm"):
+    t1 = pq.read_table(glob.glob(f"{OUT1}/q_dedup_norm/*.parquet"))
+    tK = pq.read_table(glob.glob(f"{OUTK}/q_dedup_norm/*.parquet"))
+    check("q_dedup_norm rowcount xK", tK.num_rows == K * t1.num_rows,
+          f"{t1.num_rows} -> {tK.num_rows}")
+    d1 = t1.to_pydict()
+    s0 = tK.filter(pc.less(tK["doc_id"], OFF)).to_pydict()
+    m1 = {d1["doc_id"][i]: (d1["fp"][i], d1["cluster_n"][i], d1["is_canonical"][i])
+          for i in range(len(d1["doc_id"]))}
+    mK = {s0["doc_id"][i]: (s0["fp"][i], s0["cluster_n"][i], s0["is_canonical"][i])
+          for i in range(len(s0["doc_id"]))}
+    check("q_dedup_norm replica-0 slice", set(m1) == set(mK) and
+          all(mK[d][0] == m1[d][0] and mK[d][1] == K * m1[d][1]
+              and mK[d][2] == m1[d][2] for d in m1),
+          f"{len(m1)} docs, fp/canonical invariant, cluster_n xK")
+
+# global index: replica keys interleave in the hash order, but replica-0
+# docs keep their RELATIVE order (same hash keys), and the total xK
+if have("q_global_index"):
+    t1 = pq.read_table(glob.glob(f"{OUT1}/q_global_index/*.parquet"))
+    tK = pq.read_table(glob.glob(f"{OUTK}/q_global_index/*.parquet"))
+    check("q_global_index rowcount xK", tK.num_rows == K * t1.num_rows,
+          f"{t1.num_rows} -> {tK.num_rows}")
+    seq1 = [d for _, d in sorted(zip(t1["global_idx"].to_pylist(),
+                                     t1["doc_id"].to_pylist()))]
+    s0 = tK.filter(pc.less(tK["doc_id"], OFF))
+    seqK = [d for _, d in sorted(zip(s0["global_idx"].to_pylist(),
+                                     s0["doc_id"].to_pylist()))]
+    check("q_global_index replica-0 order", seq1 == seqK,
+          f"{len(seq1)} docs keep their relative hash order")
+
+# skew gates: the engineered hot user (-42) is remapped IN-QUERY, so all
+# K replicas' hot rows merge into one group (xK); every natural user is
+# replica-local (slice on 0 <= user_id < OFF)
+for q in ["q_skew_salted_agg", "q_skew_salted_agg_stable"]:
+    if not have(q):
+        continue
+    t1 = pq.read_table(glob.glob(f"{OUT1}/{q}/*.parquet"))
+    tK = pq.read_table(glob.glob(f"{OUTK}/{q}/*.parquet"))
+    d1 = t1.to_pydict()
+    hot1 = {d1["user_id"][i]: (d1["n"][i], d1["sum_value"][i])
+            for i in range(len(d1["user_id"])) if d1["user_id"][i] < 0}
+    hK = tK.filter(pc.less(tK["user_id"], 0)).to_pydict()
+    hotK = {hK["user_id"][i]: (hK["n"][i], hK["sum_value"][i])
+            for i in range(len(hK["user_id"]))}
+    check(f"{q} hot group xK", set(hot1) == set(hotK) and
+          all(hotK[u][0] == K * hot1[u][0] and
+              rel_ok(hotK[u][1], K * hot1[u][1], 1e-9, ulps=(K + 1) * 0.6,
+                     qpair=(hot1[u][1], hotK[u][1]))
+              for u in hot1),
+          f"hot users {sorted(hot1)}: n xK, sum xK")
+    cold1 = {c: [v for u, v in zip(d1["user_id"], d1[c]) if u >= 0]
+             for c in d1}
+    c0 = tK.filter(pc.and_(pc.greater_equal(tK["user_id"], 0),
+                           pc.less(tK["user_id"], OFF))).to_pydict()
+    check(f"{q} natural-user slice", rows_ms(cold1) == rows_ms(c0),
+          f"{len(cold1['user_id'])} vs {len(c0['user_id'])} rows")
 
 print("=" * 40)
 print(f"{len(fails)} failures" if fails else "all replication invariants hold")
