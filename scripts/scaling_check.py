@@ -142,6 +142,14 @@ PER_ENTITY = [
     # adds whole new users with verbatim event times
     ("q_stream_sessionize", "user_id"), ("q_stream_sessions", "user_id"),
     ("q_stream_alerts", "user_id"), ("q_stream_join", "user_id"),
+    # round-12 second widening: scalar-function batteries, per-customer
+    # windows (lag/ntile/moving median all PARTITION BY o_custkey), set
+    # ops over offset key sets, and the media pipeline (media_id = doc_id)
+    ("q_case_when", "o_orderkey"), ("q_date_arith", "o_orderkey"),
+    ("q_lead_lag", "o_orderkey"), ("q_moving_median", "o_orderkey"),
+    ("q_math_funcs", "l_orderkey"), ("q_unpivot", "l_orderkey"),
+    ("q_string_funcs", "p_partkey"), ("q_conv_funcs", "p_partkey"),
+    ("q_media_meta", "media_id"), ("q_media_chunks", "media_id"),
 ]
 
 # pair outputs: the predicate deciding a pair (and its measure) depends
@@ -160,7 +168,9 @@ PAIR_SLICE = [
 # outputs that must be COMPLETELY identical at both SFs: the query pins a
 # fixed replica-0 id range (q_posexplode doc_id<20, q_quantize_embed
 # vec_id<1000), so replication adds nothing it can see
-FULL_IDENTITY = ["q_posexplode", "q_quantize_embed"]
+FULL_IDENTITY = ["q_posexplode", "q_quantize_embed",
+                 # fixed replica-0 id-range subsets / dim-only key sets
+                 "q_xml_extract", "q_map_roundtrip", "q_set_ops"]
 import pyarrow.compute as pc
 for q, key in PER_ENTITY:
     if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
@@ -257,6 +267,9 @@ GROUPED = [
     ("q_grouping_sets", ["flag", "status"], ["n"], [], []),
     ("q_grouping_id", ["flag", "status", "g_flag", "g_status"], ["n"], [], []),
     ("q_null_semantics", [], ["matched", "unmatched", "null_safe_null"], [], []),
+    # k is a modulus bucket of offset keys (OFF clears the modulus), so
+    # the bucket set is invariant and multiplicities scale xK
+    ("q_intersect_all", ["op", "k"], ["n"], [], []),
     ("q_chunk_roundtrip", ["source"], ["n_docs", "n_exact"], [], []),
     # p25/p75 are deliberately absent: percentile() INTERPOLATES, and the
     # (N-1)q vs (KN-1)q positions can interpolate across a run boundary of
@@ -507,6 +520,68 @@ if have("q_global_index"):
                                      s0["doc_id"].to_pylist()))]
     check("q_global_index replica-0 order", seq1 == seqK,
           f"{len(seq1)} docs keep their relative hash order")
+
+# media queries that FILTER on kind: kind = doc_id % 3 rotates per
+# replica (OFF % 3 == 1), so global rowcounts are NOT xK — but replica-0
+# rows are untouched, so the slice must still match exactly
+for q in ["q_media_resize", "q_frame_sample"]:
+    if not have(q):
+        continue
+    t1 = pq.read_table(glob.glob(f"{OUT1}/{q}/*.parquet"))
+    tK = pq.read_table(glob.glob(f"{OUTK}/{q}/*.parquet"))
+    s0 = tK.filter(pc.less(tK["media_id"], OFF)).to_pydict()
+    check(f"{q} replica-0 slice", rows_ms(s0) == rows_ms(t1.to_pydict()),
+          f"{t1.num_rows} rows (kind rotates per replica, no global xK)")
+
+# content-address: per-doc sha is invariant, its corpus multiplicity xK
+if have("q_sha_address"):
+    d1 = load(OUT1, "q_sha_address")
+    tK = pq.read_table(glob.glob(f"{OUTK}/q_sha_address/*.parquet"))
+    check("q_sha_address rowcount xK", tK.num_rows == K * len(d1["doc_id"]),
+          f"{len(d1['doc_id'])} -> {tK.num_rows}")
+    s0 = tK.filter(pc.less(tK["doc_id"], OFF)).to_pydict()
+    m1 = {d1["doc_id"][i]: (d1["sha16"][i], d1["n_same"][i])
+          for i in range(len(d1["doc_id"]))}
+    mK = {s0["doc_id"][i]: (s0["sha16"][i], s0["n_same"][i])
+          for i in range(len(s0["doc_id"]))}
+    check("q_sha_address sha inv, n_same xK", set(m1) == set(mK) and
+          all(mK[d][0] == m1[d][0] and mK[d][1] == K * m1[d][1] for d in m1),
+          f"{len(m1)} docs")
+
+# co-purchase: pairs and their co-occurrence counts are replica-local
+# (orders never cross replicas) so n_both is INVARIANT, while
+# lift = n_both*N/(n_a*n_b) scales xK: N grows xK but each offset part's
+# own basket count does not
+if have("q_copurchase"):
+    d1, dK = load(OUT1, "q_copurchase"), load(OUTK, "q_copurchase")
+    m1 = {(d1["part_a"][i], d1["part_b"][i]): (d1["n_both"][i], d1["lift"][i])
+          for i in range(len(d1["part_a"]))}
+    mK = {(dK["part_a"][i], dK["part_b"][i]): (dK["n_both"][i], dK["lift"][i])
+          for i in range(len(dK["part_a"])) if dK["part_a"][i] < OFF}
+    check("q_copurchase pairs carried", set(m1) <= set(mK),
+          f"{len(m1)} -> {len(mK)} replica-0 pairs")
+    check("q_copurchase n_both inv, lift xK",
+          all(mK[p][0] == m1[p][0] and
+              rel_ok(mK[p][1], K * m1[p][1], 1e-9, ulps=(K + 1) * 0.6,
+                     qpair=(m1[p][1], mK[p][1]))
+              for p in m1 if p in mK), f"{len(m1)} pairs")
+
+# bit aggregates: AND/OR are idempotent under duplication; XOR of a
+# K-fold-duplicated multiset is 0 for even K (every value cancels)
+if have("q_bool_bit_aggs"):
+    d1, dK = load(OUT1, "q_bool_bit_aggs"), load(OUTK, "q_bool_bit_aggs")
+    k1, kK = keyed(d1, ["l_returnflag"]), keyed(dK, ["l_returnflag"])
+    check("q_bool_bit_aggs groups", set(k1) == set(kK), f"{len(k1)} vs {len(kK)}")
+    for g, i in k1.items():
+        j = kK[g]
+        ok = (dK["all_pos"][j] == d1["all_pos"][i]
+              and dK["any_deep_disc"][j] == d1["any_deep_disc"][i]
+              and dK["n_high_tax"][j] == K * d1["n_high_tax"][i]
+              and dK["line_band"][j] == d1["line_band"][i]
+              and dK["line_bor"][j] == d1["line_bor"][i]
+              and dK["line_bxor"][j] == (d1["line_bxor"][i] if K % 2 else 0))
+        check(f"q_bool_bit_aggs{g}", ok,
+              "bool/AND/OR inv, count xK, XOR " + ("inv" if K % 2 else "0"))
 
 # skew gates: the engineered hot user (-42) is remapped IN-QUERY, so all
 # K replicas' hot rows merge into one group (xK); every natural user is
