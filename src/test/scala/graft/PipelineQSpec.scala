@@ -96,6 +96,39 @@ class PipelineQSpec extends SparkSpec {
       s"missed Hamming-$ham signature pair via docs ($a,$b) → reps $key")
   }
 
+  test("q_simhash_band equals a driver-side brute-force of the collapsed banding") {
+    // EXACTNESS, not recall: rebuild the entire expected output from the
+    // brute-forced signatures — group by signature, band the distinct
+    // signatures, enumerate band-sharing pairs at Hamming <= 3 with
+    // na*nb mass, plus per-group Hamming-0 rows — and require set
+    // equality with the query
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .select(col("doc_id"), graft.text.TextFunctions.md5Hash32(col("w")).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.text.TextFunctions.simhashBitAggs(col("h")).head,
+        graft.text.TextFunctions.simhashBitAggs(col("h")).tail: _*)
+      .select(col("doc_id"), graft.text.TextFunctions.simhashFromBits().as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val groups = sh.groupBy(_._2).map { case (s, ds) =>
+      s -> ((ds.map(_._1).min, ds.length.toLong))
+    }
+    val sigs = groups.keys.toSeq
+    def bands(s: Long) = Seq((0, s & 255L), (1, (s >> 8) & 255L))
+    val expected = (for {
+      sa <- sigs; sb <- sigs if sa < sb
+      if bands(sa).intersect(bands(sb)).nonEmpty
+      ham = java.lang.Long.bitCount(sa ^ sb).toLong if ham <= 3
+      (ra, na) = groups(sa); (rb, nb) = groups(sb)
+    } yield (math.min(ra, rb), math.max(ra, rb), ham, na * nb)).toSet ++
+      groups.values.collect { case (rep, n) if n >= 2 => (rep, rep, 0L, n * (n - 1) / 2) }
+    val got = PipelineQ.qSimhashBand.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("q_interval_sweep matches a driver-side timeline scan") {
     val out = PipelineQ.qIntervalSweep.run(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
