@@ -54,10 +54,13 @@ for table, keys in KEYED.items():
         mx = pc.max(t[name]).as_py()
         assert mx is None or mx < OFF, \
             f"{table}.{name} max {mx} >= OFF {OFF}: pass a larger OFF"
-    replicas = []
+    # stream one replica at a time: concat_tables would hold all K
+    # replicas in memory at once, which at sf100-scale facts is tens of
+    # GB for no benefit — row groups land identically either way
+    writer = pq.ParquetWriter(f"{DST}/{table}.parquet", t.schema)
     for k in range(K):
         if k == 0:
-            replicas.append(t)
+            writer.write_table(t)
             continue
         cols = []
         for name in t.schema.names:
@@ -65,7 +68,6 @@ for table, keys in KEYED.items():
             if name in keys:
                 col = pc.add(col, pa.scalar(k * OFF, type=col.type))
             cols.append(col)
-        replicas.append(pa.table(dict(zip(t.schema.names, cols))))
-    out = pa.concat_tables(replicas)
-    pq.write_table(out, f"{DST}/{table}.parquet")
-    print(f"{table}: {t.num_rows} -> {out.num_rows} rows")
+        writer.write_table(pa.table(dict(zip(t.schema.names, cols))))
+    writer.close()
+    print(f"{table}: {t.num_rows} -> {K * t.num_rows} rows")
