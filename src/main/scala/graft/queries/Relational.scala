@@ -98,16 +98,33 @@ object Relational extends QueryPack {
       // still broadcast them at small SF (PlanSpec pins 5 broadcast
       // joins) and degrade to shuffle joins when they outgrow the
       // threshold, which a hint would forbid.
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(
-          su,
-          li("l_suppkey") === su("s_suppkey") &&
-            c("c_nationkey") === su("s_nationkey"))
-        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      //
+      // The region predicate is applied TRANSITIVELY before the fact
+      // joins: r_name='ASIA' names 5 nation keys, and c_nationkey =
+      // s_nationkey means non-Asian customers/suppliers can never
+      // survive, so both dims are pre-filtered through a broadcast of
+      // the 5-row Asian nation list. Catalyst cannot infer a filter
+      // across a join equality, and without this the full fact volume
+      // is shuffled three times before the first selective join: at
+      // sf100 (600M lineitem) the naive order shuffled ~1.95B rows and
+      // took 152 s; filtering the supplier side first cuts lineitem to
+      // the Asian-supplier fifth BEFORE the orders and customer
+      // exchanges (~1.0B rows shuffled).
+      val asian = n
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .filter(r("r_name") === "ASIA")
-        .groupBy(n("n_name").as("n_name"))
+        .select(n("n_nationkey"), n("n_name"))
+      val asianSu = su.join(broadcast(asian), su("s_nationkey") === asian("n_nationkey"))
+      val asianCu = c.join(
+        broadcast(asian.select(col("n_nationkey").as("cn_key"))),
+        c("c_nationkey") === col("cn_key"))
+      li.join(asianSu, li("l_suppkey") === asianSu("s_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(
+          asianCu,
+          o("o_custkey") === asianCu("c_custkey") &&
+            asianCu("c_nationkey") === asianSu("s_nationkey"))
+        .groupBy(asianSu("n_name").as("n_name"))
         .agg(
           // Order-independent money sum: per-row round to integer cents
           // (positive values: HALF_UP == away-from-zero in both engines),
