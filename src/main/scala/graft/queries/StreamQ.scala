@@ -207,15 +207,24 @@ object StreamQ extends QueryPack {
         java.nio.file.Paths.get(s"$dir/events.parquet"), stage.resolve("events_replay.parquet"))
       val ev = eventStream(s, stage, dir)
       val deduped = EventStreams.dedupEvents(ev, watermark = "1 hour")
-      val sink = s"stream_dedup_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      // ROW-GRAIN stream output goes through the transactional parquet
+      // file sink (distributed write, exactly-once via the sink's
+      // metadata log), never the memory sink: memory collects every
+      // deduped row to the driver, which at sf100 (200M delivered rows)
+      // dies on maxResultSize — found by the round-12 sf100 run. The
+      // bounded COMPLETE-mode aggregates elsewhere in this pack keep
+      // the memory sink; their state is window-key-sized, not row-sized.
+      val out = java.nio.file.Files.createTempDirectory("stream_dedup_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_dedup_ckpt").toString
       val query = deduped.writeStream
-        .format("memory")
-        .queryName(sink)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      s.table(sink).agg(
+      s.read.parquet(out).agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         (round(sum(col("value")) * 100) / 100).as("total_value"))
@@ -457,21 +466,28 @@ object StreamQ extends QueryPack {
       val ev = eventStream(s, stage, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[EventStreams.Event]
-      val sink = s"stream_alerts_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      // alert rows are row-grain (one per threshold crossing — they
+      // scale with total event value, ~tens of millions at sf100), so
+      // the drain goes through the distributed parquet file sink; the
+      // memory sink collected them all to the driver and died on
+      // maxResultSize in the round-12 sf100 run
+      val out = java.nio.file.Files.createTempDirectory("stream_alerts_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_alerts_ckpt").toString
       s.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         val query = EventStreams.thresholdAlerts(ev, threshold = 100.0)
           .toDF.writeStream
-          .format("memory")
-          .queryName(sink)
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Append())
           .trigger(Trigger.AvailableNow())
           .start()
         query.awaitTermination()
       } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      s.table(sink)
+      s.read.parquet(out)
         .select(
           col("user_id"), col("n_events").cast("long").as("n_events"),
           (round(col("total_value") * 100) / 100).as("total_value"))
