@@ -298,7 +298,6 @@ object StreamQ extends QueryPack {
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val ev = eventStream(s, stage, dir)
       val joined = EventStreams.clickToPurchase(ev, windowSeconds = 600, watermark = "10 minutes")
-      val sink = s"stream_join_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       // A stream-stream join keeps FOUR state stores per partition, each
       // committed every micro-batch — so state partitioning follows
       // STATE volume (bounded by the watermark horizon: 10 minutes of
@@ -306,20 +305,24 @@ object StreamQ extends QueryPack {
       // partitions cuts the commit fan-out 4×8×batches vs 4×32×batches
       // (measured 8.4 s -> 2.8 s); a production deployment sizes this
       // to horizon volume the same way. Restored after the drain.
+      // Matched pairs are ROW-GRAIN (they grow with event volume), so
+      // the drain goes through the distributed parquet file sink like
+      // every other row-grain stream in this pack.
+      val out = java.nio.file.Files.createTempDirectory("stream_join_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_join_ckpt").toString
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val query =
-        try {
-          val q = joined.writeStream
-            .format("memory")
-            .queryName(sink)
-            .outputMode(OutputMode.Append())
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          q
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.table(sink)
+      try {
+        val q = joined.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.read.parquet(out)
         .select(
           col("user_id"), col("click_id"), col("purchase_id"),
           col("click_ts"), col("purchase_ts"),
