@@ -179,12 +179,13 @@ object Corpus extends QueryPack {
     Some("""WITH toks AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS t
                           FROM documents),
             sh AS (SELECT doc_id, source,
-                          unnest([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]) AS shingle
+                          ('0x' || substr(md5(unnest(
+                            [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)])), 1, 15))::BIGINT AS g
                    FROM toks WHERE len(t) >= 8),
-            eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
-            train AS (SELECT DISTINCT doc_id, source, shingle FROM sh WHERE doc_id % 10 <> 0),
+            eval_sh AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+            train AS (SELECT DISTINCT doc_id, source, g FROM sh WHERE doc_id % 10 <> 0),
             hits AS (SELECT DISTINCT train.doc_id, train.source
-                     FROM train JOIN eval_sh USING (shingle)),
+                     FROM train JOIN eval_sh USING (g)),
             base AS (SELECT source, count(*) AS n_train FROM documents
                      WHERE doc_id % 10 <> 0 GROUP BY source)
             SELECT base.source, CAST(base.n_train AS BIGINT) AS n_train,
@@ -197,15 +198,20 @@ object Corpus extends QueryPack {
       val toks = docs(s, dir)
         .select(col("doc_id"), col("source"),
           regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+      // shingles hash to 60-bit ints map-side (same md5-prefix spell as
+      // the oracle), so the distincts and the eval⋈train join shuffle
+      // 8-byte keys — see spanIslands for the collision argument
       val sh = toks.filter(size(col("t")) >= 8)
         .select(col("doc_id"), col("source"),
           explode(expr("transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))"))
             .as("shingle"))
+        .select(col("doc_id"), col("source"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("g"))
         .localCheckpoint(true) // eval + train sides share one shingling
-      val evalSh = sh.filter(col("doc_id") % 10 === 0).select(col("shingle")).distinct()
+      val evalSh = sh.filter(col("doc_id") % 10 === 0).select(col("g")).distinct()
       val train = sh.filter(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id"), col("source"), col("shingle")).distinct()
-      val hits = train.join(evalSh, Seq("shingle"))
+        .select(col("doc_id"), col("source"), col("g")).distinct()
+      val hits = train.join(evalSh, Seq("g"))
         .select(col("doc_id"), col("source")).distinct()
         .groupBy(col("source")).agg(count(lit(1)).as("n_hit"))
       val base = docs(s, dir).filter(col("doc_id") % 10 =!= 0)

@@ -794,15 +794,24 @@ object Dedup extends QueryPack {
     * windows. Nothing is ever pairwise.
     */
   private def spanIslands(toks: DataFrame): DataFrame = {
+    // the 8-gram is hashed to a 60-bit int AT THE MAP SIDE (both engines
+    // spell the identical md5-prefix hash), so the corpus-wide
+    // first-occurrence aggregation and the join back shuffle 8-byte keys
+    // instead of ~50-char strings — a 4-6× shuffle/spill reduction that
+    // is the difference between completing and dying on local disk at
+    // sf100 (225M+ gram occurrences). 60 bits over 225M grams ≈ 0.02
+    // expected collisions, and a collision conflates the same pair in
+    // BOTH engines, so the gate stays exact.
     val gr = toks.filter(size(col("t")) >= 8)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(t) - 7),
                      i -> named_struct('i', i, 'gram', array_join(slice(t, i, 8), ' ')))"""))
         .as("x"))
-      .select(col("doc_id"), col("x.i").as("i"), col("x.gram").as("gram"))
-    val f = gr.groupBy(col("gram"))
+      .select(col("doc_id"), col("x.i").as("i"),
+        conv(substring(md5(col("x.gram")), 1, 15), 16, 10).cast("long").as("g"))
+    val f = gr.groupBy(col("g"))
       .agg(min(struct(col("doc_id").as("d"), col("i").as("fi"))).as("fst"))
-    val dups = gr.join(f, Seq("gram"))
+    val dups = gr.join(f, Seq("g"))
       .filter(!(col("doc_id") === col("fst.d") && col("i") === col("fst.fi")))
     val iv = dups.select(col("doc_id"), col("i").as("s"), (col("i") + 7).as("e")).distinct()
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
@@ -822,13 +831,16 @@ object Dedup extends QueryPack {
   private val spanIslandSql =
     """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
                 FROM documents),
-       gr AS (SELECT doc_id,
-                     unnest([{'i': i, 'gram': array_to_string(t[i:i+7], ' ')}
-                             FOR i IN range(1, len(t) - 6)],
-                            recursive := true)
-              FROM toks WHERE len(t) >= 8),
-       f AS (SELECT gram, min({'d': doc_id, 'i': i}) AS fst FROM gr GROUP BY gram),
-       d AS (SELECT gr.doc_id, gr.i FROM gr JOIN f USING (gram)
+       gr0 AS (SELECT doc_id,
+                      unnest([{'i': i, 'gram': array_to_string(t[i:i+7], ' ')}
+                              FOR i IN range(1, len(t) - 6)],
+                             recursive := true)
+               FROM toks WHERE len(t) >= 8),
+       gr AS (SELECT doc_id, i,
+                     ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g
+              FROM gr0),
+       f AS (SELECT g, min({'d': doc_id, 'i': i}) AS fst FROM gr GROUP BY g),
+       d AS (SELECT gr.doc_id, gr.i FROM gr JOIN f USING (g)
              WHERE NOT (gr.doc_id = f.fst.d AND gr.i = f.fst.i)),
        iv AS (SELECT DISTINCT doc_id, i AS s, i + 7 AS e FROM d),
        m AS (SELECT doc_id, s, e,

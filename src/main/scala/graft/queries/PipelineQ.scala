@@ -539,16 +539,20 @@ object PipelineQ extends QueryPack {
     Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
                           FROM documents),
             sh AS (SELECT doc_id,
-                          unnest([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]) AS shingle
+                          ('0x' || substr(md5(unnest(
+                            [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)])), 1, 15))::BIGINT AS g
                    FROM toks WHERE len(t) >= 8),
-            dc AS (SELECT shingle, count(DISTINCT doc_id) AS nd FROM sh GROUP BY shingle)
+            dc AS (SELECT g, count(DISTINCT doc_id) AS nd FROM sh GROUP BY g)
             SELECT doc_id,
                    CAST(count(*) AS BIGINT) AS n_grams,
                    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
                    round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1e6 / count(*)) / 1e6 AS shared_frac
-            FROM sh JOIN dc USING (shingle)
+            FROM sh JOIN dc USING (g)
             GROUP BY doc_id ORDER BY doc_id"""),
     (s, dir) => {
+      // grams hash to 60-bit ints map-side (identical md5-prefix spell
+      // in the oracle): the checkpoint, the doc-count aggregation, and
+      // the join back all carry 8-byte keys instead of ~50-char strings
       val sh = docs(s, dir)
         .select(col("doc_id"),
           regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
@@ -556,10 +560,12 @@ object PipelineQ extends QueryPack {
         .select(col("doc_id"),
           explode(expr("transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))"))
             .as("shingle"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("g"))
         .localCheckpoint(true) // doc-count side + position side share one shingling
-      val dc = sh.groupBy(col("shingle"))
+      val dc = sh.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
-      sh.join(dc, Seq("shingle"))
+      sh.join(dc, Seq("g"))
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).cast("long").as("n_grams"),
