@@ -317,16 +317,29 @@ def quantum(a, b):
     return 10.0 ** -max(ds) if ds else 1e-9
 
 
-def rel_ok(got, want, tol, ulps=1.1, qpair=None):
+def col_quantum(*cols):
+    """Rounding grid of a WHOLE column (finest decimal count across every
+    nonzero value in both outputs). A single compared pair can land on
+    integral floats — e.g. a 2-dp money sum hitting .0 — which would
+    infer a grid of 1.0 and make the xK tolerance (K+1)*0.6 ABSOLUTE
+    units, masking genuine drift; any other value in the column showing
+    decimals floors the grid for the pair too."""
+    ds = [dec_places(v) for c in cols for v in c
+          if isinstance(v, float) and v not in (None, 0.0)]
+    return 10.0 ** -max(ds) if ds else None
+
+
+def rel_ok(got, want, tol, ulps=1.1, qpair=None, q=None):
     """qpair: the two values AS OBSERVED in the outputs, for grid
     inference — a derived `want` (e.g. K*a) carries fp noise in its
     decimal representation and would make the inferred grid spuriously
-    fine."""
+    fine. q: an explicit (column-wide) grid, preferred when known."""
     if got is None and want is None:
         return True
     if got is None or want is None:
         return False
-    q = quantum(*qpair) if qpair else quantum(got, want)
+    if q is None:
+        q = quantum(*qpair) if qpair else quantum(got, want)
     return abs(got - want) <= tol * abs(want) + ulps * q + 1e-9
 
 
@@ -341,6 +354,7 @@ for q, keys, xk_cols, inv_cols, tol_cols in GROUPED:
         items = [(g, i, kK[g]) for g, i in k1.items() if g in kK]
     else:
         items = [((), 0, 0)]
+    qcol = {c: col_quantum(d1[c], dK[c]) for c in xk_cols + tol_cols}
     for g, i, j in items:
         for c in xk_cols:
             a, b = d1[c][i], dK[c][j]
@@ -349,7 +363,7 @@ for q, keys, xk_cols, inv_cols, tol_cols in GROUPED:
                 # the grid plus the sf(K*N) side's own half-step
                 check(f"{q} {c}{g} xK",
                       rel_ok(b, None if a is None else K * a, 1e-9,
-                             ulps=(K + 1) * 0.6, qpair=(a, b)),
+                             ulps=(K + 1) * 0.6, qpair=(a, b), q=qcol[c]),
                       f"{a} -> {b}")
             else:
                 check(f"{q} {c}{g} xK",
@@ -359,7 +373,8 @@ for q, keys, xk_cols, inv_cols, tol_cols in GROUPED:
             check(f"{q} {c}{g} inv", str(d1[c][i]) == str(dK[c][j]),
                   f"{d1[c][i]} -> {dK[c][j]}")
         for c in tol_cols:
-            check(f"{q} {c}{g} inv~", rel_ok(dK[c][j], d1[c][i], 1e-6),
+            check(f"{q} {c}{g} inv~",
+                  rel_ok(dK[c][j], d1[c][i], 1e-6, q=qcol[c]),
                   f"{d1[c][i]} -> {dK[c][j]}")
 
 # ---- content-keyed dedup ----------------------------------------------
@@ -521,6 +536,26 @@ if have("q_global_index"):
     check("q_global_index replica-0 order", seq1 == seqK,
           f"{len(seq1)} docs keep their relative hash order")
 
+# shard manifest: shard CONTENTS interleave replicas in the hash order
+# (replica doc_ids hash differently), but the tiling audit is structural
+# at ANY size — consecutive shard_ids, ranges tiling [0, N) gaplessly in
+# 50s with a partial tail — and the totals are exact: Σ n_docs xK,
+# Σ n_chars xK (content is replicated verbatim)
+if have("q_shard_manifest"):
+    d1, dK = load(OUT1, "q_shard_manifest"), load(OUTK, "q_shard_manifest")
+    n1, nK = sum(d1["n_docs"]), sum(dK["n_docs"])
+    check("q_shard_manifest total docs xK", nK == K * n1, f"{n1} -> {nK}")
+    check("q_shard_manifest total chars xK",
+          sum(dK["n_chars"]) == K * sum(d1["n_chars"]),
+          f"{sum(d1['n_chars'])} -> {sum(dK['n_chars'])}")
+    for tag, d, n in (("sfN", d1, n1), ("sfKN", dK, nK)):
+        shards = sorted(zip(d["shard_id"], d["idx_lo"], d["idx_hi"], d["n_docs"]))
+        ok = (all(s == i for i, (s, _, _, _) in enumerate(shards))
+              and all(lo == 50 * s and hi == min(50 * s + 49, n - 1)
+                      and nd == hi - lo + 1 for s, lo, hi, nd in shards))
+        check(f"q_shard_manifest {tag} tiling", ok,
+              f"{len(shards)} shards tile [0, {n}) in 50s")
+
 # media queries that FILTER on kind: kind = doc_id % 3 rotates per
 # replica (OFF % 3 == 1), so global rowcounts are NOT xK — but replica-0
 # rows are untouched, so the slice must still match exactly
@@ -558,12 +593,18 @@ if have("q_copurchase"):
           for i in range(len(d1["part_a"]))}
     mK = {(dK["part_a"][i], dK["part_b"][i]): (dK["n_both"][i], dK["lift"][i])
           for i in range(len(dK["part_a"])) if dK["part_a"][i] < OFF}
-    check("q_copurchase pairs carried", set(m1) <= set(mK),
-          f"{len(m1)} -> {len(mK)} replica-0 pairs")
+    # pairs are replica-local and EXACT: the replica-0 slice must equal
+    # the sf(N) pair set in both directions — an extra pair appearing
+    # only at sf(K*N) is as much a violation as a dropped one
+    check("q_copurchase pairs exact", set(m1) == set(mK),
+          f"{len(m1)} vs {len(mK)} replica-0 pairs"
+          + (f"; extras {sorted(set(mK) - set(m1))[:5]}" if set(mK) - set(m1) else "")
+          + (f"; missing {sorted(set(m1) - set(mK))[:5]}" if set(m1) - set(mK) else ""))
+    q_lift = col_quantum(d1["lift"], dK["lift"])
     check("q_copurchase n_both inv, lift xK",
           all(mK[p][0] == m1[p][0] and
               rel_ok(mK[p][1], K * m1[p][1], 1e-9, ulps=(K + 1) * 0.6,
-                     qpair=(m1[p][1], mK[p][1]))
+                     qpair=(m1[p][1], mK[p][1]), q=q_lift)
               for p in m1 if p in mK), f"{len(m1)} pairs")
 
 # bit aggregates: AND/OR are idempotent under duplication; XOR of a
@@ -597,10 +638,11 @@ for q in ["q_skew_salted_agg", "q_skew_salted_agg_stable"]:
     hK = tK.filter(pc.less(tK["user_id"], 0)).to_pydict()
     hotK = {hK["user_id"][i]: (hK["n"][i], hK["sum_value"][i])
             for i in range(len(hK["user_id"]))}
+    q_sum = col_quantum(d1["sum_value"], hK["sum_value"])
     check(f"{q} hot group xK", set(hot1) == set(hotK) and
           all(hotK[u][0] == K * hot1[u][0] and
               rel_ok(hotK[u][1], K * hot1[u][1], 1e-9, ulps=(K + 1) * 0.6,
-                     qpair=(hot1[u][1], hotK[u][1]))
+                     qpair=(hot1[u][1], hotK[u][1]), q=q_sum)
               for u in hot1),
           f"hot users {sorted(hot1)}: n xK, sum xK")
     cold1 = {c: [v for u, v in zip(d1["user_id"], d1[c]) if u >= 0]

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryPack, Tables}
 import graft.text.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -793,7 +793,19 @@ object Dedup extends QueryPack {
     * aggregation for first-occurrences, one join back, per-doc
     * windows. Nothing is ever pairwise.
     */
-  private def spanIslands(toks: DataFrame): DataFrame = {
+  /** The md5-prefix gram hash, the IDENTICAL spell the DuckDB oracles
+    * use (`('0x' || substr(md5(g), 1, 15))::BIGINT`): 15 hex chars =
+    * 60 bits. A collision (two distinct grams sharing the prefix)
+    * therefore conflates the same gram pair in BOTH engines, which is
+    * what keeps the gate exact — pinned by DedupCollisionSpec, which
+    * shrinks `hexChars` to force collisions and checks the engine
+    * against an independent replay of the oracle's algorithm.
+    * Production callers always use the 60-bit default.
+    */
+  private[graft] def gramHash(gram: Column, hexChars: Int = 15): Column =
+    conv(substring(md5(gram), 1, hexChars), 16, 10).cast("long")
+
+  private[graft] def spanIslands(toks: DataFrame, hashHexChars: Int = 15): DataFrame = {
     // the 8-gram is hashed to a 60-bit int AT THE MAP SIDE (both engines
     // spell the identical md5-prefix hash), so the corpus-wide
     // first-occurrence aggregation and the join back shuffle 8-byte keys
@@ -808,7 +820,7 @@ object Dedup extends QueryPack {
                      i -> named_struct('i', i, 'gram', array_join(slice(t, i, 8), ' ')))"""))
         .as("x"))
       .select(col("doc_id"), col("x.i").as("i"),
-        conv(substring(md5(col("x.gram")), 1, 15), 16, 10).cast("long").as("g"))
+        gramHash(col("x.gram"), hashHexChars).as("g"))
     val f = gr.groupBy(col("g"))
       .agg(min(struct(col("doc_id").as("d"), col("i").as("fi"))).as("fst"))
     val dups = gr.join(f, Seq("g"))

@@ -100,24 +100,28 @@ object Relational extends QueryPack {
       // threshold, which a hint would forbid.
       //
       // The region predicate is applied TRANSITIVELY before the fact
-      // joins: r_name='ASIA' names 5 nation keys, and c_nationkey =
-      // s_nationkey means non-Asian customers/suppliers can never
-      // survive, so both dims are pre-filtered through a broadcast of
-      // the 5-row Asian nation list. Catalyst cannot infer a filter
-      // across a join equality, and without this the full fact volume
-      // is shuffled three times before the first selective join: at
-      // sf100 (600M lineitem) the naive order shuffled ~1.95B rows and
-      // took 152 s; filtering the supplier side first cuts lineitem to
-      // the Asian-supplier fifth BEFORE the orders and customer
-      // exchanges (~1.0B rows shuffled).
+      // joins via [[graft.operators.Star.pruneFacts]]: r_name='ASIA'
+      // names 5 nation keys, and c_nationkey = s_nationkey means
+      // non-Asian customers/suppliers can never survive, so both
+      // fact-side tables are pre-filtered through a broadcast semi
+      // join on the 5-row Asian nation list. Catalyst cannot infer a
+      // filter across a join equality, and without this the full fact
+      // volume is shuffled three times before the first selective
+      // join: at sf100 (600M lineitem) the naive order shuffled ~1.95B
+      // rows and took 152 s; filtering the supplier side first cuts
+      // lineitem to the Asian-supplier fifth BEFORE the orders and
+      // customer exchanges (~1.0B rows shuffled).
       val asian = n
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .filter(r("r_name") === "ASIA")
         .select(n("n_nationkey"), n("n_name"))
-      val asianSu = su.join(broadcast(asian), su("s_nationkey") === asian("n_nationkey"))
-      val asianCu = c.join(
-        broadcast(asian.select(col("n_nationkey").as("cn_key"))),
-        c("c_nationkey") === col("cn_key"))
+      val Seq(suPruned, asianCu) = graft.operators.Star.pruneFacts(asian, "n_nationkey")(
+        su -> "s_nationkey", c -> "c_nationkey")
+      // n_name enrichment is separate from the prune: the semi join
+      // carries no dim columns, so the projected attribute comes from
+      // one more broadcast join on the already-pruned (≤1/5) supplier
+      val asianSu = suPruned.join(
+        broadcast(asian), suPruned("s_nationkey") === asian("n_nationkey"))
       li.join(asianSu, li("l_suppkey") === asianSu("s_suppkey"))
         .join(o, li("l_orderkey") === o("o_orderkey"))
         .join(

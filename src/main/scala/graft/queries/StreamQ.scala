@@ -18,6 +18,54 @@ import scala.jdk.CollectionConverters._
   */
 object StreamQ extends QueryPack {
 
+  /** All stream-drain staging — source dirs, parquet-sink output,
+    * checkpoints — lives under ONE per-JVM root, deleted recursively
+    * when the JVM exits: at sf100 a single drain's parquet output plus
+    * RocksDB checkpoint is tens of GB, and the default temp dir may be
+    * tmpfs (RAM). `GRAFT_STAGE_DIR` overrides the root's parent so a
+    * scale run can point staging at real disk. Queries whose RESULT is
+    * a bounded aggregate over the drained output additionally delete
+    * their heavyweight dirs EAGERLY (the readback collapses to a
+    * handful of rows first — see [[boundedReadback]]); row-grain
+    * results must stay readable for the caller's lifetime, so their
+    * dirs wait for the exit hook.
+    */
+  private[queries] object Staging {
+    private lazy val root: java.nio.file.Path = {
+      val parent = sys.env.get("GRAFT_STAGE_DIR")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      java.nio.file.Files.createDirectories(parent)
+      val r = java.nio.file.Files.createTempDirectory(parent, "graft_stream_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delete(r)))
+      r
+    }
+    def dir(name: String): java.nio.file.Path =
+      java.nio.file.Files.createTempDirectory(root, name)
+    def delete(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally walk.close()
+      }
+  }
+
+  /** Materialize a BOUNDED aggregate over a drain's parquet output
+    * (a handful of rows by construction), then eagerly delete the
+    * staging dirs it read from — the readback result no longer
+    * references them. This is what lets the aggregate-result stream
+    * gates run back-to-back at sf100 without accumulating hundreds of
+    * GB of already-consumed drain output.
+    */
+  private def boundedReadback(
+      agg: org.apache.spark.sql.DataFrame,
+      dirs: Seq[java.nio.file.Path]): org.apache.spark.sql.DataFrame = {
+    val rows = agg.collect() // bounded by construction (scalar/few-group agg)
+    dirs.foreach(Staging.delete)
+    agg.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+  }
+
   /** Footer-derived raw schema of the events source (streaming sources
     * need the schema up front; probing it through the batch reader keeps
     * the stream contract identical to [[graft.Tables]]' batch loader
@@ -65,7 +113,7 @@ object StreamQ extends QueryPack {
     }
     def typed(c: org.apache.spark.sql.Column, name: String) =
       c.cast(raw.schema(name).dataType).as(name)
-    val sentinelOut = java.nio.file.Files.createTempDirectory("sentinel").resolve("p")
+    val sentinelOut = Staging.dir("sentinel").resolve("p")
     raw.agg(bumped.as("ts"))
       .select(
         typed(lit(-1L), "event_id"), typed(col("ts"), "ts"), typed(lit(-1L), "user_id"),
@@ -92,7 +140,7 @@ object StreamQ extends QueryPack {
       // the file-stream source ingests DIRECTORIES (files appear, get
       // processed, watermarked out — the production drop-zone shape);
       // stage the single test parquet behind a symlink
-      val stage = java.nio.file.Files.createTempDirectory("stream_events")
+      val stage = Staging.dir("stream_events")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val ev = eventStream(s, stage, dir)
@@ -152,11 +200,11 @@ object StreamQ extends QueryPack {
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start"""),
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("stream_sessions")
+      val stage = Staging.dir("stream_sessions")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val out = java.nio.file.Files.createTempDirectory("stream_sessions_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("stream_sessions_ckpt").toString
+      val out = Staging.dir("stream_sessions_out").toString
+      val ckpt = Staging.dir("stream_sessions_ckpt").toString
       def drain(): Unit = {
         val ev = eventStream(s, stage, dir)
         EventStreams.sessionWindowAgg(ev, gap = "30 minutes", watermark = "0 seconds")
@@ -200,7 +248,7 @@ object StreamQ extends QueryPack {
                    round(sum(value) * 100) / 100 AS total_value
             FROM events"""),
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("stream_dedup")
+      val stage = Staging.dir("stream_dedup")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       java.nio.file.Files.copy(
@@ -214,8 +262,8 @@ object StreamQ extends QueryPack {
       // dies on maxResultSize — found by the round-12 sf100 run. The
       // bounded COMPLETE-mode aggregates elsewhere in this pack keep
       // the memory sink; their state is window-key-sized, not row-sized.
-      val out = java.nio.file.Files.createTempDirectory("stream_dedup_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("stream_dedup_ckpt").toString
+      val out = Staging.dir("stream_dedup_out").toString
+      val ckpt = Staging.dir("stream_dedup_ckpt").toString
       val query = deduped.writeStream
         .format("parquet")
         .option("path", out)
@@ -224,10 +272,12 @@ object StreamQ extends QueryPack {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      s.read.parquet(out).agg(
-        count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        (round(sum(col("value")) * 100) / 100).as("total_value"))
+      boundedReadback(
+        s.read.parquet(out).agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          (round(sum(col("value")) * 100) / 100).as("total_value")),
+        Seq(stage, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt)))
     })
 
   /** Stream-static enrichment join under the gate: the event stream is
@@ -247,7 +297,7 @@ object StreamQ extends QueryPack {
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY 1, 2 ORDER BY 1, 2"""),
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("stream_enrich")
+      val stage = Staging.dir("stream_enrich")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val ev = eventStream(s, stage, dir)
@@ -293,7 +343,7 @@ object StreamQ extends QueryPack {
               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 600 SECOND
             ORDER BY c.user_id, click_id, purchase_id"""),
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("stream_join")
+      val stage = Staging.dir("stream_join")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val ev = eventStream(s, stage, dir)
@@ -308,8 +358,8 @@ object StreamQ extends QueryPack {
       // Matched pairs are ROW-GRAIN (they grow with event volume), so
       // the drain goes through the distributed parquet file sink like
       // every other row-grain stream in this pack.
-      val out = java.nio.file.Files.createTempDirectory("stream_join_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("stream_join_ckpt").toString
+      val out = Staging.dir("stream_join_out").toString
+      val ckpt = Staging.dir("stream_join_ckpt").toString
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
@@ -347,7 +397,7 @@ object StreamQ extends QueryPack {
             FROM events, generate_series(0, 1) AS t(k)
             GROUP BY bucket ORDER BY bucket"""),
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("stream_sliding")
+      val stage = Staging.dir("stream_sliding")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val ev = eventStream(s, stage, dir)
@@ -403,11 +453,11 @@ object StreamQ extends QueryPack {
             ORDER BY user_id, session_start"""),
     (s, dir) => {
       import s.implicits._
-      val stage = java.nio.file.Files.createTempDirectory("stream_sessionize")
+      val stage = Staging.dir("stream_sessionize")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val out = java.nio.file.Files.createTempDirectory("stream_sessionize_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("stream_sessionize_ckpt").toString
+      val out = Staging.dir("stream_sessionize_out").toString
+      val ckpt = Staging.dir("stream_sessionize_ckpt").toString
       def drain(): Unit = {
         val ev = eventStream(s, stage, dir)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -463,7 +513,7 @@ object StreamQ extends QueryPack {
             ORDER BY user_id, n_events"""),
     (s, dir) => {
       import s.implicits._
-      val stage = java.nio.file.Files.createTempDirectory("stream_alerts")
+      val stage = Staging.dir("stream_alerts")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val ev = eventStream(s, stage, dir)
@@ -474,8 +524,8 @@ object StreamQ extends QueryPack {
       // the drain goes through the distributed parquet file sink; the
       // memory sink collected them all to the driver and died on
       // maxResultSize in the round-12 sf100 run
-      val out = java.nio.file.Files.createTempDirectory("stream_alerts_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("stream_alerts_ckpt").toString
+      val out = Staging.dir("stream_alerts_out").toString
+      val ckpt = Staging.dir("stream_alerts_ckpt").toString
       s.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -515,11 +565,11 @@ object StreamQ extends QueryPack {
                    round(sum(value) * 100) / 100 AS total_value
             FROM events"""),
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("stream_restart")
+      val stage = Staging.dir("stream_restart")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val out = java.nio.file.Files.createTempDirectory("stream_restart_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("stream_restart_ckpt").toString
+      val out = Staging.dir("stream_restart_out").toString
+      val ckpt = Staging.dir("stream_restart_ckpt").toString
       def drain(): Unit = {
         val ev = eventStream(s, stage, dir)
         val query = EventStreams.dedupEvents(ev, watermark = "1 hour")
@@ -540,10 +590,12 @@ object StreamQ extends QueryPack {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), replay)
       drain() // second life, same checkpoint: replay must be a no-op
-      s.read.parquet(out).agg(
-        count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        (round(sum(col("value")) * 100) / 100).as("total_value"))
+      boundedReadback(
+        s.read.parquet(out).agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          (round(sum(col("value")) * 100) / 100).as("total_value")),
+        Seq(stage, java.nio.file.Paths.get(out), java.nio.file.Paths.get(ckpt)))
     })
 
   override def queries: Seq[Q] =

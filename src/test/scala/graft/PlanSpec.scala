@@ -285,6 +285,49 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(prop).nonEmpty, prop)
   }
 
+  test("Star.pruneFacts: both transitive prunes sit below the first fact exchange") {
+    // the property that made q_join_star scale (sf100 152.5 → 41.6 s):
+    // the broadcast LEFT SEMI prune on the restricted dimension's key
+    // set runs inside the supplier/customer SCAN stage, so every
+    // downstream shuffle moves only surviving rows. Asserted on the
+    // static plan (the property is positional, not a runtime re-plan):
+    // on each pruned scan's root→leaf path, a LeftSemi broadcast join
+    // must be DEEPER than every shuffle exchange.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val conf = spark.conf
+    val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = SparkEntry.queries("q_join_star")(spark, dir).queryExecution.executedPlan
+      def pathsToScan(p: SparkPlan, marker: String): Seq[List[SparkPlan]] =
+        if (p.children.isEmpty) {
+          if (p.toString.contains(marker)) Seq(List(p)) else Seq.empty
+        } else p.children.flatMap(c => pathsToScan(c, marker).map(p :: _))
+      for (scan <- Seq("supplier.parquet", "customer.parquet")) {
+        val paths = pathsToScan(root, scan)
+        assert(paths.nonEmpty, s"no $scan scan found in:\n$root")
+        // exactly one scan of each pruned table — the prune must not
+        // have duplicated the read
+        assert(paths.length === 1, s"$scan scanned ${paths.length} times")
+        val path = paths.head // head = root, last = leaf scan
+        val semiIdx = path.lastIndexWhere {
+          case b: BroadcastHashJoinExec => b.joinType == LeftSemi
+          case _ => false
+        }
+        assert(semiIdx >= 0, s"no LeftSemi broadcast prune on the $scan path:\n$root")
+        val shallowestExchangeBelowSemi = path.zipWithIndex.collect {
+          case (_: ShuffleExchangeLike, i) if i > semiIdx => i
+        }
+        assert(shallowestExchangeBelowSemi.isEmpty,
+          s"$scan: a shuffle exchange sits between the scan and its semi prune:\n$root")
+      }
+    } finally prevAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("SemVer parse/compare (F9)") {
     assert(SemVer.parse("1.0.4") === SemVer(1, 0, 4))
     assert(SemVer.parse("2.0.0") > SemVer.parse("1.9.9"))

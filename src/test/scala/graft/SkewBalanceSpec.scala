@@ -115,17 +115,57 @@ class SkewBalanceSpec extends SparkSpec {
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.coalescePartitions.minPartitionSize")
     val prev = keys.map(k => k -> conf.getOption(k)).toMap
-    // AQE + coalescing ACTIVE, advisory sized between a cold fragment and
-    // a hot salted sub-group, so coalescing really merges cold partitions
-    // while the hot key's 16 sub-groups stay separate reducers
-    conf.set("spark.sql.adaptive.enabled", "true")
+    // AQE + coalescing ACTIVE. The byte knobs are DERIVED from the
+    // fixture's measured shuffle volume (not pinned) so a schema or
+    // encoding change moves them with the data instead of silently
+    // flipping which partitions coalesce: a hot salted sub-group is
+    // s·T/saltBuckets bytes, and advisory = 2× that — big enough that
+    // coalescing is genuinely active on the salted stage (adjacent
+    // sub-advisory partitions merge in ~pairs), small enough that the
+    // 16 hot sub-groups cannot collapse below the asserted 4 distinct
+    // reducers (that would need advisory ≥ 4× a sub-group).
+    val saltBuckets = 16
+    val shufflePartitions = 32
+    val (hotShare, shuffleBytes) = {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      @volatile var maxStage = 0L
+      val sl = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val b = e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          if (b > maxStage) maxStage = b
+        }
+      }
+      spark.sparkContext.addSparkListener(sl)
+      try {
+        val li = SkewQ.skewedLineitem(spark, dir)
+          .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+        val build = Tables.load(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+        val hot = graft.operators.Skew.hotKeys(li, Seq("p_partkey"), minShare = 0.05)
+        graft.operators.Skew.saltedJoinSkewOnly(
+          li, build, Seq("p_partkey"), saltBuckets = saltBuckets, hotKeys = hot).count()
+        val s = li.filter(col("p_partkey") === 1L).count().toDouble / li.count()
+        val deadline = System.currentTimeMillis() + 30000
+        while (maxStage == 0L && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        (s, maxStage)
+      } finally spark.sparkContext.removeSparkListener(sl)
+    }
+    val hotSub = hotShare * shuffleBytes / saltBuckets
+    assert(shuffleBytes > 0, "measured no shuffle — the calibration join stopped shuffling")
+    assert(hotSub >= 1024,
+      s"fixture drifted: a hot salted sub-group is only $hotSub B — too small " +
+        "to stage a meaningful coalescing regime")
+    val advisory = (2 * hotSub).toLong
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
-    // the 1MB default would swallow this whole sf0.01 stage into one
-    // partition regardless of salt — scale the floor with the fixture
-    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1024")
-    conf.set("spark.sql.shuffle.partitions", "32")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory.toString)
+    // the 1MB default floor would swallow this whole sf0.01 stage into
+    // one partition regardless of salt — scale it with the advisory
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      math.max(256L, advisory / 4).toString)
     // the sf0.01 part dim auto-broadcasts, which would skip the probe
     // shuffle this test measures — the production regime is a build side
     // too big to broadcast (saltedJoinSkewOnly's stated use case)
