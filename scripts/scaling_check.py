@@ -150,7 +150,19 @@ PER_ENTITY = [
     ("q_math_funcs", "l_orderkey"), ("q_unpivot", "l_orderkey"),
     ("q_string_funcs", "p_partkey"), ("q_conv_funcs", "p_partkey"),
     ("q_media_meta", "media_id"), ("q_media_chunks", "media_id"),
+    # round-13 widening: per-supplier salted rollup, per-order window
+    # batteries (all PARTITION BY o_custkey — replica-local), and the
+    # weighted branch merge keyed on user_id
+    ("q_salted_agg", "l_suppkey"), ("q_frame_funcs", "o_orderkey"),
+    ("q_rank_battery", "o_orderkey"), ("q_weighted_merge", "user_id"),
 ]
+
+# replica-0 slice identity WITHOUT a global xK rowcount: the query's row
+# membership depends on key-modulus predicates that offset keys cross
+# differently per replica (q_table_diff's %97/%31/%53 release simulation),
+# so each replica diffs differently — but replica 0's keys are untouched,
+# and its 'added' keys (base + 1e8) stay below OFF, so the slice is exact
+SLICE_ONLY = [("q_table_diff", "o_orderkey")]
 
 # pair outputs: the predicate deciding a pair (and its measure) depends
 # only on the two members' replication-invariant content, so the
@@ -170,7 +182,10 @@ PAIR_SLICE = [
 # vec_id<1000), so replication adds nothing it can see
 FULL_IDENTITY = ["q_posexplode", "q_quantize_embed",
                  # fixed replica-0 id-range subsets / dim-only key sets
-                 "q_xml_extract", "q_map_roundtrip", "q_set_ops"]
+                 "q_xml_extract", "q_map_roundtrip", "q_set_ops",
+                 # DISTINCT over a content domain (quantities), and a
+                 # union pinned to the fixed o_orderkey < 50 id range
+                 "q_distinct_sort", "q_union_by_name"]
 import pyarrow.compute as pc
 for q, key in PER_ENTITY:
     if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
@@ -198,6 +213,18 @@ for q, ka, kb in PAIR_SLICE:
     n_slice = len(slice0[sorted(slice0)[0]]) if slice0 else 0
     check(f"{q} replica-0 pair slice", rows_ms(slice0) == rows_ms(t1.to_pydict()),
           f"{n_slice} slice rows vs {t1.num_rows}")
+
+for q, key in SLICE_ONLY:
+    if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
+        print(f"     {q} outputs absent - skipped")
+        continue
+    t1 = pq.read_table(glob.glob(f"{OUT1}/{q}/*.parquet"))
+    tK = pq.read_table(glob.glob(f"{OUTK}/{q}/*.parquet"))
+    slice0 = tK.filter(pc.less(tK[key], OFF)).to_pydict()
+    n_slice = len(slice0[sorted(slice0)[0]]) if slice0 else 0
+    check(f"{q} replica-0 slice", rows_ms(slice0) == rows_ms(t1.to_pydict()),
+          f"{n_slice} slice rows vs {t1.num_rows} (no global xK: "
+          "key-modulus membership rotates per replica)")
 
 for q in FULL_IDENTITY:
     if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
@@ -295,13 +322,68 @@ GROUPED = [
     ("q_stream_sliding", ["bucket"], ["n"], [], ["avg_value"]),
     ("q_stream_enrich", ["bucket", "segment"], ["n", "sum_value"], [], []),
     ("q_stream_dedup", [], ["n_events", "n_users", "total_value"], [], []),
+    # ---- round-13 widening -------------------------------------------
+    # group keys in content domains (flags, brands, JSON payload values,
+    # rules, languages, sources, words) with xK counts / invariant
+    # extrema / pure-ratio doubles
+    ("q_pivot", ["l_returnflag"], ["qty_f", "qty_o", "qty_p"], [], []),
+    # k comes from the props JSON payload — content, never offset
+    ("q_variant", ["k_bucket"], ["n"], ["k_min", "k_max"], []),
+    ("q_ceiling_clamp", ["p_brand"], [], ["rounded_size"], []),
+    ("q_json_extract", ["k_mod"], ["n"], [], []),
+    # median of a K-fold-duplicated multiset is EXACT in both parities:
+    # odd n lands inside a copy run; even n's two interpolation
+    # neighbors map to the same two runs' boundary values
+    ("q_stats", ["l_returnflag"], [], ["median_qty"],
+     ["avg_disc", "sd_qty", "corr_qty_price"]),
+    ("q_auc", [], ["n_pos", "n_neg"], [], ["auc"]),
+    # replicas add identical interval sets at identical times, so the
+    # pointwise concurrency is xK everywhere, hence so is its max
+    ("q_interval_sweep", ["event_type"], ["peak_concurrent"], [], []),
+    ("q_data_tests", ["rule"], ["n_violations"], [], []),
+    # s_nationkey is a dim FK (nation is copied, not replicated)
+    ("q_salted_join", ["s_nationkey"], ["revenue", "n"], [], []),
+    ("q_explode", ["word"], ["n"], [], []),
+    # exact_parts = distinct offset partkeys xK; the sketch-validation
+    # booleans must stay true at any SF (2% HLL vs 10% bound)
+    ("q_approx_sketch", ["l_returnflag"], ["exact_parts"],
+     ["parts_in_bound", "p50_in_bound", "p95_in_bound"], []),
 ]
+# sample statistics (n-1 denominators): covar_samp/stddev_samp drift by
+# ~(K-1)/(Kn) relative under replication — mathematically REQUIRED, not
+# engine noise — so they get a 5e-5 relative band instead of 1e-6
+GROUPED_LOOSE = {
+    "q_corr_regr": (["l_returnflag"], ["corr_qp", "covar_p", "slope", "intercept"],
+                    ["covar_s"]),
+}
+# predicates keyed on key % 10 (eval/batch splits): every OFF is a power
+# of ten >= 1e9, so replica keys keep their mod-10 class and the split
+# membership is replica-invariant
+if OFF % 10 == 0:
+    GROUPED += [
+        ("q_dedup_incremental", ["source"], ["n_new", "n_rejected"], [], []),
+        ("q_contamination", ["source"], ["n_train", "n_contaminated"], [], ["rate"]),
+    ]
+else:
+    print("     q_dedup_incremental/q_contamination skipped: OFF % 10 != 0")
+# q_zorder buckets on (key & 1023): valid only when OFF clears the
+# 2^10 mask (1e10, 1e11, ... do; 1e9 carries a 512 residue)
+if OFF % 1024 == 0:
+    GROUPED += [("q_zorder", ["z_tile"], ["n"],
+                 ["x_min", "x_max", "y_min", "y_max"], [])]
+else:
+    print("     q_zorder skipped: OFF % 1024 != 0 (replica x-buckets shift)")
 
 
 def dec_places(x):
     s = repr(float(x))
     if "e" in s or "E" in s:
-        return 9
+        # 1.01e-04 has 2 mantissa decimals shifted 4 places -> 6 dp; a
+        # flat 9 here made col_quantum infer a spuriously fine grid for
+        # any column whose small members render in scientific notation
+        mant, exp = s.lower().split("e")
+        frac = mant.split(".")[1] if "." in mant else ""
+        return min(9, max(0, len(frac.rstrip("0")) - int(exp)))
     frac = s.split(".")[1] if "." in s else ""
     return min(9, len(frac.rstrip("0")))
 
@@ -376,6 +458,60 @@ for q, keys, xk_cols, inv_cols, tol_cols in GROUPED:
             check(f"{q} {c}{g} inv~",
                   rel_ok(dK[c][j], d1[c][i], 1e-6, q=qcol[c]),
                   f"{d1[c][i]} -> {dK[c][j]}")
+
+for q, (keys, tol_cols, loose_cols) in GROUPED_LOOSE.items():
+    if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
+        print(f"     {q} outputs absent - skipped")
+        continue
+    d1, dK = load(OUT1, q), load(OUTK, q)
+    k1, kK = keyed(d1, keys), keyed(dK, keys)
+    check(f"{q} groups", set(k1) == set(kK), f"{len(k1)} vs {len(kK)}")
+    qcol = {c: col_quantum(d1[c], dK[c]) for c in tol_cols + loose_cols}
+    for g, i in k1.items():
+        if g not in kK:
+            continue
+        j = kK[g]
+        for c in tol_cols:
+            check(f"{q} {c}{g} inv~",
+                  rel_ok(dK[c][j], d1[c][i], 1e-6, q=qcol[c]),
+                  f"{d1[c][i]} -> {dK[c][j]}")
+        for c in loose_cols:
+            check(f"{q} {c}{g} inv~samp",
+                  rel_ok(dK[c][j], d1[c][i], 5e-5, q=qcol[c]),
+                  f"{d1[c][i]} -> {dK[c][j]} (n-1 sample denominator)")
+
+# ---- global top-k over offset keys -------------------------------------
+# ORDER BY <invariant measure> DESC, <key> LIMIT n: every sf(N) row has K
+# copies tied on the measure, the key tiebreak interleaves them, so the
+# sf(K*N) result collapses (key % OFF) onto EXACTLY the top n/K sf(N)
+# rows, K copies each. Valid only when the sf(N) measure is strictly
+# decreasing across the n/K cut (asserted; a tie would legitimately let
+# deeper rows displace copies).
+GLOBAL_TOPK = [
+    ("q_topk", "o_orderkey", "o_totalprice"),
+    ("q_shipping_priority", "l_orderkey", "revenue"),
+]
+for q, key, mcol in GLOBAL_TOPK:
+    if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
+        print(f"     {q} outputs absent - skipped")
+        continue
+    d1, dK = load(OUT1, q), load(OUTK, q)
+    n1, nK = len(d1[key]), len(dK[key])
+    check(f"{q} limit preserved", n1 == nK, f"{n1} vs {nK} rows")
+    m = n1 // K
+    order1 = sorted(range(n1), key=lambda i: (-d1[mcol][i], d1[key][i]))
+    if n1 > m and d1[mcol][order1[m - 1]] == d1[mcol][order1[m]]:
+        print(f"     {q} skipped: sf(N) measure ties across the top-{m} cut")
+        continue
+    cols = sorted(d1)
+    want = Counter()
+    for i in order1[:m]:
+        want[tuple(str(d1[c][i]) for c in cols)] += K
+    got = Counter(
+        tuple(str(dK[c][i] % OFF if c == key else dK[c][i]) for c in cols)
+        for i in range(nK))
+    check(f"{q} top-{m} xK collapse", want == got,
+          f"{nK} rows collapse onto top-{m} sf(N) rows x{K}")
 
 # ---- content-keyed dedup ----------------------------------------------
 d1, dK = load(OUT1, "q_dedup_exact"), load(OUTK, "q_dedup_exact")
@@ -650,6 +786,79 @@ for q in ["q_skew_salted_agg", "q_skew_salted_agg_stable"]:
     c0 = tK.filter(pc.and_(pc.greater_equal(tK["user_id"], 0),
                            pc.less(tK["user_id"], OFF))).to_pydict()
     check(f"{q} natural-user slice", rows_ms(cold1) == rows_ms(c0),
+          f"{len(cold1['user_id'])} vs {len(c0['user_id'])} rows")
+
+# k-anonymity (groups with n < 8): QI keys live in dim domains, so a
+# group's population is exactly xK — the expected sf(K*N) output is
+# DERIVABLE from sf(N): the groups whose K-fold population still sits
+# under the threshold (empty at K=10, which is itself the semantics:
+# replication heals every re-identification risk it can't create)
+if have("q_k_anonymity"):
+    d1, dK = load(OUT1, "q_k_anonymity"), load(OUTK, "q_k_anonymity")
+    want = {(d1["c_nationkey"][i], d1["c_mktsegment"][i]): K * d1["n"][i]
+            for i in range(len(d1["n"])) if K * d1["n"][i] < 8}
+    got = {(dK["c_nationkey"][i], dK["c_mktsegment"][i]): dK["n"][i]
+           for i in range(len(dK["n"]))}
+    check("q_k_anonymity derived risky set", want == got,
+          f"{len(d1['n'])} sf(N) risky groups -> {len(got)} (expected {len(want)})")
+
+# deterministic hash sampling: n_total is exact xK; n_sampled mixes
+# replica hashes (doc_id is salted into the md5), so it is NOT exact —
+# but replica 0 contributes exactly the sf(N) count and every other
+# replica's rate is md5-uniform at ~10%: bound each non-0 replica's
+# aggregate rate to [5%, 15%], far beyond any plausible md5 deviation at
+# these stratum sizes yet tight enough to catch a broken predicate
+if have("q_hash_sample"):
+    d1, dK = load(OUT1, "q_hash_sample"), load(OUTK, "q_hash_sample")
+    k1, kK = keyed(d1, ["lang"]), keyed(dK, ["lang"])
+    check("q_hash_sample langs", set(k1) == set(kK), f"{len(k1)} vs {len(kK)}")
+    for g, i in k1.items():
+        if g not in kK:
+            continue
+        j = kK[g]
+        check(f"q_hash_sample n_total{g} xK",
+              dK["n_total"][j] == K * d1["n_total"][i],
+              f"{d1['n_total'][i]} -> {dK['n_total'][j]}")
+        rest = dK["n_sampled"][j] - d1["n_sampled"][i]
+        lo, hi = 0.05 * (K - 1) * d1["n_total"][i], 0.15 * (K - 1) * d1["n_total"][i]
+        check(f"q_hash_sample n_sampled{g} band", lo <= rest <= hi,
+              f"non-replica-0 sampled {rest} of {(K - 1) * d1['n_total'][i]} "
+              f"(band [{lo:.0f}, {hi:.0f}])")
+
+# skewed sessionization: the -42 hot user is remapped IN-QUERY from
+# user_id % 5 == 0 (OFF % 5 == 0 keeps the class), so all K replicas'
+# hot events merge at IDENTICAL timestamps — duplicate timestamps can't
+# open a session gap, so the hot user keeps its session ids and
+# start/end while n_events and value scale xK; natural users are
+# replica-local (slice identity)
+if OFF % 5 == 0 and have("q_skew_sessionize"):
+    t1 = pq.read_table(glob.glob(f"{OUT1}/q_skew_sessionize/*.parquet"))
+    tK = pq.read_table(glob.glob(f"{OUTK}/q_skew_sessionize/*.parquet"))
+    d1 = t1.to_pydict()
+    hot1 = {d1["session_id"][i]: (d1["n_events"][i], d1["start_us"][i],
+                                  d1["end_us"][i], d1["total_value"][i])
+            for i in range(len(d1["user_id"])) if d1["user_id"][i] < 0}
+    hK = tK.filter(pc.less(tK["user_id"], 0)).to_pydict()
+    hotK = {hK["session_id"][i]: (hK["n_events"][i], hK["start_us"][i],
+                                  hK["end_us"][i], hK["total_value"][i])
+            for i in range(len(hK["user_id"]))}
+    check("q_skew_sessionize rowcount",
+          tK.num_rows == K * (t1.num_rows - len(hot1)) + len(hotK),
+          f"{t1.num_rows} -> {tK.num_rows} (hot sessions merge, not multiply)")
+    q_val = col_quantum(d1["total_value"], hK["total_value"])
+    check("q_skew_sessionize hot sessions merged",
+          set(hot1) == set(hotK) and
+          all(hotK[sid][0] == K * hot1[sid][0]
+              and hotK[sid][1] == hot1[sid][1] and hotK[sid][2] == hot1[sid][2]
+              and rel_ok(hotK[sid][3], K * hot1[sid][3], 1e-9,
+                         ulps=(K + 1) * 0.6,
+                         qpair=(hot1[sid][3], hotK[sid][3]), q=q_val)
+              for sid in hot1),
+          f"{len(hot1)} hot sessions: ids/start/end inv, n/value xK")
+    cold1 = {c: [v for u, v in zip(d1["user_id"], d1[c]) if u >= 0] for c in d1}
+    c0 = tK.filter(pc.and_(pc.greater_equal(tK["user_id"], 0),
+                           pc.less(tK["user_id"], OFF))).to_pydict()
+    check("q_skew_sessionize natural slice", rows_ms(cold1) == rows_ms(c0),
           f"{len(cold1['user_id'])} vs {len(c0['user_id'])} rows")
 
 print("=" * 40)
