@@ -155,6 +155,10 @@ PER_ENTITY = [
     # weighted branch merge keyed on user_id
     ("q_salted_agg", "l_suppkey"), ("q_frame_funcs", "o_orderkey"),
     ("q_rank_battery", "o_orderkey"), ("q_weighted_merge", "user_id"),
+    # Pareto frontier: dominance is strict-in-one, so the K verbatim
+    # copies of a frontier point cannot dominate each other — the
+    # frontier is exactly the sf(N) frontier xK copies
+    ("q_skyline", "o_orderkey"),
 ]
 
 # replica-0 slice identity WITHOUT a global xK rowcount: the query's row
@@ -183,9 +187,10 @@ PAIR_SLICE = [
 FULL_IDENTITY = ["q_posexplode", "q_quantize_embed",
                  # fixed replica-0 id-range subsets / dim-only key sets
                  "q_xml_extract", "q_map_roundtrip", "q_set_ops",
-                 # DISTINCT over a content domain (quantities), and a
-                 # union pinned to the fixed o_orderkey < 50 id range
-                 "q_distinct_sort", "q_union_by_name"]
+                 # DISTINCT over a content domain (quantities), a union
+                 # pinned to the fixed o_orderkey < 50 id range, and the
+                 # semantic dedup pinned to vec_id < 500
+                 "q_distinct_sort", "q_union_by_name", "q_semdedup"]
 import pyarrow.compute as pc
 for q, key in PER_ENTITY:
     if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
@@ -348,6 +353,13 @@ GROUPED = [
     # booleans must stay true at any SF (2% HLL vs 10% bound)
     ("q_approx_sketch", ["l_returnflag"], ["exact_parts"],
      ["parts_in_bound", "p50_in_bound", "p95_in_bound"], []),
+    # med/MAD of a K-fold-duplicated multiset are exact (run-boundary
+    # argument as q_stats), so the per-row outlier flag is invariant
+    ("q_mad_anomaly", ["l_returnflag"], ["n_outliers"], ["med", "mad"], []),
+    ("q_stream_restart", [], ["n_events", "n_users", "total_value"], [], []),
+    # full-batch GD with a mean gradient: sums and n both scale xK, so
+    # the 5-sweep trajectory is identical up to accumulation-order fp
+    ("q_logreg_quality", ["fidx"], [], [], ["beta"]),
 ]
 # sample statistics (n-1 denominators): covar_samp/stddev_samp drift by
 # ~(K-1)/(Kn) relative under replication — mathematically REQUIRED, not
@@ -824,6 +836,50 @@ if have("q_hash_sample"):
         check(f"q_hash_sample n_sampled{g} band", lo <= rest <= hi,
               f"non-replica-0 sampled {rest} of {(K - 1) * d1['n_total'][i]} "
               f"(band [{lo:.0f}, {hi:.0f}])")
+
+# duplicate-span profile: replication makes EVERY shingle corpus-shared
+# (each gram gains K-1 verbatim copies in other doc_ids), so the measure
+# SATURATES — n_shared == n_grams and shared_frac == 1.0 for every doc —
+# while per-doc n_grams stays invariant and rows scale xK. The saturated
+# state is the semantics a span-dedup must show on a fully-replicated
+# corpus, and it is fully derivable from the sf(N) output.
+if have("q_dup_spans"):
+    d1, dK = load(OUT1, "q_dup_spans"), load(OUTK, "q_dup_spans")
+    base = {d1["doc_id"][i]: d1["n_grams"][i] for i in range(len(d1["doc_id"]))}
+    check("q_dup_spans rowcount xK", len(dK["doc_id"]) == K * len(base),
+          f"{len(base)} -> {len(dK['doc_id'])}")
+    bad = [i for i in range(len(dK["doc_id"]))
+           if dK["n_grams"][i] != base.get(dK["doc_id"][i] % OFF)
+           or dK["n_shared"][i] != dK["n_grams"][i]
+           or dK["shared_frac"][i] != 1.0]
+    check("q_dup_spans saturation", not bad,
+          f"{len(bad)} rows violate n_grams inv / n_shared==n_grams / frac==1.0")
+
+# column profile: the relation depends on which column each ROW profiles
+# — key columns have xK distincts and an offset-dependent max, content
+# columns are invariant; min/max are VARCHAR-ordered so only content
+# rows assert them (a lexicographic max can keep or change under new
+# key prefixes depending on leading digits)
+if have("q_profile"):
+    d1, dK = load(OUT1, "q_profile"), load(OUTK, "q_profile")
+    k1, kK = keyed(d1, ["col_name"]), keyed(dK, ["col_name"])
+    check("q_profile cols", set(k1) == set(kK), f"{len(k1)} vs {len(kK)}")
+    KEY_COLS = {"l_orderkey", "l_suppkey"}
+    for g, i in k1.items():
+        if g not in kK:
+            continue
+        j = kK[g]
+        ok = (dK["n_rows"][j] == K * d1["n_rows"][i]
+              and dK["n_nulls"][j] == K * d1["n_nulls"][i])
+        if g[0] in KEY_COLS:
+            ok = ok and dK["n_distinct"][j] == K * d1["n_distinct"][i]
+            detail = "rows/nulls/distinct xK (key column)"
+        else:
+            ok = (ok and dK["n_distinct"][j] == d1["n_distinct"][i]
+                  and dK["min_s"][j] == d1["min_s"][i]
+                  and dK["max_s"][j] == d1["max_s"][i])
+            detail = "rows/nulls xK, distinct/min/max inv (content column)"
+        check(f"q_profile {g}", ok, detail)
 
 # skewed sessionization: the -42 hot user is remapped IN-QUERY from
 # user_id % 5 == 0 (OFF % 5 == 0 keeps the class), so all K replicas'
