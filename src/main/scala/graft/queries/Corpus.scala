@@ -276,10 +276,16 @@ object Corpus extends QueryPack {
             FROM norm n JOIN cl USING (fp)
             ORDER BY n.doc_id"""),
     (s, dir) => {
+      // pin the normalization: the two-regex pass over full text is the
+      // expensive subtree, and it feeds the cluster aggregate, the join
+      // probe, AND the final sort's range-sampling job — without the
+      // checkpoint it re-executes in each (observed at sf100: 503 s for
+      // 5M docs; the checkpointed form stores only (doc_id, fp))
       val norm = docs(s, dir)
         .select(col("doc_id"),
           md5(trim(regexp_replace(
             regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))).as("fp"))
+        .localCheckpoint(true)
       val cl = norm.groupBy(col("fp"))
         .agg(count(lit(1)).as("cluster_n"), min(col("doc_id")).as("canonical"))
       norm.join(cl, Seq("fp"))

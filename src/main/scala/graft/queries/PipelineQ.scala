@@ -1483,6 +1483,12 @@ object PipelineQ extends QueryPack {
         .filter(col("pk_a") < col("pk_b"))
         .filter(jw >= 0.82)
         .select(col("pk_a"), col("pk_b"), jw.as("jw"))
+        // pin the scored pairs before the global sort: orderBy's range-
+        // sampling job otherwise RE-EXECUTES the quadratic in-block
+        // scoring end to end (observed at sf100: the sampling pass alone
+        // re-ran ~2B Jaro-Winkler calls); the surviving ≥0.82 pair set
+        // is tiny, so the checkpoint costs nothing to hold
+        .localCheckpoint(true)
         .orderBy(col("pk_a"), col("pk_b"))
     })
 
