@@ -177,9 +177,10 @@ PAIR_SLICE = [
     ("q_ngram_jaccard", "doc_a", "doc_b"),
     ("q_ngram_containment", "doc_a", "doc_b"),
     ("q_edit_distance", "doc_a", "doc_b"),
-    ("q_jaro_fuzzy", "pk_a", "pk_b"),
     ("q_cosine_dedup", "vec_a", "vec_b"),
 ]
+# q_jaro_fuzzy moved to a bespoke collapse gate (round 13): its output is
+# now rep name-pairs + induced pair mass, same algebra as q_simhash_band
 
 # outputs that must be COMPLETELY identical at both SFs: the query pins a
 # fixed replica-0 id range (q_posexplode doc_id<20, q_quantize_embed
@@ -610,6 +611,39 @@ if have("q_simhash_band"):
         elif pk != K * (K - 1) // 2:  # sf(N) singleton signature
             bad.append(rep)
     check("q_simhash_band H0 mass Kn(Kn-1)/2", not bad, f"{len(bad)} violations")
+
+# jaro name collapse (round 13): the (brand, size, name) group set is
+# content-derived and replication-invariant, reps are min partkeys
+# (replica 0), so cross-name rows are invariant with identical jw and
+# pair mass xK^2; intra-name (pk_a == pk_b) rows carry Kn(Kn-1)/2,
+# including NEW rows (n_pairs == K(K-1)/2) for names that were unique
+# at sf(N)
+if have("q_jaro_fuzzy"):
+    d1, dK = load(OUT1, "q_jaro_fuzzy"), load(OUTK, "q_jaro_fuzzy")
+    p1 = {(d1["pk_a"][i], d1["pk_b"][i]): (d1["jw"][i], d1["n_pairs"][i])
+          for i in range(len(d1["pk_a"]))}
+    pK = {(dK["pk_a"][i], dK["pk_b"][i]): (dK["jw"][i], dK["n_pairs"][i])
+          for i in range(len(dK["pk_a"]))}
+    cross1 = {k: v for k, v in p1.items() if k[0] != k[1]}
+    crossK = {k: v for k, v in pK.items() if k[0] != k[1]}
+    check("q_jaro_fuzzy cross pairs inv", set(cross1) == set(crossK),
+          f"{len(cross1)} vs {len(crossK)} rep pairs")
+    bad = [k for k in cross1 if k in crossK and
+           (crossK[k][0] != cross1[k][0] or crossK[k][1] != K * K * cross1[k][1])]
+    check("q_jaro_fuzzy cross mass xK^2", not bad, f"{len(bad)} violations")
+    intra1 = {k[0]: v[1] for k, v in p1.items() if k[0] == k[1]}
+    intraK = {k[0]: v[1] for k, v in pK.items() if k[0] == k[1]}
+    check("q_jaro_fuzzy intra carried", set(intra1) <= set(intraK),
+          f"{len(intra1)} -> {len(intraK)} rows")
+    bad = []
+    for rep, pk in intraK.items():
+        if rep in intra1:
+            n = round((1 + (1 + 8 * intra1[rep]) ** 0.5) / 2)
+            if pk != (K * n) * (K * n - 1) // 2:
+                bad.append(rep)
+        elif pk != K * (K - 1) // 2:  # name unique at sf(N)
+            bad.append(rep)
+    check("q_jaro_fuzzy intra mass Kn(Kn-1)/2", not bad, f"{len(bad)} violations")
 
 # LSH buckets (n_docs > 1 filter): content-derived bucket ids are
 # invariant; shared buckets scale xK and buckets NEW at sf(K*N) must have

@@ -1444,50 +1444,85 @@ object PipelineQ extends QueryPack {
     * ([[graft.functions.JaroWinkler]]): block on (p_brand, p_size) — a
     * cheap equi-key that bounds the candidate pairs, the shape that
     * keeps record-linkage linear-ish at 100 TB — then score each
-    * in-block pair inside whole-stage codegen. The expression's
-    * semantics (match window, integer transposition halving, boost only
-    * above jaro 0.7, prefix ≤ 4 · p 0.1) were probe-verified against
-    * DuckDB's `jaro_winkler_similarity`; the threshold compares the
-    * 1e-6-rounded value on both sides so a last-ulp divergence cannot
-    * flip row membership.
+    * in-block pair of DISTINCT names inside whole-stage codegen. The
+    * expression's semantics (match window, integer transposition
+    * halving, boost only above jaro 0.7, prefix ≤ 4 · p 0.1) were
+    * probe-verified against DuckDB's `jaro_winkler_similarity`; the
+    * threshold compares the 1e-6-rounded value on both sides so a
+    * last-ulp divergence cannot flip row membership.
+    *
+    * NAME-COLLAPSE pre-pass (round 13, part of the operator's SEMANTICS
+    * — the oracle applies the identical collapse; same construction as
+    * q_simhash_band's signature collapse): rows are first grouped BY
+    * (block, name) in one linear map-side-combined hash-agg, and the
+    * quadratic in-block scoring runs over distinct names only. On a
+    * duplicated corpus K verbatim copies of every part made the direct
+    * form quadratic in K (~320 B kernel calls at the ×1000-replication
+    * SF — every copy pair re-scored at jw = 1.0); after the collapse
+    * duplication appears only as a per-name multiplicity and the join
+    * input is the distinct-name set, which duplication cannot grow.
+    * Output is one row per scored NAME pair — (rep part keys, jw,
+    * induced row-pair count na·nb) — plus one jw = 1.0 row per
+    * duplicated name carrying its n·(n−1)/2 intra-group pair mass, so
+    * the direct form's full pair accounting is preserved without
+    * enumerating it.
     */
   val qJaroFuzzy: Q = Q(
     "q_jaro_fuzzy",
-    Some("""WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part)
-            SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
-                   round(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6) / 1e6 AS jw
-            FROM p a JOIN p b
+    Some("""WITH grp AS MATERIALIZED (
+              SELECT p_brand, p_size, p_name,
+                     min(p_partkey) AS rep, count(*) AS n
+              FROM part GROUP BY p_brand, p_size, p_name)
+            SELECT a.rep AS pk_a, b.rep AS pk_b,
+                   round(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6) / 1e6 AS jw,
+                   CAST(a.n * b.n AS BIGINT) AS n_pairs
+            FROM grp a JOIN grp b
               ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-             AND a.p_partkey < b.p_partkey
+             AND a.rep < b.rep
             WHERE round(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6) / 1e6 >= 0.82
+            UNION ALL
+            SELECT rep AS pk_a, rep AS pk_b, 1.0 AS jw,
+                   CAST((n * (n - 1)) // 2 AS BIGINT) AS n_pairs
+            FROM grp WHERE n >= 2
             ORDER BY pk_a, pk_b"""),
     (s, dir) => {
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
-      // Co-partition the PROBE side by the block key: in-block scoring is
-      // quadratic in block size, and a small dim often arrives as ONE
-      // parquet split — without this shuffle the broadcast self-join runs
-      // every comparison on a single task (observed at sf10: 2M parts =
-      // one ~50 MB split = 1.6B Jaro-Winkler calls on one core). At
-      // 100 TB the same hash partitioning is how both sides co-locate.
-      val a = p.repartition(col("p_brand"), col("p_size")).select(
-        col("p_partkey").as("pk_a"), col("p_brand"), col("p_size"),
-        col("p_name").as("na"))
-      val b = p.select(
-        col("p_partkey").as("pk_b"), col("p_brand"), col("p_size"),
-        col("p_name").as("nb"))
+      // the collapse is one linear hash-agg; its output (the distinct
+      // (block, name) set) feeds both join sides and the intra-group
+      // branch, so pin it once
+      val grp = t(s, dir, "part")
+        .groupBy(col("p_brand"), col("p_size"), col("p_name"))
+        .agg(min(col("p_partkey")).as("rep"), count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      // Co-partition the PROBE side by the block key: in-block scoring
+      // is quadratic in block size, and AQE may coalesce the small
+      // collapsed agg output to a handful of partitions — without this
+      // shuffle the broadcast self-join concentrates the kernel calls
+      // on few tasks. At 100 TB the same hash partitioning is how both
+      // sides co-locate.
+      val a = grp.repartition(col("p_brand"), col("p_size")).select(
+        col("p_brand"), col("p_size"),
+        col("rep").as("ra"), col("n").as("na"), col("p_name").as("name_a"))
+      val b = grp.select(
+        col("p_brand").as("brand_b"), col("p_size").as("size_b"),
+        col("rep").as("rb"), col("n").as("nb"), col("p_name").as("name_b"))
       val jw = round(
         graft.functions.StringSimilarityFunctions.jaroWinkler(
-          col("na"), col("nb")) * 1e6) / 1e6
-      a.join(b, Seq("p_brand", "p_size"))
-        .filter(col("pk_a") < col("pk_b"))
+          col("name_a"), col("name_b")) * 1e6) / 1e6
+      val cross = a.join(b,
+          col("p_brand") === col("brand_b") && col("p_size") === col("size_b") &&
+            col("ra") < col("rb"))
         .filter(jw >= 0.82)
-        .select(col("pk_a"), col("pk_b"), jw.as("jw"))
+        .select(col("ra").as("pk_a"), col("rb").as("pk_b"), jw.as("jw"),
+          (col("na") * col("nb")).cast("long").as("n_pairs"))
+      val intra = grp.filter(col("n") >= 2)
+        .select(col("rep").as("pk_a"), col("rep").as("pk_b"),
+          lit(1.0).as("jw"),
+          expr("(n * (n - 1)) div 2").cast("long").as("n_pairs"))
+      cross.unionByName(intra)
         // pin the scored pairs before the global sort: orderBy's range-
         // sampling job otherwise RE-EXECUTES the quadratic in-block
-        // scoring end to end (observed at sf100: the sampling pass alone
-        // re-ran ~2B Jaro-Winkler calls); the surviving ≥0.82 pair set
-        // is tiny, so the checkpoint costs nothing to hold
+        // scoring end to end; the surviving ≥0.82 pair set is tiny, so
+        // the checkpoint costs nothing to hold
         .localCheckpoint(true)
         .orderBy(col("pk_a"), col("pk_b"))
     })
