@@ -12,10 +12,17 @@ object Verify {
     val prefixes = (if (args.length > 2) args(2) else "").split(',').toSeq
     def selected(name: String): Boolean = prefixes.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // spill-aware override for at-scale waves: global sorts of corpus-
+    // width outputs (600M-row row-grain results) need partitions sized
+    // to executor memory, not to the core count — at 32 partitions a
+    // sf100 sort partition is ~1.5 GB and the UnsafeExternalSorter
+    // spill alone exceeds local scratch; at 256 it sorts in memory
+    val shufflePartitions =
+      sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -1796,13 +1796,18 @@ object PipelineQ extends QueryPack {
     })
 
   /** Market-basket co-occurrence: part pairs bought together in ≥ 3
-    * orders, with lift against independence. The pair generation
-    * self-joins WITHIN each order (baskets average ~4 items, so pair
-    * count is Σ k²/2 per basket — linear-ish in rows, never corpus²);
-    * the per-item totals broadcast into the lift computation. The same
-    * shape computes token co-occurrence / PMI at corpus scale
-    * (q_pmi_bigrams is the adjacent-token variant; this is the
-    * within-container variant).
+    * orders, with lift against independence. Baskets are built with ONE
+    * shuffle (`groupBy(order) → collect_set`) and pairs are generated
+    * MAP-SIDE from each basket (baskets are bounded — ≤ 7 lines per
+    * order here, Σ k²/2 pairs per basket — so generation is linear-ish
+    * in rows, never corpus²); the basket table then feeds the pair agg,
+    * the per-part totals, and the order count, so the distinct + double
+    * join-side shuffles of the naive `items ⋈ items` plan (3 full
+    * corpus-width shuffles + a corpus-width checkpoint, ~40 GB of
+    * scratch at the ×1000 SF) collapse into one corpus shuffle + an
+    * order-width checkpoint. The same shape computes token
+    * co-occurrence / PMI at corpus scale (q_pmi_bigrams is the
+    * adjacent-token variant; this is the within-container variant).
     */
   val qCopurchase: Q = Q(
     "q_copurchase",
@@ -1825,14 +1830,23 @@ object PipelineQ extends QueryPack {
             CROSS JOIN n
             ORDER BY part_a, part_b"""),
     (s, dir) => {
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .localCheckpoint(true) // three consumers: pair join (both sides) + totals
-      val nOrders = items.select(countDistinct(col("l_orderkey")).cast("double").as("n_orders"))
-      val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      val pairs = a.join(b, Seq("l_orderkey"))
+      // one corpus-width shuffle builds the baskets; the checkpoint is
+      // ORDER-width (one row per order, bounded part set) and feeds all
+      // three consumers: pair generation, per-part totals, order count
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("parts"))
+        .localCheckpoint(true)
+      val nOrders = baskets.select(count(lit(1)).cast("double").as("n_orders"))
+      val freq = baskets
+        .select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      // pairs map-side: two nested generates + the a<b filter stay inside
+      // whole-stage codegen; only the (part_a, part_b) partial-agg rows
+      // reach the one pair shuffle
+      val pairs = baskets
+        .select(explode(col("parts")).as("part_a"), col("parts"))
+        .select(col("part_a"), explode(col("parts")).as("part_b"))
         .filter(col("part_a") < col("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_both"))
