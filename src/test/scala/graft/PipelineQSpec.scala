@@ -521,4 +521,60 @@ class PipelineQSpec extends SparkSpec {
     }
     assert(knots > 0 && nulls > 0 && blends > 0, s"degenerate coverage: $knots/$nulls/$blends")
   }
+
+  test("q_jaro_fuzzy equals a driver-side brute-force of the collapsed blocking") {
+    // EXACTNESS of the name-collapse, not recall: rebuild the entire
+    // expected output from the raw part rows — group by (brand, size,
+    // name), score every cross-name pair in each block with the same
+    // kernel, add per-name intra rows — and require set equality.
+    // sf0.01 (not the suite's sf0.001): the smaller fixture's blocks
+    // hold no ≥0.82 cross-name pair, which would make the test vacuous
+    val jdir = "/root/testdata/sf0.01"
+    import org.apache.spark.unsafe.types.UTF8String
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val rows = Tables.load(spark, jdir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    val groups = rows.groupBy(r => (r._2, r._3, r._4)).map { case (k, rs) =>
+      k -> ((rs.map(_._1).min, rs.length.toLong))
+    }
+    val cross = for {
+      Seq(((ba, sa, na), (ra, ma)), ((bb, sb, nb), (rb, mb))) <-
+        groups.toSeq.combinations(2).map(_.sortBy(_._2._1))
+      if ba == bb && sa == sb
+      jw = r6(graft.functions.JaroWinklerImpl.compute(
+        UTF8String.fromString(na), UTF8String.fromString(nb)))
+      if jw >= 0.82
+    } yield (ra, rb, jw, ma * mb)
+    val expected = cross.toSet ++
+      groups.values.collect { case (rep, n) if n >= 2 => (rep, rep, 1.0, n * (n - 1) / 2) }
+    val got = PipelineQ.qJaroFuzzy.run(spark, jdir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.exists(p => p._1 != p._2), "degenerate: no cross-name pair at sf0.001")
+  }
+
+  test("q_copurchase basket plan matches a driver-side basket recomputation") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.groupBy(_._1).map { case (o, rs) => o -> rs.map(_._2).distinct.toSeq }
+    val nOrders = baskets.size.toDouble
+    val freq = baskets.values.flatten.groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+    val nBoth = baskets.values.toSeq
+      .flatMap(parts => for (a <- parts; b <- parts if a < b) yield (a, b))
+      .groupBy(identity).map { case (k, ps) => k -> ps.size.toLong }
+      .filter(_._2 >= 3)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val expected = nBoth.map { case ((a, b), n) =>
+      (a, b, n, r6(n * nOrders / (freq(a) * freq(b).toDouble)))
+    }.toSet
+    val got = PipelineQ.qCopurchase.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.nonEmpty, "degenerate: no qualifying pair at sf0.001")
+  }
 }
