@@ -45,16 +45,41 @@ object Triangles {
       items: DataFrame,
       basketCol: String,
       itemCol: String,
-      maxBasket: Int = 64): DataFrame = {
-    val it = items.select(col(basketCol).as("__bk"), col(itemCol).as("__it")).distinct()
-    val ok = it.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBasket).select(col("__bk"))
-    val kept = it.join(ok, Seq("__bk"), "left_semi")
-    kept.select(col("__bk"), col("__it").as("a"))
-      .join(kept.select(col("__bk"), col("__it").as("b")), Seq("__bk"))
+      maxBasket: Int = 64): DataFrame =
+    rawBasketPairs(items, basketCol, itemCol, maxBasket).distinct()
+
+  /** The per-basket pair stream BEFORE the global `distinct()` —
+    * duplicates appear once per basket the pair co-occurs in.
+    *
+    * Built with the q_copurchase basket shape: ONE shuffle groups items
+    * into baskets (`collect_set` dedups within a basket and `size` is
+    * the cap predicate), then pairs are generated MAP-SIDE by two
+    * nested generates + the `a < b` filter inside whole-stage codegen.
+    * The old `items ⋈ items` self-join needed three corpus-width
+    * shuffles (item distinct, both join sides) before the pair dedup.
+    *
+    * Exposed separately because a DETERMINISTIC thinning predicate
+    * (a pure function of `(a, b)`, like [[sampleEdges]]' md5) commutes
+    * with the dedup: `thin ∘ distinct = distinct ∘ thin`. DOULION
+    * callers filter THIS stream and dedup after, so the pair-dedup
+    * shuffle — the widest exchange in the whole pipeline, ~10⁹ raw
+    * pairs at the ×1000 SF, an ENOSPC DNF as a post-distinct sample —
+    * shrinks by the keep rate p before anything is shuffled.
+    */
+  def rawBasketPairs(
+      items: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasket: Int = 64): DataFrame =
+    items
+      .select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .groupBy(col("__bk"))
+      .agg(collect_set(col("__it")).as("__items"))
+      .filter(size(col("__items")) <= maxBasket)
+      .select(explode(col("__items")).as("a"), col("__items"))
+      .select(col("a"), explode(col("__items")).as("b"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-  }
+      .select(col("a"), col("b"))
 
   /** Deterministic DOULION thinning: keep `keepParts` of `modParts`. */
   def sampleEdges(edges: DataFrame, modParts: Int, keepParts: Int, salt: String): DataFrame =

@@ -572,7 +572,18 @@ object Advanced extends QueryPack {
                    round(l_extendedprice / nullif(l_discount, 0.0), 2) AS price_per_disc
             FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice"""),
     (s, dir) =>
+      // Scale shape: range-shuffle the 6 RAW source columns (low-entropy
+      // TPC-H values, lz4-friendly) and compute the derived doubles
+      // AFTER the sort. Declared derivation-first, the sort exchange
+      // carries ~8 high-entropy sqrt/ln doubles per row — poorly
+      // compressible, ~2x the scratch, an ENOSPC DNF at the x1000 SF.
+      // Catalyst prunes columns below a sort but never defers expression
+      // projects past one, so the deferral must be declared.
       t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_tax"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           greatest(col("l_tax"), col("l_discount")).as("max_rate"),
@@ -582,8 +593,7 @@ object Advanced extends QueryPack {
           (col("l_orderkey") % 7).cast("long").as("key_mod"),
           round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
           round(log(col("l_extendedprice")), 6).as("price_ln"),
-          round(col("l_extendedprice") / nullif(col("l_discount"), lit(0.0)), 2).as("price_per_disc"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")))
+          round(col("l_extendedprice") / nullif(col("l_discount"), lit(0.0)), 2).as("price_per_disc")))
 
   /** Skew-resistant salted join (operators.Skew.saltedJoin): the oracle
     * is the plain inner join + rollup it must equal. Probe rows fan out

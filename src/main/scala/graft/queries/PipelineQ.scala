@@ -2529,10 +2529,13 @@ object PipelineQ extends QueryPack {
                    (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_tri_sampled,
                    (SELECT CAST(count(*) * 1000 AS BIGINT) FROM tri) AS est_triangles"""),
     (s, dir) => {
+      // thin the RAW per-basket pair stream, dedup after (the md5 keep
+      // predicate is pure in (a,b), so it commutes with distinct): the
+      // pair-dedup shuffle shrinks by p=1/10 before anything moves
       val edges = graft.operators.Triangles.sampleEdges(
-        graft.operators.Triangles.basketPairs(
+        graft.operators.Triangles.rawBasketPairs(
           t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
-        modParts = 10, keepParts = 1, salt = "tri:")
+        modParts = 10, keepParts = 1, salt = "tri:").distinct()
       graft.operators.Triangles.stats(edges)
         .select(
           col("n_edges").as("n_edges_sampled"), col("max_degree"),
@@ -2589,14 +2592,19 @@ object PipelineQ extends QueryPack {
                    (SELECT CAST(t AS BIGINT) FROM t50) AS n_tri_p50,
                    (SELECT CAST(t * 8 AS BIGINT) FROM t50) AS est_p50"""),
     (s, dir) => {
-      val all = graft.operators.Triangles.basketPairs(
-          t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
-        .localCheckpoint(true) // pair-gen join feeds both sample rates
+      // p=0.5 thinning applies to the RAW per-basket pair stream (the
+      // md5 predicate commutes with the dedup), so the pair-dedup
+      // shuffle halves and the FULL pair set is never materialized —
+      // checkpointing it was a ~10⁹-row pin that ENOSPC'd the ×1000 SF.
       // hp % 10 < 2  ⊂  hp % 10 < 5 with the same salt, so the p=0.2
-      // edge set is a re-filter of the p=0.5 one — one thinning scan
-      // over the full pair set instead of two (same hashes either way).
-      val e50 = graft.operators.Triangles.sampleEdges(all, 10, 5, "tri:")
-        .localCheckpoint(true)
+      // edge set is a re-filter of the checkpointed p=0.5 one (same
+      // hashes either way).
+      val e50 = graft.operators.Triangles.sampleEdges(
+          graft.operators.Triangles.rawBasketPairs(
+            t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+          10, 5, "tri:")
+        .distinct()
+        .localCheckpoint(true) // feeds its own stats AND the p=0.2 re-filter
       val e20 = graft.operators.Triangles.sampleEdges(e50, 10, 2, "tri:")
       val p20 = graft.operators.Triangles.stats(e20)
         .select(
@@ -2648,9 +2656,9 @@ object PipelineQ extends QueryPack {
     * its [[graft.PlanAudit]] per-round plan. */
   private[graft] def kcoreEdges(s: SparkSession, dir: String): DataFrame =
     graft.operators.Triangles.sampleEdges(
-      graft.operators.Triangles.basketPairs(
+      graft.operators.Triangles.rawBasketPairs(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
-      modParts = 10, keepParts = 1, salt = "kc:")
+      modParts = 10, keepParts = 1, salt = "kc:").distinct()
 
   override def queries: Seq[Q] = Seq(
     qTriangleCount, qTriangleSampled, qKcore,

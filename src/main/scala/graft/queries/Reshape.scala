@@ -25,13 +25,23 @@ object Reshape extends QueryPack {
             SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
             ORDER BY l_orderkey, l_linenumber, metric"""),
     (s, dir) =>
+      // Scale shape: sort the 600M-row WIDE grain first (narrow raw
+      // columns), then melt map-side. Sorting after the unpivot would
+      // range-shuffle 3x the rows plus a metric-name string per row —
+      // ~54 GB of exchange at the x1000 SF (an ENOSPC DNF) for an
+      // ordering the melt can produce positionally: each (orderkey,
+      // linenumber) is unique, and Expand emits the value columns in
+      // listed order, so listing them alphabetically makes the map-side
+      // output exactly (key, linenumber, metric)-ordered.
       Tables.loadDistributed(s, dir, "lineitem", "l_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_tax"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
-          Array(col("l_quantity"), col("l_extendedprice"), col("l_tax")),
+          Array(col("l_extendedprice"), col("l_quantity"), col("l_tax")),
           "metric",
-          "value")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")))
+          "value"))
 
   /** ≙ U3/S5 (api.py:388-398): array flatten via explode — token counts
     * over whitespace-split document text.

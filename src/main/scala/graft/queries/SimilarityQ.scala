@@ -512,10 +512,11 @@ object SimilarityQ extends QueryPack {
     * also what makes the fusion engine-portable: integer ranks, not
     * floats, feed the formula).
     *
-    * Scale shape: the query side (5 rows) broadcasts into both
-    * rankers; the text ranker joins on shingle keys (never all-pairs);
-    * all rank windows partition on q_id. Both rankers order by ROUNDED
-    * scores so last-ulp drift can't swap ranks across engines.
+    * Scale shape: the query side (5 rows / their shingles) broadcasts
+    * into both rankers, so the corpus is only ever scanned and
+    * partial-aggregated — never checkpointed, never shuffled at shingle
+    * grain; all rank windows partition on q_id. Both rankers order by
+    * ROUNDED scores so last-ulp drift can't swap ranks across engines.
     */
   val qRrfFusion: Q = Q(
     "q_rrf_fusion", {
@@ -569,18 +570,30 @@ object SimilarityQ extends QueryPack {
       val ra = scoredA.withColumn("rank_a", row_number().over(wa))
         .filter(col("rank_a") <= 20).select(col("q_id"), col("id"), col("rank_a"))
 
-      val sh = Tables.loadDistributed(s, dir, "documents", "doc_id")
+      // Text ranker, one corpus scan, nothing pinned: the QUERY side's
+      // shingles (5 docs, bounded) broadcast into the corpus explode, so
+      // only matching shingle rows survive the broadcast hash join and
+      // the per-(q_id, id) count partial-aggregates map-side before the
+      // one small shuffle. Each side carries its own distinct-shingle
+      // count (size of the array_distinct'd shingle array) alongside the
+      // exploded rows — constant per group, min() recovers it — so the
+      // Jaccard union needs no join back against a corpus-width size
+      // table. The previous shape checkpointed the FULL corpus shingle
+      // explode (~10⁹ rows at the ×1000 SF — an ENOSPC DNF) and shuffled
+      // it on the shingle key, then broadcast a doc-cardinality size
+      // frame twice.
+      val docSh = Tables.loadDistributed(s, dir, "documents", "doc_id")
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), explode(graft.text.TextFunctions.shingles(col("text"), 3)).as("s"))
-        .localCheckpoint(true) // query side, corpus side, and sizes share one shingling
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val qsh = sh.filter(col("doc_id") < 5).select(col("doc_id").as("q_id"), col("s"))
-      val inter = qsh.join(sh, Seq("s"))
-        .filter(col("doc_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("doc_id").as("id")).agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), graft.text.TextFunctions.shingles(col("text"), 3).as("shs"))
+      val qsh = docSh.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"), size(col("shs")).as("na"), explode(col("shs")).as("s"))
+      val inter = docSh
+        .select(col("doc_id").as("id"), size(col("shs")).as("nb"), explode(col("shs")).as("s"))
+        .join(broadcast(qsh), Seq("s"))
+        .filter(col("id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("id"))
+        .agg(count(lit(1)).as("c"), min(col("na")).as("na"), min(col("nb")).as("nb"))
       val jac = inter
-        .join(broadcast(sz.select(col("doc_id").as("q_id"), col("n").as("na"))), Seq("q_id"))
-        .join(broadcast(sz.select(col("doc_id").as("id"), col("n").as("nb"))), Seq("id"))
         .select(col("q_id"), col("id"),
           (round(col("c") * 1e6 / (col("na") + col("nb") - col("c"))) / 1e6).as("jac"))
       val wb = Window.partitionBy(col("q_id")).orderBy(col("jac").desc, col("id"))

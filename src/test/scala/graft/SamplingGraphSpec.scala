@@ -93,6 +93,30 @@ class SamplingGraphSpec extends SparkSpec {
     assert(uncapped.count() == 50L * 6 + 500L * 499 / 2)
   }
 
+  test("DOULION thinning commutes with the pair dedup (thin-early ≡ thin-late)") {
+    import spark.implicits._
+    // overlapping baskets so the same pair co-occurs in SEVERAL baskets —
+    // the raw stream then carries real duplicates and the commute claim
+    // (thin ∘ distinct = distinct ∘ thin for a pure (a,b) predicate) is
+    // exercised on multiplicity > 1, not vacuously
+    val items = (0 until 60)
+      .flatMap(b => (0 until 4).map(i => (b.toLong, ((b + i) % 20).toLong)))
+      .toDF("basket", "item")
+    val late = graft.operators.Triangles.sampleEdges(
+      graft.operators.Triangles.basketPairs(items, "basket", "item"),
+      modParts = 10, keepParts = 3, salt = "tri:")
+    val early = graft.operators.Triangles.sampleEdges(
+      graft.operators.Triangles.rawBasketPairs(items, "basket", "item"),
+      modParts = 10, keepParts = 3, salt = "tri:").distinct()
+    val l = late.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = early.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(l.nonEmpty, "thinned edge set is empty — fixture too small to test the commute")
+    assert(e == l, s"thin-early ${e.size} edges != thin-late ${l.size}")
+    // and the raw stream really had duplicates to dedup
+    val raw = graft.operators.Triangles.rawBasketPairs(items, "basket", "item").count()
+    assert(raw > graft.operators.Triangles.basketPairs(items, "basket", "item").count())
+  }
+
   test("stream-static enrich equals the batch join it claims to converge to") {
     val streamed = run("q_stream_enrich")
     val ev = Tables.load(spark, dir, "events")
