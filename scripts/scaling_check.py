@@ -21,7 +21,7 @@ at sf(N) and sf(K*N) — no second engine needed:
 Usage: scaling_check.py out_sfN out_sfKN [K] [OFF]
 Exits non-zero on any violated relation.
 """
-import glob, json, sys
+import glob, json, os, sys
 from collections import Counter
 
 import pyarrow.parquet as pq
@@ -193,14 +193,52 @@ FULL_IDENTITY = ["q_posexplode", "q_quantize_embed",
                  # semantic dedup pinned to vec_id < 500
                  "q_distinct_sort", "q_union_by_name", "q_semdedup"]
 import pyarrow.compute as pc
+
+
+def pq_rows(files):
+    """Total rowcount from parquet footers — no column data is read."""
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+# Above this base-side rowcount the in-Python multiset compare is swapped
+# for a streamed DuckDB digest (count + HUGEINT sum of per-row hashes over
+# the sorted stringified columns): same multiset-equality semantics, but
+# bounded memory — the ×1000-SF q_math_funcs/q_unpivot outputs OOM-killed
+# the pyarrow read_table + Counter path at 130 GB RSS.
+SLICE_DIGEST_ROWS = int(os.environ.get("GRAFT_SLICE_DIGEST_ROWS", 20_000_000))
+_digest_con = None
+
+
+def slice_digest(files, pred=""):
+    global _digest_con
+    if _digest_con is None:
+        import duckdb
+        _digest_con = duckdb.connect()
+        _digest_con.execute("SET memory_limit='40GB'")
+    cols = sorted(c.name for c in pq.ParquetFile(files[0]).schema_arrow)
+    row = "concat_ws('|', " + ", ".join(
+        f"coalesce(CAST(\"{c}\" AS VARCHAR), chr(0))" for c in cols) + ")"
+    where = f"WHERE {pred}" if pred else ""
+    return _digest_con.execute(
+        f"SELECT count(*), sum(hash({row})) FROM read_parquet({files!r}) {where}"
+    ).fetchone()
+
+
 for q, key in PER_ENTITY:
-    if not (glob.glob(f"{OUT1}/{q}/*.parquet") and glob.glob(f"{OUTK}/{q}/*.parquet")):
+    f1 = glob.glob(f"{OUT1}/{q}/*.parquet")
+    fK = glob.glob(f"{OUTK}/{q}/*.parquet")
+    if not (f1 and fK):
         print(f"     {q} outputs absent - skipped")
         continue
-    t1 = pq.read_table(glob.glob(f"{OUT1}/{q}/*.parquet"))
-    tK = pq.read_table(glob.glob(f"{OUTK}/{q}/*.parquet"))
-    check(f"{q} rowcount", tK.num_rows == K * t1.num_rows,
-          f"{t1.num_rows} -> {tK.num_rows}")
+    n1, nK = pq_rows(f1), pq_rows(fK)
+    check(f"{q} rowcount", nK == K * n1, f"{n1} -> {nK}")
+    if n1 > SLICE_DIGEST_ROWS:
+        d1 = slice_digest(f1)
+        dK = slice_digest(fK, f'"{key}" < {OFF}')
+        check(f"{q} replica-0 slice digest", d1 == dK, f"{d1} vs {dK}")
+        continue
+    t1 = pq.read_table(f1)
+    tK = pq.read_table(fK)
     # Arrow-side slice so 60M-row outputs never materialize in Python
     slice0 = tK.filter(pc.less(tK[key], OFF)).to_pydict()
     n_slice = len(slice0[sorted(slice0)[0]]) if slice0 else 0

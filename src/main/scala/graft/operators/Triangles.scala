@@ -89,9 +89,33 @@ object Triangles {
 
   /** Exact count on the given (already sampled or full) edge list.
     * Returns one row: n_edges, max_degree, n_wedges, n_triangles.
+    *
+    * Two structural bounds keep this off the wedge-materialization
+    * cliff (the ×1000-SF co-purchase graph carries ~10¹⁰ wedges —
+    * counting them through the closure join was a ~100 GB exchange):
+    *
+    *   - `n_wedges` is computed ANALYTICALLY as Σ_src C(outdeg, 2):
+    *     out-neighbors are distinct per src (edges are distinct and the
+    *     orientation maps each edge to exactly one (src, dst)), so the
+    *     `x < y` self-join emits exactly C(outdeg, 2) rows per src —
+    *     the count needs the outdegree aggregate, never the join.
+    *   - The closure join is BLOOM-PRUNED ([[BloomJoin.mightContain]],
+    *     codegen'd): a sketch over the edge keys (xxhash64(a, b),
+    *     driver-merged, ~2.5 MB per million edges at 2% fpp) filters
+    *     the wedge stream IN THE WEDGE-GEN STAGE, so only true
+    *     triangles plus the fpp sliver ever reach the closure
+    *     exchange. The exact join then removes false positives — the
+    *     sketch changes shuffle volume, never the count.
+    *
+    * `pin = false` skips the defensive localCheckpoint when the caller
+    * already pinned the edge frame (q_triangle_sampled shares one
+    * checkpoint between the p = 0.5 stats and the p = 0.2 re-filter —
+    * double-caching 600M-row frames is what pushed the ×1000 SF run
+    * over the heap).
     */
-  def stats(edges0: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint(true) // consumed 3×: degrees, orientation, closure
+  def stats(edges0: DataFrame, pin: Boolean = true): DataFrame = {
+    // consumed 4×: degrees, orientation, bloom build, closure join
+    val edges = if (pin) edges0.localCheckpoint(true) else edges0
     val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
@@ -101,15 +125,20 @@ object Triangles {
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint(true) // consumed 2×: both wedge sides
-    val wedges = oriented.select(col("src"), col("dst").as("x"))
+      .localCheckpoint(true) // consumed 2×: wedge gen + outdegree count
+    val nEdges = edges.count()
+    val bloom = edges.select(xxhash64(col("a"), col("b")).as("k"))
+      .stat.bloomFilter("k", math.max(nEdges, 1L), 0.02)
+    val wedgeCount = oriented.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .agg(coalesce(sum(expr("od * (od - 1) DIV 2")), lit(0L)).cast("long").as("n_wedges"))
+    val cand = oriented.select(col("src"), col("dst").as("x"))
       .join(oriented.select(col("src"), col("dst").as("y")), Seq("src"))
       .filter(col("x") < col("y"))
-    val tri = wedges.join(edges,
-      edges("a") === least(col("x"), col("y")) && edges("b") === greatest(col("x"), col("y")))
-    edges.agg(count(lit(1)).as("n_edges"))
+      .filter(BloomJoin.mightContain(bloom, xxhash64(col("x"), col("y"))))
+    val tri = cand.join(edges, edges("a") === col("x") && edges("b") === col("y"))
+    edges.sparkSession.range(1).select(lit(nEdges).as("n_edges"))
       .crossJoin(broadcast(deg.agg(max(col("d")).cast("long").as("max_degree"))))
-      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(wedgeCount))
       .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
   }
 }

@@ -2610,7 +2610,9 @@ object PipelineQ extends QueryPack {
         .select(
           col("n_edges").as("n_edges_p20"), col("n_triangles").as("n_tri_p20"),
           (col("n_triangles") * 125).as("est_p20"))
-      val p50 = graft.operators.Triangles.stats(e50)
+      // pin = false: e50 is already checkpointed above; a second cached
+      // copy of the 600M-row edge frame is pure heap pressure
+      val p50 = graft.operators.Triangles.stats(e50, pin = false)
         .select(
           col("n_edges").as("n_edges_p50"), col("n_triangles").as("n_tri_p50"),
           (col("n_triangles") * 8).as("est_p50"))
