@@ -106,6 +106,16 @@ object Triangles {
     *     triangles plus the fpp sliver ever reach the closure
     *     exchange. The exact join then removes false positives — the
     *     sketch changes shuffle volume, never the count.
+    *   - Sketch sizing is CAPPED at `maxBloomBytes` (default 128 MiB):
+    *     a 2%-fpp bloom costs ~8.14 bits/edge, which is linear in edge
+    *     count — ~600 MB of driver build + broadcast at 600M edges and
+    *     unbounded beyond. Under the cap the fpp is raised to the
+    *     smallest value that fits (`fpp = exp(-8·cap·ln²2 / n)`); a
+    *     higher fpp only weakens PRUNE SELECTIVITY (the exact join
+    *     already removes false positives), never the count. Past
+    *     fpp 0.25 the prune passes most wedges anyway, so the sketch
+    *     is skipped outright and the closure join carries the full
+    *     wedge stream — the pre-sketch behavior, minus the build cost.
     *
     * `pin = false` skips the defensive localCheckpoint when the caller
     * already pinned the edge frame (q_triangle_sampled shares one
@@ -113,7 +123,8 @@ object Triangles {
     * double-caching 600M-row frames is what pushed the ×1000 SF run
     * over the heap).
     */
-  def stats(edges0: DataFrame, pin: Boolean = true): DataFrame = {
+  def stats(edges0: DataFrame, pin: Boolean = true,
+            maxBloomBytes: Long = 128L << 20): DataFrame = {
     // consumed 4×: degrees, orientation, bloom build, closure join
     val edges = if (pin) edges0.localCheckpoint(true) else edges0
     val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
@@ -127,14 +138,22 @@ object Triangles {
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
       .localCheckpoint(true) // consumed 2×: wedge gen + outdegree count
     val nEdges = edges.count()
-    val bloom = edges.select(xxhash64(col("a"), col("b")).as("k"))
-      .stat.bloomFilter("k", math.max(nEdges, 1L), 0.02)
+    // bits(n, p) = -n·ln p / ln²2, so the smallest fpp that fits the
+    // byte cap is exp(-8·cap·ln²2 / n); below 2% the cap isn't binding.
+    val ln2sq = math.log(2.0) * math.log(2.0)
+    val fpp = math.max(0.02,
+      math.exp(-(maxBloomBytes * 8.0) * ln2sq / math.max(nEdges, 1L).toDouble))
+    val bloomOpt =
+      if (fpp > 0.25) None // prune too weak to pay for the broadcast
+      else Some(edges.select(xxhash64(col("a"), col("b")).as("k"))
+        .stat.bloomFilter("k", math.max(nEdges, 1L), fpp))
     val wedgeCount = oriented.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .agg(coalesce(sum(expr("od * (od - 1) DIV 2")), lit(0L)).cast("long").as("n_wedges"))
-    val cand = oriented.select(col("src"), col("dst").as("x"))
+    val cand0 = oriented.select(col("src"), col("dst").as("x"))
       .join(oriented.select(col("src"), col("dst").as("y")), Seq("src"))
       .filter(col("x") < col("y"))
-      .filter(BloomJoin.mightContain(bloom, xxhash64(col("x"), col("y"))))
+    val cand = bloomOpt.fold(cand0)(b =>
+      cand0.filter(BloomJoin.mightContain(b, xxhash64(col("x"), col("y")))))
     val tri = cand.join(edges, edges("a") === col("x") && edges("b") === col("y"))
     edges.sparkSession.range(1).select(lit(nEdges).as("n_edges"))
       .crossJoin(broadcast(deg.agg(max(col("d")).cast("long").as("max_degree"))))

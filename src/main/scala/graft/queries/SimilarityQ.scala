@@ -581,14 +581,20 @@ object SimilarityQ extends QueryPack {
       // table. The previous shape checkpointed the FULL corpus shingle
       // explode (~10⁹ rows at the ×1000 SF — an ENOSPC DNF) and shuffled
       // it on the shingle key, then broadcast a doc-cardinality size
-      // frame twice.
+      // frame twice. The size rides the explode via `explodeWithSize`'s
+      // lambda let-binding, so the shingling expression is evaluated
+      // exactly once per corpus row — referencing the array separately
+      // for `size` and `explode` let CollapseProject duplicate it
+      // (2× scan cost, the round-13 bench regression).
       val docSh = Tables.loadDistributed(s, dir, "documents", "doc_id")
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), graft.text.TextFunctions.shingles(col("text"), 3).as("shs"))
+        .select(col("doc_id"),
+          graft.text.TextFunctions.explodeWithSize(
+            graft.text.TextFunctions.shingles(col("text"), 3)).as("e"))
       val qsh = docSh.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("q_id"), size(col("shs")).as("na"), explode(col("shs")).as("s"))
+        .select(col("doc_id").as("q_id"), col("e.n").as("na"), col("e.s").as("s"))
       val inter = docSh
-        .select(col("doc_id").as("id"), size(col("shs")).as("nb"), explode(col("shs")).as("s"))
+        .select(col("doc_id").as("id"), col("e.n").as("nb"), col("e.s").as("s"))
         .join(broadcast(qsh), Seq("s"))
         .filter(col("id") =!= col("q_id"))
         .groupBy(col("q_id"), col("id"))

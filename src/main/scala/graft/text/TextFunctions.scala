@@ -30,6 +30,23 @@ object TextFunctions {
           i => text.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Explode a (possibly expensive) array expression into struct rows
+    * `(s, n)` where `n = size(arr)`, evaluating `arr` exactly ONCE per
+    * input row. Referencing the same derived array twice in a select
+    * (`size(shs)` + `explode(shs)`) lets CollapseProject merge the
+    * projections and duplicate the producing expression — for
+    * [[shingles]] that doubles the per-row cost of the scan. The outer
+    * `transform` over a one-element array binds the array to a lambda
+    * variable (a "let"); no optimizer rule inlines a lambda binding,
+    * so the expression keeps a single home no matter how the
+    * surrounding projections collapse.
+    */
+  def explodeWithSize(arr: Column): Column =
+    explode(
+      transform(array(arr), a =>
+        transform(a, x => struct(x.as("s"), size(a).as("n"))))
+        .getItem(0))
+
   /** First 8 hex digits of md5 as uint32 in a long (engine-portable). */
   def md5Hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")

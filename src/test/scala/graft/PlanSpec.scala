@@ -328,6 +328,18 @@ class PlanSpec extends SparkSpec {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("q_rrf_fusion evaluates the shingle array once per corpus row") {
+    // the round-13 regression: `size(shs)` + `explode(shs)` in one
+    // select let CollapseProject duplicate the shingling expression —
+    // 2× the scan cost. `explodeWithSize`'s lambda let-binding keeps it
+    // single-homed, so the optimized plan carries exactly one
+    // array_distinct per docSh consumer (query side + corpus side).
+    val p = SparkEntry.queries("q_rrf_fusion")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val n = "array_distinct".r.findAllIn(p).length
+    assert(n == 2, s"expected 2 shingle evaluations (one per scan branch), got $n:\n$p")
+  }
+
   test("SemVer parse/compare (F9)") {
     assert(SemVer.parse("1.0.4") === SemVer(1, 0, 4))
     assert(SemVer.parse("2.0.0") > SemVer.parse("1.9.9"))

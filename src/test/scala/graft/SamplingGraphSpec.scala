@@ -93,6 +93,26 @@ class SamplingGraphSpec extends SparkSpec {
     assert(uncapped.count() == 50L * 6 + 500L * 499 / 2)
   }
 
+  test("Triangles.stats bloom cap: raised-fpp and skip paths keep counts exact") {
+    import spark.implicits._
+    // K6 (20 triangles) plus a 2-edge tail: 17 distinct a<b edges
+    val nodes = 0L until 6L
+    val clique = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val edges = (clique ++ Seq((6L, 7L), (7L, 8L))).toDF("a", "b")
+    val cols = Seq("n_edges", "max_degree", "n_wedges", "n_triangles")
+    val base = graft.operators.Triangles.stats(edges).head
+    assert(base.getAs[Long]("n_triangles") == 20L)
+    // 8-byte cap over 17 edges → fpp = exp(-64·ln²2/17) ≈ 0.16: the cap
+    // binds (fpp raised above 2%) but stays under the 0.25 skip line
+    val capped = graft.operators.Triangles.stats(edges, maxBloomBytes = 8L).head
+    // 1-byte cap → required fpp ≈ 0.79 > 0.25: sketch skipped outright
+    val skipped = graft.operators.Triangles.stats(edges, maxBloomBytes = 1L).head
+    for (c <- cols) {
+      assert(capped.getAs[Long](c) == base.getAs[Long](c), s"capped $c")
+      assert(skipped.getAs[Long](c) == base.getAs[Long](c), s"skipped $c")
+    }
+  }
+
   test("DOULION thinning commutes with the pair dedup (thin-early ≡ thin-late)") {
     import spark.implicits._
     // overlapping baskets so the same pair co-occurs in SEVERAL baskets —
