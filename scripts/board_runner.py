@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Full-board engine-completion runner for at-scale SFs (no DuckDB oracle).
+
+Drives graft.Verify over every SparkEntry query at a large SF, streaming
+its stderr to record per-query {status, sec} into a resumable JSON
+report. Each query's output parquet is deleted the moment its "ok" line
+lands, so disk usage stays bounded by ONE query's output plus Spark
+scratch — the full board at the x1000 SF writes several hundred GB in
+total, far past local disk, but never needs more than one output at a
+time (the completion artifact only wants status + wall time; correctness
+at these SFs rests on the replication-invariance gate).
+
+If the JVM dies mid-pass (OOM, ENOSPC), the runner restarts with the
+remaining queries; the in-flight killer is identified by its partial
+output dir and excluded as engine_dnf after MAX_ATTEMPTS.
+
+Usage: board_runner.py sf_dir tmp_out report.json oracle_sql.json
+Env: CPUS (32), HEAP (96g), SHUF (256) — shuffle partitions sized for
+at-scale sorts, see Verify.scala.
+"""
+import json, os, re, shutil, subprocess, sys
+
+SF_DIR, TMP_OUT, REPORT, ORACLE = sys.argv[1:5]
+CPUS = os.environ.get("CPUS", "32")
+HEAP = os.environ.get("HEAP", "96g")
+SHUF = os.environ.get("SHUF", "256")
+MAX_ATTEMPTS = 2
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ADD_OPENS = []
+for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+          "java.net", "java.nio", "java.util", "java.util.concurrent",
+          "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+          "sun.security.action", "sun.util.calendar"]:
+    ADD_OPENS += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
+
+names = sorted(json.load(open(ORACLE)))
+done = {}
+if os.path.exists(REPORT):
+    done = json.load(open(REPORT)).get("queries", {})
+attempts = {}
+
+
+def save():
+    with open(REPORT + ".tmp", "w") as f:
+        json.dump({"sf_dir": SF_DIR, "queries": done}, f, indent=1, sort_keys=True)
+    os.replace(REPORT + ".tmp", REPORT)
+
+
+OK = re.compile(r"\[verify\] (\S+) ok ([0-9.]+)s")
+FAIL = re.compile(r"\[verify\] (\S+) failed: (.*)")
+
+while True:
+    pending = [n for n in names if n not in done]
+    if not pending:
+        break
+    print(f"== pass: {len(pending)} pending, {len(done)} done", flush=True)
+    shutil.rmtree(TMP_OUT, ignore_errors=True)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=CPUS,
+               GRAFT_SHUFFLE_PARTITIONS=SHUF, GRAFT_VERIFY_COALESCE="0")
+    cmd = (["java"] + ADD_OPENS +
+           [f"-Xmx{HEAP}", "-XX:ReservedCodeCacheSize=512m",
+            "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+            "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+            "graft.Verify", SF_DIR, TMP_OUT, ",".join(pending)])
+    proc = subprocess.Popen(cmd, stderr=subprocess.PIPE, text=True,
+                            stdout=subprocess.DEVNULL)
+    progressed = False
+    for line in proc.stderr:
+        m = OK.search(line)
+        if m:
+            done[m.group(1)] = {"status": "complete", "sec": float(m.group(2))}
+            progressed = True
+            shutil.rmtree(f"{TMP_OUT}/{m.group(1)}", ignore_errors=True)
+            save()
+            print(line.rstrip(), flush=True)
+            continue
+        m = FAIL.search(line)
+        if m:
+            name, msg = m.group(1), m.group(2)[:300]
+            attempts[name] = attempts.get(name, 0) + 1
+            progressed = True
+            if attempts[name] >= MAX_ATTEMPTS:
+                done[name] = {"status": "engine_dnf", "error": msg}
+                save()
+            print(line.rstrip()[:200], flush=True)
+    proc.wait()
+    if proc.returncode == 0:
+        # in-JVM failures under MAX_ATTEMPTS get retried next pass
+        if not any(n for n in names if n not in done):
+            break
+        if not progressed:
+            break
+    else:
+        # JVM died: the in-flight query left a partial output dir
+        killers = [n for n in pending if n not in done
+                   and os.path.isdir(f"{TMP_OUT}/{n}")]
+        for k in killers:
+            attempts[k] = attempts.get(k, 0) + 1
+            if attempts[k] >= MAX_ATTEMPTS:
+                done[k] = {"status": "engine_dnf",
+                           "error": f"JVM exited {proc.returncode} mid-query"}
+                save()
+        if not killers and not progressed:
+            print(f"no progress and no identifiable killer (exit "
+                  f"{proc.returncode}) — stopping", flush=True)
+            break
+
+save()
+n_ok = sum(1 for v in done.values() if v["status"] == "complete")
+print(f"== done: {n_ok}/{len(names)} complete, "
+      f"{len(done) - n_ok} engine_dnf", flush=True)
