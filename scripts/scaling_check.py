@@ -191,7 +191,9 @@ FULL_IDENTITY = ["q_posexplode", "q_quantize_embed",
                  # DISTINCT over a content domain (quantities), a union
                  # pinned to the fixed o_orderkey < 50 id range, and the
                  # semantic dedup pinned to vec_id < 500
-                 "q_distinct_sort", "q_union_by_name", "q_semdedup"]
+                 "q_distinct_sort", "q_union_by_name", "q_semdedup",
+                 # k-center greedy pinned to vec_id < 300 (replica-0 only)
+                 "q_kcenter_seed"]
 import pyarrow.compute as pc
 
 
@@ -399,6 +401,13 @@ GROUPED = [
     # full-batch GD with a mean gradient: sums and n both scale xK, so
     # the 5-sweep trajectory is identical up to accumulation-order fp
     ("q_logreg_quality", ["fidx"], [], [], ["beta"]),
+    # ---- round-15 widening -------------------------------------------
+    # split assignment hashes md5(text) — content-derived, so every copy
+    # of a text lands in its original split: n_docs/chars xK, and the
+    # distinct-fingerprint count per split is exactly invariant
+    ("q_split_leakfree", ["split"], ["n_docs", "total_chars"], ["n_clusters"], []),
+    # SQL-surface rollup groups on (dim nation, content priority)
+    ("q_sql_surface", ["n_name", "o_orderpriority"], ["n_orders", "revenue"], [], []),
 ]
 # sample statistics (n-1 denominators): covar_samp/stddev_samp drift by
 # ~(K-1)/(Kn) relative under replication — mathematically REQUIRED, not
@@ -988,6 +997,303 @@ if OFF % 5 == 0 and have("q_skew_sessionize"):
                            pc.less(tK["user_id"], OFF))).to_pydict()
     check("q_skew_sessionize natural slice", rows_ms(cold1) == rows_ms(c0),
           f"{len(cold1['user_id'])} vs {len(c0['user_id'])} rows")
+
+# ---- round-15 bespoke algebras ------------------------------------------
+
+# lateral top-2 per nation: customers replicate with name/acctbal verbatim,
+# so sf(K*N)'s per-nation pool holds K copies of every sf(N) customer, all
+# tying on the FULL sort key (acctbal DESC, c_name) — the top 2 are two
+# copies of sf(N)'s rank-1 row, whichever physical copies the limit picks
+# (the output columns carry no key, so the result multiset is determined)
+if have("q_lateral_topk"):
+    d1, dK = load(OUT1, "q_lateral_topk"), load(OUTK, "q_lateral_topk")
+    by1, byK = {}, {}
+    for i in range(len(d1["n_name"])):
+        by1.setdefault(d1["n_name"][i], []).append(
+            (d1["c_name"][i], d1["c_acctbal"][i]))
+    for i in range(len(dK["n_name"])):
+        byK.setdefault(dK["n_name"][i], []).append(
+            (dK["c_name"][i], dK["c_acctbal"][i]))
+    check("q_lateral_topk nations", set(by1) == set(byK),
+          f"{len(by1)} vs {len(byK)}")
+    bad = [n for n in by1 if n in byK and byK[n] != [by1[n][0]] * 2]
+    check("q_lateral_topk top-1 doubled", not bad,
+          f"{len(bad)} nations violate [rank-1 row x2] (copies tie on the full sort key)")
+
+# media stats: kind = doc_id % 3 rotates per replica (replica j shifts the
+# kind index by (j*OFF) % 3), so per-kind counts/bytes are NOT xK — they
+# are an EXACT convolution of the sf(N) per-kind values with the shift
+# multiplicities m(s) = #{j : (j*OFF) % 3 == s}
+if have("q_media_stats"):
+    d1, dK = load(OUT1, "q_media_stats"), load(OUTK, "q_media_stats")
+    KIDX = {"image": 0, "audio": 1, "video": 2}
+    n1 = {KIDX[d1["kind"][i]]: (d1["n"][i], d1["total_bytes"][i])
+          for i in range(len(d1["kind"]))}
+    m = Counter((j * OFF) % 3 for j in range(K))
+    for i in range(len(dK["kind"])):
+        k_ = KIDX[dK["kind"][i]]
+        want_n = sum(m[s] * n1.get((k_ - s) % 3, (0, 0))[0] for s in m)
+        want_b = sum(m[s] * n1.get((k_ - s) % 3, (0, 0))[1] for s in m)
+        ok = (dK["n"][i] == want_n and dK["total_bytes"][i] == want_b
+              and abs(dK["avg_bytes"][i] - want_b / want_n) < 0.006)
+        check(f"q_media_stats {dK['kind'][i]} rotation", ok,
+              f"n {want_n}, bytes {want_b} (shift multiplicities {dict(m)})")
+
+# exact substring dedup: a gram's corpus-wide first occurrence is the min
+# (doc_id, pos), which replication never moves (added copies only have
+# LARGER doc_ids) — so the replica-0 slice is byte-identical, while every
+# replica-j>=1 doc saturates: all its n-7 grams are non-first, the
+# overlapping marks merge into one full-cover island
+if have("q_span_dedup"):
+    t1 = pq.read_table(glob.glob(f"{OUT1}/q_span_dedup/*.parquet"))
+    tK = pq.read_table(glob.glob(f"{OUTK}/q_span_dedup/*.parquet"))
+    check("q_span_dedup rowcount xK", tK.num_rows == K * t1.num_rows,
+          f"{t1.num_rows} -> {tK.num_rows}")
+    s0 = tK.filter(pc.less(tK["doc_id"], OFF)).to_pydict()
+    check("q_span_dedup replica-0 slice",
+          rows_ms(s0) == rows_ms(t1.to_pydict()),
+          f"{t1.num_rows} rows (first occurrences never move)")
+    rep = tK.filter(pc.greater_equal(tK["doc_id"], OFF)).to_pydict()
+    ntok1 = {t1["doc_id"][i].as_py(): t1["n_tokens"][i].as_py()
+             for i in range(t1.num_rows)}
+    bad = []
+    for i in range(len(rep["doc_id"])):
+        n = ntok1.get(rep["doc_id"][i] % OFF)
+        if n is None:
+            bad.append(rep["doc_id"][i])
+            continue
+        cov = n if n >= 8 else 0
+        if (rep["n_tokens"][i] != n or rep["n_covered"][i] != cov
+                or rep["n_retained"][i] != n - cov
+                or rep["n_dup_spans"][i] != max(0, n - 7)):
+            bad.append(rep["doc_id"][i])
+    check("q_span_dedup replica saturation", not bad,
+          f"{len(rep['doc_id'])} replica rows fully covered "
+          f"(n_dup_spans=n-7, retained 0); {len(bad)} violations")
+
+# substring-dedup rewrite: same first-occurrence argument — replica-0
+# slice identical; every replica-j>=1 doc with >= 8 tokens rewrites to
+# the empty string (md5 of "" is a constant), and a doc with < 8 tokens
+# has no grams anywhere, so its rewrite equals its sf(N) row verbatim
+if have("q_span_rewrite") and have("q_span_dedup"):
+    EMPTY_MD5 = "d41d8cd98f00b204e9800998ecf8427e"
+    t1 = pq.read_table(glob.glob(f"{OUT1}/q_span_rewrite/*.parquet"))
+    tK = pq.read_table(glob.glob(f"{OUTK}/q_span_rewrite/*.parquet"))
+    check("q_span_rewrite rowcount xK", tK.num_rows == K * t1.num_rows,
+          f"{t1.num_rows} -> {tK.num_rows}")
+    s0 = tK.filter(pc.less(tK["doc_id"], OFF)).to_pydict()
+    check("q_span_rewrite replica-0 slice",
+          rows_ms(s0) == rows_ms(t1.to_pydict()),
+          f"{t1.num_rows} rows")
+    base1 = t1.to_pydict()
+    row1 = {base1["doc_id"][i]: (base1["n_retained"][i], base1["rewrite_md5"][i])
+            for i in range(len(base1["doc_id"]))}
+    sd1 = pq.read_table(glob.glob(f"{OUT1}/q_span_dedup/*.parquet")).to_pydict()
+    ntok1 = dict(zip(sd1["doc_id"], sd1["n_tokens"]))
+    rep = tK.filter(pc.greater_equal(tK["doc_id"], OFF)).to_pydict()
+    bad = []
+    for i in range(len(rep["doc_id"])):
+        base = rep["doc_id"][i] % OFF
+        want = (0, EMPTY_MD5) if ntok1[base] >= 8 else row1[base]
+        if (rep["n_retained"][i], rep["rewrite_md5"][i]) != want:
+            bad.append(rep["doc_id"][i])
+    check("q_span_rewrite replica saturation", not bad,
+          f"{len(rep['doc_id'])} replica rows rewrite to '' (>=8 tok) "
+          f"or verbatim (<8 tok); {len(bad)} violations")
+
+# temperature resampling: language shares p and p^tau/Z are pure ratios —
+# the WEIGHT column is exactly invariant and n_in scales xK. n_out's
+# stochastic-rounding part mixes replica hashes (md5 of doc_id), so the
+# floor part is exact and the fractional part gets a q_hash_sample-style
+# uniformity band over the K-1 non-0 replicas
+if have("q_temperature_mix"):
+    d1, dK = load(OUT1, "q_temperature_mix"), load(OUTK, "q_temperature_mix")
+    k1, kK = keyed(d1, ["lang"]), keyed(dK, ["lang"])
+    check("q_temperature_mix langs", set(k1) == set(kK), f"{len(k1)} vs {len(kK)}")
+    for g, i in k1.items():
+        if g not in kK:
+            continue
+        j = kK[g]
+        check(f"q_temperature_mix weight{g} inv",
+              dK["weight"][j] == d1["weight"][i],
+              f"{d1['weight'][i]} (pure ratio of shares)")
+        check(f"q_temperature_mix n_in{g} xK", dK["n_in"][j] == K * d1["n_in"][i],
+              f"{d1['n_in'][i]} -> {dK['n_in'][j]}")
+        import math
+        w = d1["weight"][i]
+        fl, frac = int(math.floor(w)), w - math.floor(w)
+        n1_ = d1["n_in"][i]
+        rest = dK["n_out"][j] - (K - 1) * fl * n1_ - d1["n_out"][i]
+        lo = (K - 1) * n1_ * max(0.0, frac * 0.5 - 0.02)
+        hi = (K - 1) * n1_ * min(1.0, frac * 1.5 + 0.02) + 1
+        check(f"q_temperature_mix n_out{g} band", lo <= rest <= hi,
+              f"floor part exact; non-0-replica frac draws {rest} of "
+              f"{(K - 1) * n1_} (frac {frac:.4f}, band [{lo:.0f}, {hi:.0f}])")
+
+# sequence packing: the md5 shuffle order interleaves replicas, so bin
+# MEMBERSHIP changes — but per-lang totals are exact xK, and the bin ids
+# must tile the running token total at BOTH SFs: each present bin b
+# satisfies b == floor(prefix_tokens / 4096) (bins are contiguous runs of
+# the cumsum, so the check is derivable from the output alone)
+if have("q_pack_sequences"):
+    for tag, out in (("sfN", OUT1), ("sfKN", OUTK)):
+        d = load(out, "q_pack_sequences")
+        by = {}
+        for i in range(len(d["lang"])):
+            by.setdefault(d["lang"][i], []).append(
+                (d["bin"][i], d["n_docs"][i], d["bin_tokens"][i]))
+        bad = []
+        for lang, rows_ in by.items():
+            cum = 0
+            for b, _, tok in sorted(rows_):
+                if b != cum // 4096:
+                    bad.append((lang, b))
+                cum += tok
+        check(f"q_pack_sequences {tag} tiling", not bad,
+              f"{sum(len(v) for v in by.values())} bins satisfy "
+              f"b == floor(prefix/4096); {len(bad)} violations")
+    d1, dK = load(OUT1, "q_pack_sequences"), load(OUTK, "q_pack_sequences")
+    tot1, totK = {}, {}
+    for i in range(len(d1["lang"])):
+        a, b = tot1.get(d1["lang"][i], (0, 0))
+        tot1[d1["lang"][i]] = (a + d1["n_docs"][i], b + d1["bin_tokens"][i])
+    for i in range(len(dK["lang"])):
+        a, b = totK.get(dK["lang"][i], (0, 0))
+        totK[dK["lang"][i]] = (a + dK["n_docs"][i], b + dK["bin_tokens"][i])
+    check("q_pack_sequences per-lang totals xK",
+          set(tot1) == set(totK) and all(
+              totK[l] == (K * tot1[l][0], K * tot1[l][1]) for l in tot1),
+          f"{len(tot1)} langs: docs and tokens both xK")
+
+
+# deterministic-hash selections (exact-k / cap / ES top-k): the hash pool
+# at sf(K*N) is a SUPERSET of sf(N)'s (replica-0 keys hash identically),
+# so the selection is downward-closed — the replica-0 members of the
+# sf(K*N) pick, in rank order, must be a PREFIX of sf(N)'s ranking
+def prefix_gate(q, group_col, id_col, expect_rows):
+    if not have(q):
+        return
+    d1, dK = load(OUT1, q), load(OUTK, q)
+    g1, gK = {}, {}
+    for i in range(len(d1[id_col])):
+        g1.setdefault(d1[group_col][i] if group_col else "", []).append(
+            (d1["rank"][i], d1[id_col][i]))
+    for i in range(len(dK[id_col])):
+        gK.setdefault(dK[group_col][i] if group_col else "", []).append(
+            (dK["rank"][i], dK[id_col][i]))
+    check(f"{q} groups", set(g1) == set(gK), f"{len(g1)} vs {len(gK)}")
+    bad_n, bad_p = [], []
+    for g, rows1 in g1.items():
+        if g not in gK:
+            continue
+        rowsK = sorted(gK[g])
+        want_n = expect_rows(len(rows1))
+        if len(rowsK) != want_n:
+            bad_n.append(g)
+        ids1 = [d for _, d in sorted(rows1)]
+        sub = [d for _, d in rowsK if d < OFF]
+        if ids1[:len(sub)] != sub:
+            bad_p.append(g)
+    check(f"{q} per-group rowcount", not bad_n,
+          f"{len(bad_n)} groups off the derived count")
+    check(f"{q} replica-0 prefix", not bad_p,
+          f"selection is downward-closed in the hash order; {len(bad_p)} violations")
+
+
+# per-lang held-out k=50: a stratum with n < 50 docs at sf(N) shows n rows
+# there and min(50, K*n) at sf(K*N); a full stratum stays at 50
+prefix_gate("q_sample_exact_k", "lang", "doc_id", lambda n1_: min(50, K * n1_))
+# per-source cap 10: a source with n < 10 docs at sf(N) has min(10, K*n) at sf(K*N)
+prefix_gate("q_source_cap", "source", "doc_id", lambda n1_: min(10, K * n1_))
+# ES weighted top-100 (global stratum)
+prefix_gate("q_weighted_sample", None, "doc_id", lambda n1_: min(100, K * n1_))
+# ...plus the ES key dominance: the pool superset can only RAISE the
+# r-th largest key (replica-0 keys are identical), never lower it
+if have("q_weighted_sample"):
+    d1, dK = load(OUT1, "q_weighted_sample"), load(OUTK, "q_weighted_sample")
+    e1 = [v for _, v in sorted(zip(d1["rank"], d1["es_key"]))]
+    eK = [v for _, v in sorted(zip(dK["rank"], dK["es_key"]))]
+    bad = [r for r in range(min(len(e1), len(eK))) if eK[r] < e1[r] - 2e-6]
+    check("q_weighted_sample key dominance", not bad,
+          f"per-rank ES key monotone under the superset pool; {len(bad)} violations")
+
+# brute cosine top-5 (queries pinned to vec_id < 5): every vector gains
+# K-1 verbatim copies, including the query itself (self is excluded only
+# by exact id), so the sf(K*N) neighbor list is the id-ordered merge of
+# the sf(N) exact-duplicate set's copies and the query's own copies — all
+# at cos == 1.0 (K-1 >= 5 guarantees the cut never reaches cos < 1)
+if K >= 6 and have("q_cosine_topk"):
+    d1, dK = load(OUT1, "q_cosine_topk"), load(OUTK, "q_cosine_topk")
+    by1, byK = {}, {}
+    for i in range(len(d1["q_id"])):
+        by1.setdefault(d1["q_id"][i], []).append(
+            (d1["rank"][i], d1["vec_id"][i], d1["cos"][i]))
+    for i in range(len(dK["q_id"])):
+        byK.setdefault(dK["q_id"][i], []).append(
+            (dK["rank"][i], dK["vec_id"][i], dK["cos"][i]))
+    check("q_cosine_topk queries", set(by1) == set(byK), f"{len(by1)} vs {len(byK)}")
+    bad = []
+    for q_, rows1 in by1.items():
+        if q_ not in byK:
+            continue
+        dup_ids = [v for r, v, c in sorted(rows1) if c == 1.0]
+        pool = sorted([v + j * OFF for v in dup_ids for j in range(K)]
+                      + [q_ + j * OFF for j in range(1, K)])
+        want = [(r + 1, v, 1.0) for r, v in enumerate(pool[:5])]
+        if sorted(byK[q_]) != want:
+            bad.append(q_)
+    check("q_cosine_topk duplicate-flood expansion", not bad,
+          f"top-5 = id-ordered copies of the sf(N) dup set + self copies; "
+          f"{len(bad)} violations")
+
+# DSL top-100: the HAVING predicate is per-order (replica-local), so the
+# qualifier set replicates verbatim; the (price DESC, key) order expands
+# each price-tie group into K replica blocks in the same within-block
+# order — the sf(K*N) page is derivable from sf(N)'s as long as the
+# groups used don't straddle sf(N)'s own LIMIT boundary
+if have("q_dsl_topk"):
+    d1, dK = load(OUT1, "q_dsl_topk"), load(OUTK, "q_dsl_topk")
+    n1_, nK_ = len(d1["o_orderkey"]), len(dK["o_orderkey"])
+    rows1 = [(d1["o_orderkey"][i], d1["o_orderstatus"][i], d1["o_totalprice"][i])
+             for i in range(n1_)]  # already ORDER BY price DESC, key
+    groups, cur = [], [rows1[0]]
+    for r in rows1[1:]:
+        if r[2] == cur[-1][2]:
+            cur.append(r)
+        else:
+            groups.append(cur)
+            cur = [r]
+    groups.append(cur)
+    if n1_ == 100:
+        groups = groups[:-1]  # last group may be cut by sf(N)'s LIMIT
+    want = []
+    for grp in groups:
+        for j in range(K):
+            want += [(k + j * OFF, st, p) for k, st, p in grp]
+        if len(want) >= 100:
+            break
+    want = want[:100]
+    got = [(dK["o_orderkey"][i], dK["o_orderstatus"][i], dK["o_totalprice"][i])
+           for i in range(nK_)]
+    check("q_dsl_topk rowcount", nK_ == min(100, K * n1_), f"{n1_} -> {nK_}")
+    check("q_dsl_topk tie-group expansion", got[:len(want)] == want,
+          f"first {len(want)} rows derived from {len(groups)} complete "
+          f"sf(N) price groups")
+
+# ntile quartiles depend on the global distribution (deliberately outside
+# the slice family), but the arithmetic price_bucket column is per-row
+# pure: rows xK and the (key, price_bucket) projection slice-identical
+if have("q_ntile_bucket"):
+    t1 = pq.read_table(glob.glob(f"{OUT1}/q_ntile_bucket/*.parquet"),
+                       columns=["o_orderkey", "price_bucket"])
+    tK = pq.read_table(glob.glob(f"{OUTK}/q_ntile_bucket/*.parquet"),
+                       columns=["o_orderkey", "price_bucket"])
+    check("q_ntile_bucket rowcount xK", tK.num_rows == K * t1.num_rows,
+          f"{t1.num_rows} -> {tK.num_rows}")
+    s0 = tK.filter(pc.less(tK["o_orderkey"], OFF)).to_pydict()
+    check("q_ntile_bucket price_bucket slice",
+          rows_ms(s0) == rows_ms(t1.to_pydict()),
+          f"{t1.num_rows} rows (quartile column excluded: global ntile)")
 
 print("=" * 40)
 print(f"{len(fails)} failures" if fails else "all replication invariants hold")
