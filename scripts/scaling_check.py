@@ -1217,13 +1217,34 @@ if have("q_weighted_sample"):
     check("q_weighted_sample key dominance", not bad,
           f"per-rank ES key monotone under the superset pool; {len(bad)} violations")
 
-# brute cosine top-5 (queries pinned to vec_id < 5): every vector gains
-# K-1 verbatim copies, including the query itself (self is excluded only
-# by exact id), so the sf(K*N) neighbor list is the id-ordered merge of
-# the sf(N) exact-duplicate set's copies and the query's own copies — all
-# at cos == 1.0 (K-1 >= 5 guarantees the cut never reaches cos < 1)
-if K >= 6 and have("q_cosine_topk"):
-    d1, dK = load(OUT1, "q_cosine_topk"), load(OUTK, "q_cosine_topk")
+# ANN top-5 family (queries pinned to low vec_ids, so the query set is
+# exactly sf(N)'s replica-0 vectors): every vector gains K-1 verbatim
+# copies, including the query itself (self is excluded only by exact id),
+# so the sf(K*N) neighbor list is the id-ordered merge of the sf(N)
+# exact-duplicate set's copies and the query's own copies — all at
+# cos == 1.0 (K-1 >= 5 guarantees the cut never reaches cos < 1). This
+# holds for every content-deterministic ANN path, not just brute force:
+#  - q_lsh_ann / q_lsh_ann_multi: hyperplanes are a pure function of the
+#    embedding, so a copy lands in its original's bucket (incl. the
+#    query's own bucket for self copies);
+#  - q_ivf_ann: the 8 seed centroids are the lowest vec_ids = replica-0
+#    vectors, so centroids, cell assignment, and the probe set are
+#    identical at both SFs and copies co-locate with their originals;
+#  - q_rp_ann: the JL sketch is content-deterministic, so the sk_cos=1.0
+#    group (dup copies + self copies, id-ordered) tops the 20-cut, and
+#    the exact rerank keeps only true cos=1.0 rows — sketch collisions
+#    can enter the shortlist but never the final page (9 self copies
+#    already saturate it);
+#  - q_ivf_ann_iter: each Lloyd sweep's per-cell membership multiset at
+#    sf(K*N) is K verbatim copies of sf(N)'s, so the per-dim double mean
+#    differs only in accumulation order (~1e-13) and the float32
+#    centroid cast (ULP ~6e-8) absorbs it — the trained centroids are
+#    byte-identical at both SFs, reducing to the q_ivf_ann case.
+for ann_q in ("q_cosine_topk", "q_lsh_ann", "q_lsh_ann_multi",
+              "q_ivf_ann", "q_ivf_ann_iter", "q_rp_ann"):
+    if not (K >= 6 and have(ann_q)):
+        continue
+    d1, dK = load(OUT1, ann_q), load(OUTK, ann_q)
     by1, byK = {}, {}
     for i in range(len(d1["q_id"])):
         by1.setdefault(d1["q_id"][i], []).append(
@@ -1231,7 +1252,7 @@ if K >= 6 and have("q_cosine_topk"):
     for i in range(len(dK["q_id"])):
         byK.setdefault(dK["q_id"][i], []).append(
             (dK["rank"][i], dK["vec_id"][i], dK["cos"][i]))
-    check("q_cosine_topk queries", set(by1) == set(byK), f"{len(by1)} vs {len(byK)}")
+    check(f"{ann_q} queries", set(by1) == set(byK), f"{len(by1)} vs {len(byK)}")
     bad = []
     for q_, rows1 in by1.items():
         if q_ not in byK:
@@ -1242,8 +1263,84 @@ if K >= 6 and have("q_cosine_topk"):
         want = [(r + 1, v, 1.0) for r, v in enumerate(pool[:5])]
         if sorted(byK[q_]) != want:
             bad.append(q_)
-    check("q_cosine_topk duplicate-flood expansion", not bad,
+    check(f"{ann_q} duplicate-flood expansion", not bad,
           f"top-5 = id-ordered copies of the sf(N) dup set + self copies; "
+          f"{len(bad)} violations")
+
+# PQ/ADC top-5: the per-subspace codebooks are the k lowest vec_ids =
+# replica-0 seeds (iters = 0), so encoding is content-deterministic and
+# every copy ties its original's ADC distance exactly. The sf(K*N) page
+# is the first 5 of the (adc, id)-ordered merge of the K-expanded sf(N)
+# page and the query's own K-1 copies (whose self-ADC is not visible in
+# the sf(N) output — self is id-excluded there): so the check removes
+# the observed self-copy rows and requires the remainder to be a strict
+# prefix of the expanded sf(N) page, with the self rows themselves at
+# one shared ADC value and consecutive replica indices.
+if K >= 6 and have("q_pq_ann"):
+    d1, dK = load(OUT1, "q_pq_ann"), load(OUTK, "q_pq_ann")
+    by1, byK = {}, {}
+    for i in range(len(d1["q_id"])):
+        by1.setdefault(d1["q_id"][i], []).append(
+            (d1["rank"][i], d1["adc_dist"][i], d1["vec_id"][i]))
+    for i in range(len(dK["q_id"])):
+        byK.setdefault(dK["q_id"][i], []).append(
+            (dK["rank"][i], dK["adc_dist"][i], dK["vec_id"][i]))
+    check("q_pq_ann queries", set(by1) == set(byK), f"{len(by1)} vs {len(byK)}")
+    bad = []
+    for q_, rows1 in by1.items():
+        if q_ not in byK:
+            continue
+        page1 = [(a, v) for _, a, v in sorted(rows1)]
+        pageK = [(a, v) for _, a, v in sorted(byK[q_])]
+        expanded = sorted((a, v + j * OFF) for a, v in page1 for j in range(K))
+        selfs = [(a, v) for a, v in pageK if v % OFF == q_ and v != q_]
+        nonself = [x for x in pageK if x not in selfs]
+        js = sorted(v // OFF for _, v in selfs)
+        ok = (pageK == sorted(pageK)
+              and nonself == expanded[:len(nonself)]
+              and len({a for a, _ in selfs}) <= 1
+              and js == list(range(1, len(js) + 1)))
+        if not ok:
+            bad.append(q_)
+    check("q_pq_ann expanded-page prefix", not bad,
+          f"page minus self copies is a prefix of the K-expanded sf(N) "
+          f"page; {len(bad)} violations")
+
+# mean-pooled centroids are exactly duplication-invariant: each (label,
+# dim) group at sf(K*N) is K verbatim copies of sf(N)'s member multiset,
+# so the double mean differs only in accumulation order (~1e-13) and the
+# round-5 output can step by one 1e-5 grid unit only when the true mean
+# sits within that noise of a .000005 boundary. n_vecs is exactly xK.
+if have("q_embed_centroids"):
+    d1, dK = load(OUT1, "q_embed_centroids"), load(OUTK, "q_embed_centroids")
+    m1 = {(d1["label"][i], d1["dim"][i]): (d1["centroid_v"][i], d1["n_vecs"][i])
+          for i in range(len(d1["label"]))}
+    mK = {(dK["label"][i], dK["dim"][i]): (dK["centroid_v"][i], dK["n_vecs"][i])
+          for i in range(len(dK["label"]))}
+    check("q_embed_centroids groups", set(m1) == set(mK), f"{len(m1)} vs {len(mK)}")
+    bad_v = [k for k in m1 if k in mK and abs(mK[k][0] - m1[k][0]) > 1.01e-5]
+    bad_n = [k for k in m1 if k in mK and mK[k][1] != K * m1[k][1]]
+    check("q_embed_centroids centroid invariance", not bad_v,
+          f"per-(label,dim) mean identical up to one rounding-grid step; "
+          f"{len(bad_v)} violations")
+    check("q_embed_centroids n_vecs xK", not bad_n, f"{len(bad_n)} violations")
+
+# the drift monitor is FULLY invariant: the per-replica key offset is
+# even, so vec_id % 2 parity is replica-stable — each half's membership
+# at sf(K*N) is K verbatim copies of sf(N)'s, the round-5 half-centroids
+# are identical (order noise absorbed), and the per-label drift cosine
+# re-rounds at 1e-6 (allow the one-grid-step boundary case).
+if have("q_centroid_drift") and OFF % 2 == 0:
+    d1, dK = load(OUT1, "q_centroid_drift"), load(OUTK, "q_centroid_drift")
+    m1 = {d1["label"][i]: (d1["n_dims"][i], d1["drift_cos"][i])
+          for i in range(len(d1["label"]))}
+    mK = {dK["label"][i]: (dK["n_dims"][i], dK["drift_cos"][i])
+          for i in range(len(dK["label"]))}
+    check("q_centroid_drift labels", set(m1) == set(mK), f"{len(m1)} vs {len(mK)}")
+    bad = [k for k in m1 if k in mK and
+           (m1[k][0] != mK[k][0] or abs(mK[k][1] - m1[k][1]) > 1.01e-6)]
+    check("q_centroid_drift parity-half invariance", not bad,
+          f"per-label (n_dims, drift_cos) identical at both SFs; "
           f"{len(bad)} violations")
 
 # DSL top-100: the HAVING predicate is per-order (replica-local), so the
