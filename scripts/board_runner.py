@@ -66,6 +66,7 @@ while True:
     proc = subprocess.Popen(cmd, stderr=subprocess.PIPE, text=True,
                             stdout=subprocess.DEVNULL)
     progressed = False
+    counted_this_pass = set()
     for line in proc.stderr:
         m = OK.search(line)
         if m:
@@ -78,11 +79,21 @@ while True:
         m = FAIL.search(line)
         if m:
             name, msg = m.group(1), m.group(2)[:300]
-            attempts[name] = attempts.get(name, 0) + 1
+            # a dying SparkContext fails every query still queued behind
+            # the actual killer — those cascade failures say nothing
+            # about the query itself, so they don't count as attempts
+            # (the killer's own first failure line, e.g. an OOM or a
+            # stage-materialization error, is NOT one of these shapes)
+            cascade = ("stopped SparkContext" in msg
+                       or "SparkContext was shut down" in msg
+                       or "Shutdown in progress" in msg)
+            if not cascade:
+                attempts[name] = attempts.get(name, 0) + 1
+                counted_this_pass.add(name)
+                if attempts[name] >= MAX_ATTEMPTS:
+                    done[name] = {"status": "engine_dnf", "error": msg}
+                    save()
             progressed = True
-            if attempts[name] >= MAX_ATTEMPTS:
-                done[name] = {"status": "engine_dnf", "error": msg}
-                save()
             print(line.rstrip()[:200], flush=True)
     proc.wait()
     if proc.returncode == 0:
@@ -96,6 +107,8 @@ while True:
         killers = [n for n in pending if n not in done
                    and os.path.isdir(f"{TMP_OUT}/{n}")]
         for k in killers:
+            if k in counted_this_pass:
+                continue  # its real failure line already took the attempt
             attempts[k] = attempts.get(k, 0) + 1
             if attempts[k] >= MAX_ATTEMPTS:
                 done[k] = {"status": "engine_dnf",
