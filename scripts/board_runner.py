@@ -87,13 +87,17 @@ while True:
             cascade = ("stopped SparkContext" in msg
                        or "SparkContext was shut down" in msg
                        or "Shutdown in progress" in msg)
+            # cascade lines also don't count as progress: if the JVM
+            # dies repeatedly emitting only cascade noise (killer left
+            # no partial dir), treating them as progress would restart
+            # the same doomed pass forever
             if not cascade:
                 attempts[name] = attempts.get(name, 0) + 1
                 counted_this_pass.add(name)
                 if attempts[name] >= MAX_ATTEMPTS:
                     done[name] = {"status": "engine_dnf", "error": msg}
                     save()
-            progressed = True
+                progressed = True
             print(line.rstrip()[:200], flush=True)
     proc.wait()
     if proc.returncode == 0:

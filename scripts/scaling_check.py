@@ -1034,7 +1034,11 @@ if have("q_media_stats"):
         k_ = KIDX[dK["kind"][i]]
         want_n = sum(m[s] * n1.get((k_ - s) % 3, (0, 0))[0] for s in m)
         want_b = sum(m[s] * n1.get((k_ - s) % 3, (0, 0))[1] for s in m)
+        # want_n == 0 with the kind present at sf(K*N) is a genuine
+        # violation - short-circuit before the avg_bytes division so it
+        # reports as a normal FAIL instead of a ZeroDivisionError
         ok = (dK["n"][i] == want_n and dK["total_bytes"][i] == want_b
+              and want_n > 0
               and abs(dK["avg_bytes"][i] - want_b / want_n) < 0.006)
         check(f"q_media_stats {dK['kind'][i]} rotation", ok,
               f"n {want_n}, bytes {want_b} (shift multiplicities {dict(m)})")
@@ -1094,6 +1098,11 @@ if have("q_span_rewrite") and have("q_span_dedup"):
     bad = []
     for i in range(len(rep["doc_id"])):
         base = rep["doc_id"][i] % OFF
+        # a replica whose base id is absent from the sf(N) outputs is a
+        # violation, not a crash (mirrors the q_span_dedup loop's .get)
+        if base not in ntok1 or base not in row1:
+            bad.append(rep["doc_id"][i])
+            continue
         want = (0, EMPTY_MD5) if ntok1[base] >= 8 else row1[base]
         if (rep["n_retained"][i], rep["rewrite_md5"][i]) != want:
             bad.append(rep["doc_id"][i])
@@ -1351,31 +1360,36 @@ if have("q_centroid_drift") and OFF % 2 == 0:
 if have("q_dsl_topk"):
     d1, dK = load(OUT1, "q_dsl_topk"), load(OUTK, "q_dsl_topk")
     n1_, nK_ = len(d1["o_orderkey"]), len(dK["o_orderkey"])
-    rows1 = [(d1["o_orderkey"][i], d1["o_orderstatus"][i], d1["o_totalprice"][i])
-             for i in range(n1_)]  # already ORDER BY price DESC, key
-    groups, cur = [], [rows1[0]]
-    for r in rows1[1:]:
-        if r[2] == cur[-1][2]:
-            cur.append(r)
-        else:
-            groups.append(cur)
-            cur = [r]
-    groups.append(cur)
-    if n1_ == 100:
-        groups = groups[:-1]  # last group may be cut by sf(N)'s LIMIT
-    want = []
-    for grp in groups:
-        for j in range(K):
-            want += [(k + j * OFF, st, p) for k, st, p in grp]
-        if len(want) >= 100:
-            break
-    want = want[:100]
-    got = [(dK["o_orderkey"][i], dK["o_orderstatus"][i], dK["o_totalprice"][i])
-           for i in range(nK_)]
-    check("q_dsl_topk rowcount", nK_ == min(100, K * n1_), f"{n1_} -> {nK_}")
-    check("q_dsl_topk tie-group expansion", got[:len(want)] == want,
-          f"first {len(want)} rows derived from {len(groups)} complete "
-          f"sf(N) price groups")
+    if n1_ == 0:
+        # an empty sf(N) page can't seed the tie groups: report it as a
+        # FAIL (unless sf(K*N) is empty too) instead of IndexError-ing
+        check("q_dsl_topk empty sf(N) page", nK_ == 0, f"{n1_} -> {nK_}")
+    else:
+        rows1 = [(d1["o_orderkey"][i], d1["o_orderstatus"][i], d1["o_totalprice"][i])
+                 for i in range(n1_)]  # already ORDER BY price DESC, key
+        groups, cur = [], [rows1[0]]
+        for r in rows1[1:]:
+            if r[2] == cur[-1][2]:
+                cur.append(r)
+            else:
+                groups.append(cur)
+                cur = [r]
+        groups.append(cur)
+        if n1_ == 100:
+            groups = groups[:-1]  # last group may be cut by sf(N)'s LIMIT
+        want = []
+        for grp in groups:
+            for j in range(K):
+                want += [(k + j * OFF, st, p) for k, st, p in grp]
+            if len(want) >= 100:
+                break
+        want = want[:100]
+        got = [(dK["o_orderkey"][i], dK["o_orderstatus"][i], dK["o_totalprice"][i])
+               for i in range(nK_)]
+        check("q_dsl_topk rowcount", nK_ == min(100, K * n1_), f"{n1_} -> {nK_}")
+        check("q_dsl_topk tie-group expansion", got[:len(want)] == want,
+              f"first {len(want)} rows derived from {len(groups)} complete "
+              f"sf(N) price groups")
 
 # ntile quartiles depend on the global distribution (deliberately outside
 # the slice family), but the arithmetic price_bucket column is per-row

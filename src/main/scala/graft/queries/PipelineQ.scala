@@ -1796,16 +1796,19 @@ object PipelineQ extends QueryPack {
     })
 
   /** Market-basket co-occurrence: part pairs bought together in ≥ 3
-    * orders, with lift against independence. Baskets are built with ONE
-    * shuffle (`groupBy(order) → collect_set`) and pairs are generated
+    * orders, with lift against independence. Pairs are built with ONE
+    * corpus shuffle (`groupBy(order) → collect_set`) and generated
     * MAP-SIDE from each basket (baskets are bounded — ≤ 7 lines per
     * order here, Σ k²/2 pairs per basket — so generation is linear-ish
-    * in rows, never corpus²); the basket table then feeds the pair agg,
-    * the per-part totals, and the order count, so the distinct + double
-    * join-side shuffles of the naive `items ⋈ items` plan (3 full
-    * corpus-width shuffles + a corpus-width checkpoint, ~40 GB of
-    * scratch at the ×1000 SF) collapse into one corpus shuffle + an
-    * order-width checkpoint. The same shape computes token
+    * in rows, never corpus²), flowing straight into the pair aggregate
+    * with NO materialized intermediate. The per-part totals and the
+    * order count come from independent column-pruned scans rather than
+    * a shared cached basket frame: an order-width basket table is
+    * ~150 M array rows at the ×1000 SF (≈1.5 TB at a true 100 TB SF)
+    * and eagerly checkpointing it was the stage that died under memory
+    * competition on the ×1000 board — two extra 2-column parquet scans
+    * are far cheaper than that materialization and every branch stays
+    * pipelined and spill-resilient. The same shape computes token
     * co-occurrence / PMI at corpus scale (q_pmi_bigrams is the
     * adjacent-token variant; this is the within-container variant).
     */
@@ -1830,27 +1833,27 @@ object PipelineQ extends QueryPack {
             CROSS JOIN n
             ORDER BY part_a, part_b"""),
     (s, dir) => {
-      // one corpus-width shuffle builds the baskets; the checkpoint is
-      // ORDER-width (one row per order, bounded part set) and feeds all
-      // three consumers: pair generation, per-part totals, order count
-      val baskets = t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem")
+      // pairs map-side: one corpus shuffle groups each order's lines,
+      // then two nested generates + the a<b filter stay inside
+      // whole-stage codegen; only the (part_a, part_b) partial-agg rows
+      // reach the one pair shuffle — nothing is cached or checkpointed
+      val pairs = li
         .groupBy(col("l_orderkey"))
         .agg(collect_set(col("l_partkey")).as("parts"))
-        .localCheckpoint(true)
-      val nOrders = baskets.select(count(lit(1)).cast("double").as("n_orders"))
-      val freq = baskets
-        .select(explode(col("parts")).as("l_partkey"))
-        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-      // pairs map-side: two nested generates + the a<b filter stay inside
-      // whole-stage codegen; only the (part_a, part_b) partial-agg rows
-      // reach the one pair shuffle
-      val pairs = baskets
         .select(explode(col("parts")).as("part_a"), col("parts"))
         .select(col("part_a"), explode(col("parts")).as("part_b"))
         .filter(col("part_a") < col("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_both"))
         .filter(col("n_both") >= 3)
+      // independent pruned scans: (order, part) distinct → per-part order
+      // counts; scalar exact distinct-order count. Each is a plain
+      // two-phase agg that spills gracefully — no shared materialization
+      val freq = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val nOrders = li
+        .select(countDistinct(col("l_orderkey")).cast("double").as("n_orders"))
       // freq is PART-cardinality — unbounded at corpus scale (unlike the
       // scalar nOrders), so no broadcast hint: AQE broadcasts it at
       // small SF on its own and falls back to a part-keyed shuffle join
