@@ -1391,6 +1391,93 @@ if have("q_dsl_topk"):
               f"first {len(want)} rows derived from {len(groups)} complete "
               f"sf(N) price groups")
 
+# reciprocal-rank fusion: both rankers score a replica copy of the query
+# document perfectly (cos = jac = 1.0 after rounding) and order perfect
+# scorers by id, so the fused top-5 under replication is derivable in the
+# two regimes the data exhibits. Regime 1 — sf(N) has NO full dups (its
+# rrf page has no round6(2/(60+rank)) prefix and the companion cosine
+# page shows no cos == 1.0): the sf(K*N) page is exactly the query's
+# first 5 self copies, (q, r, q + r*OFF, round6(2/(60+r))) for r = 1..5,
+# each ranking r in BOTH rankers, and no other candidate can reach it —
+# the best both-ranker outsider is bounded by 1/70 + 1/70 and the best
+# single-ranker-1.0 outsider by 1/61 + 1/70, both < 2/65. Regime 2 —
+# the sf(N) page is SATURATED with full dups (every row at exactly
+# round6(2/(60+rank)), the sf1->sf10 case where sf1 is itself a
+# replication): the page is invariant, because replication only adds
+# ids LARGER than every replica-0 member to the perfect-score group.
+if K >= 6 and have("q_rrf_fusion"):
+    d1, dK = load(OUT1, "q_rrf_fusion"), load(OUTK, "q_rrf_fusion")
+    by1, byK = {}, {}
+    for i in range(len(d1["q_id"])):
+        by1.setdefault(d1["q_id"][i], []).append(
+            (d1["rank"][i], d1["id"][i], d1["rrf"][i]))
+    for i in range(len(dK["q_id"])):
+        byK.setdefault(dK["q_id"][i], []).append(
+            (dK["rank"][i], dK["id"][i], dK["rrf"][i]))
+    check("q_rrf_fusion queries", set(by1) == set(byK),
+          f"{len(by1)} vs {len(byK)}")
+    dup_free = set()
+    if have("q_cosine_topk"):
+        c1 = load(OUT1, "q_cosine_topk")
+        top = {}
+        for i in range(len(c1["q_id"])):
+            top.setdefault(c1["q_id"][i], []).append(c1["cos"][i])
+        dup_free = {q_ for q_, cs in top.items() if all(c < 1.0 for c in cs)}
+    selfrrf = lambda r: round(2.0 / (60 + r), 6)
+    bad, skipped = [], []
+    for q_, rows1 in by1.items():
+        if q_ not in byK:
+            continue
+        p1, pK = sorted(rows1), sorted(byK[q_])
+        if all(abs(rrf - selfrrf(r)) < 5e-7 for r, _, rrf in p1):
+            if pK != p1:  # regime 2: saturated page is invariant
+                bad.append(q_)
+        elif q_ in dup_free:  # regime 1: pure self-copy page
+            want = [(r, q_ + r * OFF) for r in range(1, 6)]
+            if ([(r, v) for r, v, _ in pK] != want
+                    or any(abs(rrf - selfrrf(r)) > 5e-7 for r, _, rrf in pK)):
+                bad.append(q_)
+        else:  # partial-dup regime: derivation needs the full dup set
+            skipped.append(q_)
+    check("q_rrf_fusion fused-page derivation", not bad,
+          f"{len(by1) - len(skipped)} queries derived "
+          f"(self-copy or saturated-invariant), {len(bad)} violations")
+    if skipped:
+        print(f"     q_rrf_fusion: {len(skipped)} queries in the "
+              f"partial-dup regime skipped: {skipped}")
+
+# PMI is a pure count ratio: ln((Kc)(Kn)/((Kc_l)(Kc_r))) equals
+# ln(cn/(c_l*c_r)) EXACTLY — the integer products stay < 2^53 so the fp
+# ratio (and the 6dp rounding) is bit-identical. The c >= 10 cut is NOT
+# invariant (sf(N) counts 1..9 cross it at sf(K*N)), so the top-30 page
+# can admit newcomers; three exact relations survive: every sf(K*N)
+# count is = 0 (mod K) (content replicates verbatim), a pair on BOTH
+# pages keeps its pmi bit-identically with count exactly xK, and a
+# sf(N)-page pair missing from the sf(K*N) page still qualifies there,
+# so only higher-or-tied pmi newcomers can have displaced it.
+if have("q_pmi_bigrams"):
+    d1, dK = load(OUT1, "q_pmi_bigrams"), load(OUTK, "q_pmi_bigrams")
+    m1 = {d1["pair"][i]: (d1["c_xy"][i], d1["pmi"][i])
+          for i in range(len(d1["pair"]))}
+    mK = {dK["pair"][i]: (dK["c_xy"][i], dK["pmi"][i])
+          for i in range(len(dK["pair"]))}
+    badmod = [p_ for p_, (c, _) in mK.items() if c % K != 0]
+    check("q_pmi_bigrams counts mod K", not badmod,
+          f"{len(mK)} page rows, {len(badmod)} violations")
+    both = sorted(set(m1) & set(mK))
+    badint = [p_ for p_ in both
+              if mK[p_][0] != K * m1[p_][0] or abs(mK[p_][1] - m1[p_][1]) > 1e-9]
+    check("q_pmi_bigrams intersection exact", not badint,
+          f"{len(both)} shared pairs: count xK + pmi bit-identical; "
+          f"{len(badint)} violations")
+    if mK:
+        minK = min(v[1] for v in mK.values())
+        displaced = sorted(set(m1) - set(mK))
+        baddisp = [p_ for p_ in displaced if m1[p_][1] > minK + 1e-9]
+        check("q_pmi_bigrams displacement monotone", not baddisp,
+              f"{len(displaced)} sf(N) pairs displaced by newcomers, all "
+              f"at pmi <= page min {minK}; {len(baddisp)} violations")
+
 # ntile quartiles depend on the global distribution (deliberately outside
 # the slice family), but the arithmetic price_bucket column is per-row
 # pure: rows xK and the (key, price_bucket) projection slice-identical
