@@ -35,6 +35,15 @@ for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
     ADD_OPENS += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
 
 names = sorted(json.load(open(ORACLE)))
+# Optional cheap-first ordering: COST_HINT points at a prior board JSON
+# (e.g. SCALE_SF10_r15.json); pending queries run in ascending recorded
+# wall time so a time-bounded session completes the most queries. Names
+# without a hint run last, alphabetically.
+cost = {}
+hint = os.environ.get("COST_HINT")
+if hint and os.path.exists(hint):
+    cost = {k: v["sec"] for k, v in json.load(open(hint))["queries"].items()
+            if "sec" in v}
 done = {}
 if os.path.exists(REPORT):
     done = json.load(open(REPORT)).get("queries", {})
@@ -51,7 +60,8 @@ OK = re.compile(r"\[verify\] (\S+) ok ([0-9.]+)s")
 FAIL = re.compile(r"\[verify\] (\S+) failed: (.*)")
 
 while True:
-    pending = [n for n in names if n not in done]
+    pending = sorted((n for n in names if n not in done),
+                     key=lambda n: (cost.get(n, float("inf")), n))
     if not pending:
         break
     print(f"== pass: {len(pending)} pending, {len(done)} done", flush=True)

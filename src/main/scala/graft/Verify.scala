@@ -37,7 +37,13 @@ object Verify {
     // wave runs set GRAFT_VERIFY_COALESCE=0 to write with full
     // parallelism
     val singleFile = sys.env.getOrElse("GRAFT_VERIFY_COALESCE", "1") != "0"
-    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
+    // Run in the caller's args(2) order (stable: ties keep map order).
+    // The at-scale board runner passes exact names cheapest-first so a
+    // wall-clock-bounded pass completes the most queries; with no args
+    // every name matches prefix "" at index 0 and map order is preserved.
+    val ordered = SparkEntry.queries.filter(q => selected(q._1)).toSeq
+      .sortBy { case (name, _) => prefixes.indexWhere(name.startsWith) }
+    ordered.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         val res = fn(spark, sfDir)
