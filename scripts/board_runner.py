@@ -42,8 +42,11 @@ names = sorted(json.load(open(ORACLE)))
 cost = {}
 hint = os.environ.get("COST_HINT")
 if hint and os.path.exists(hint):
-    cost = {k: v["sec"] for k, v in json.load(open(hint))["queries"].items()
-            if "sec" in v}
+    try:  # best-effort hint: a malformed file must not kill the runner
+        cost = {k: v["sec"] for k, v in
+                json.load(open(hint))["queries"].items() if "sec" in v}
+    except Exception as e:
+        print(f"COST_HINT unusable ({e}); ordering alphabetically", flush=True)
 done = {}
 if os.path.exists(REPORT):
     done = json.load(open(REPORT)).get("queries", {})
@@ -60,8 +63,10 @@ OK = re.compile(r"\[verify\] (\S+) ok ([0-9.]+)s")
 FAIL = re.compile(r"\[verify\] (\S+) failed: (.*)")
 
 while True:
+    # names absent from the hint are typically NEW queries of unknown —
+    # usually small — cost: run them first, not behind the heavy tail
     pending = sorted((n for n in names if n not in done),
-                     key=lambda n: (cost.get(n, float("inf")), n))
+                     key=lambda n: (cost.get(n, -1.0), n))
     if not pending:
         break
     print(f"== pass: {len(pending)} pending, {len(done)} done", flush=True)

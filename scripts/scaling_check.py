@@ -317,10 +317,11 @@ GROUPED = [
      ["max_n", "heaviest_key", "heaviest_n"], ["avg_n", "skew_factor"]),
     ("q_psi_drift", ["bucket"], ["n_ref", "n_cur"], [], ["psi_contrib"]),
     ("q_mix_weights", ["source"], ["n"], [], ["actual_share", "weight"]),
-    # q_cdc_apply is deliberately ABSENT: its change-batch membership is
-    # keyed on value/date predicates that offset keys cross differently
-    # per replica, so xK does not hold (verified sf0.1->sf1.0: 150553 ->
-    # 1505537 rows); its correctness gate is the DuckDB oracle at sf1.0
+    # q_cdc_apply lives in the bespoke section below: its change-batch
+    # membership is keyed on o_orderkey % 89/41/67, so xK holds exactly
+    # IFF the replica offset clears all three moduli (OFF % 244483 == 0;
+    # with OFF=1e9 the classes rotated per replica and rows went
+    # 150553 -> 1505537, not x10 — that was an OFF artifact, not algebra)
     ("q_attribution", ["touch"], ["n_purchases", "revenue"], [], []),
     ("q_attribution_decay", ["touch"],
      ["attributed_purchases", "attributed_revenue"], [], []),
@@ -615,6 +616,23 @@ def have(q):
         print(f"     {q} outputs absent - skipped")
     return ok
 
+
+# CDC changelog apply: the D/U/I classes are o_orderkey % 89/41/67, so
+# when OFF clears all three moduli every replica's log membership is the
+# residue-identical image of replica 0 and all four scalars scale xK
+# exactly (total is integer-cent accumulated: compare at cents; K*cents
+# stays far under 2^53). The 'I' keys (+2e8) never cross replicas while
+# OFF > 2e8 + max base key (make_sf1 asserts max key < OFF).
+if OFF % (89 * 41 * 67) == 0 and OFF > 2 * 10**8:
+    if have("q_cdc_apply"):
+        d1, dK = load(OUT1, "q_cdc_apply"), load(OUTK, "q_cdc_apply")
+        for c in ["n_rows", "n_updated", "n_inserted"]:
+            check(f"q_cdc_apply {c} xK", dK[c][0] == K * d1[c][0],
+                  f"{d1[c][0]} -> {dK[c][0]}")
+        c1, cK = round(d1["total"][0] * 100), round(dK["total"][0] * 100)
+        check("q_cdc_apply total xK (cents)", cK == K * c1, f"{c1} -> {cK}")
+else:
+    print("     q_cdc_apply skipped: OFF does not clear 89*41*67")
 
 # scalar min/max over offset keys: max lives in the last replica
 if have("q_scalar_agg"):

@@ -6,11 +6,19 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // optional dev filter: only queries whose name starts with one of
-    // the comma-separated prefixes in args(2) (the oracle dump is
-    // filtered too, so scripts/check.py agrees)
-    val prefixes = (if (args.length > 2) args(2) else "").split(',').toSeq
-    def selected(name: String): Boolean = prefixes.exists(name.startsWith)
+    // optional filter, args(2) = comma-separated tokens. A token that
+    // exactly names a query selects ONLY that query (the at-scale board
+    // runner passes exact names — q_asof must not also re-select its
+    // longer sibling q_asof_forward); any other token is a dev-filter
+    // prefix. The oracle dump is filtered too, so scripts/check.py agrees.
+    val tokens = (if (args.length > 2) args(2) else "").split(',').toSeq
+    val allNames = SparkEntry.queries.keySet
+    def matchIdx(name: String): Int = {
+      val exact = tokens.indexOf(name)
+      if (exact >= 0) exact
+      else tokens.indexWhere(t => !allNames.contains(t) && name.startsWith(t))
+    }
+    def selected(name: String): Boolean = matchIdx(name) >= 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // spill-aware override for at-scale waves: global sorts of corpus-
     // width outputs (600M-row row-grain results) need partitions sized
@@ -42,7 +50,7 @@ object Verify {
     // wall-clock-bounded pass completes the most queries; with no args
     // every name matches prefix "" at index 0 and map order is preserved.
     val ordered = SparkEntry.queries.filter(q => selected(q._1)).toSeq
-      .sortBy { case (name, _) => prefixes.indexWhere(name.startsWith) }
+      .sortBy { case (name, _) => matchIdx(name) }
     ordered.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
