@@ -617,6 +617,77 @@ def have(q):
     return ok
 
 
+# ---- smoothed-score family ---------------------------------------------
+# BM25's Robertson idf and DSIR's Laplace ratio change VALUES under xK
+# (df -> K*df inside a +0.5 / +1 smoothing term), so pages can't be
+# compared to sf(N) values — but every replica copy of a doc shares
+# identical (tf, dl, lang) and therefore an identical smoothed score at
+# the NEW SF. The top page must partition, on doc_id % OFF, into groups
+# of exactly K rows (ids base + r*OFF, r = 0..K-1) sharing one score —
+# except groups at the page's minimal score, where the LIMIT cut can
+# legitimately land mid-group when distinct contents tie at the rounded
+# boundary.
+for q, key, mcol in [("q_bm25", "doc_id", "bm25"),
+                     ("q_dsir_weights", "doc_id", "dsir_score")]:
+    if not have(q):
+        continue
+    d1, dK = load(OUT1, q), load(OUTK, q)
+    n = len(dK[key])
+    check(f"{q} limit preserved", n == len(d1[key]),
+          f"{len(d1[key])} vs {n} rows")
+    check(f"{q} page sorted desc",
+          all(dK[mcol][i] >= dK[mcol][i + 1] for i in range(n - 1)),
+          "score order violated")
+    groups = {}
+    for i in range(n):
+        groups.setdefault(dK[key][i] % OFF, []).append(i)
+    min_score = min(dK[mcol]) if n else None
+    bad = []
+    for base, idxs in groups.items():
+        scores = {dK[mcol][i] for i in idxs}
+        if len(scores) != 1:
+            bad.append((base, "copies disagree on score"))
+        elif len(idxs) != K and scores != {min_score}:
+            bad.append((base, f"partial group ({len(idxs)}) above boundary"))
+        elif len(idxs) == K and \
+                sorted(dK[key][i] // OFF for i in idxs) != list(range(K)):
+            bad.append((base, "replica index set broken"))
+    check(f"{q} page = xK replica groups", not bad, f"{bad[:3]}")
+
+# add-one smoothing changes q_bigram_lm's per-doc scores under xK, but
+# all K copies of a doc see the same content and the same corpus count
+# tables, so they must score identically up to one 1e-6 rounding-grid
+# step (per-group float sum order differs across copies)
+if have("q_bigram_lm"):
+    d1, dK = load(OUT1, "q_bigram_lm"), load(OUTK, "q_bigram_lm")
+    n1, nK = len(d1["doc_id"]), len(dK["doc_id"])
+    check("q_bigram_lm rows xK", nK == K * n1, f"{n1} -> {nK}")
+    groups = {}
+    for i in range(nK):
+        groups.setdefault(dK["doc_id"][i] % OFF, []).append(dK["mean_logprob"][i])
+    check("q_bigram_lm base ids preserved",
+          set(groups) == set(d1["doc_id"]),
+          f"{len(groups)} groups vs {n1} base docs")
+    bad = [b for b, v in groups.items()
+           if len(v) != K or max(v) - min(v) > 1.0000001e-6]
+    check("q_bigram_lm copies score identically", not bad,
+          f"{len(bad)} divergent groups, e.g. {bad[:3]}")
+
+# q_ppl_bucket's tercile thresholds move with the smoothed lp values,
+# so bucket MEMBERSHIP isn't derivable from sf(N) — but copies share lp
+# and the comparisons run on rounded values, so each doc lands all K
+# copies in ONE bucket: every n_docs is ≡ 0 (mod K) and they sum to
+# K * sf(N) total
+if have("q_ppl_bucket"):
+    d1, dK = load(OUT1, "q_ppl_bucket"), load(OUTK, "q_ppl_bucket")
+    check("q_ppl_bucket buckets", set(dK["bucket"]) == set(d1["bucket"]),
+          f"{d1['bucket']} vs {dK['bucket']}")
+    bad = [b for i, b in enumerate(dK["bucket"]) if dK["n_docs"][i] % K]
+    check("q_ppl_bucket counts mod K", not bad, f"{bad}")
+    check("q_ppl_bucket total xK",
+          sum(dK["n_docs"]) == K * sum(d1["n_docs"]),
+          f"{sum(d1['n_docs'])} -> {sum(dK['n_docs'])}")
+
 # CDC changelog apply: the D/U/I classes are o_orderkey % 89/41/67, so
 # when OFF clears all three moduli every replica's log membership is the
 # residue-identical image of replica 0 and all four scalars scale xK
