@@ -3,6 +3,7 @@ package graft.operators
 import graft.text.TextFunctions.md5Hash32
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed triangle counting over an undirected edge list
   * (columns `a < b`), built from the two standard scale techniques:
@@ -19,10 +20,27 @@ import org.apache.spark.sql.functions._
   *     rand()) makes the estimate reproducible across runs and retries.
   *
   * Every stage is an equi-join or hash aggregate on node/edge keys; the
-  * two multiply-consumed frames are localCheckpoint'd so the pair-gen
-  * join is not re-executed per consumer.
+  * two multiply-consumed frames are pinned via [[pinSer]] (serialized
+  * executor-local checkpoint) so the pair-gen join is not re-executed
+  * per consumer and the pin never re-inflates to object rows.
   */
 object Triangles {
+
+  /** Eager executor-local pin with SERIALIZED storage.
+    *
+    * The default `localCheckpoint(true)` stores MEMORY_AND_DISK
+    * **deserialized**: when a later consumer reads a block back from
+    * disk, `BlockManager.maybeCacheDiskValuesInMemory` re-materializes
+    * it as boxed object rows — a ~10× on-heap inflation that OOM'd the
+    * ×1000-SF edge frame (600M+ rows) in `putIteratorAsValues` even at
+    * a 90 g heap. MEMORY_AND_DISK_SER keeps blocks as compact bytes in
+    * BOTH tiers (and `spark.rdd.compress` shrinks them further on a
+    * graph's int-pair layout); consumers stream-deserialize per read
+    * instead of pinning object rows. The extra CPU is noise next to
+    * the wedge join this pin feeds.
+    */
+  def pinSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 
   /** All unordered co-occurrence pairs (a < b) from (basket, item)
     * rows — the co-purchase/co-occurrence edge generator feeding the
@@ -126,17 +144,17 @@ object Triangles {
   def stats(edges0: DataFrame, pin: Boolean = true,
             maxBloomBytes: Long = 128L << 20): DataFrame = {
     // consumed 4×: degrees, orientation, bloom build, closure join
-    val edges = if (pin) edges0.localCheckpoint(true) else edges0
+    val edges = if (pin) pinSer(edges0) else edges0
     val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
-    val oriented = edges
+    // consumed 2×: wedge gen + outdegree count
+    val oriented = pinSer(edges
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
-        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint(true) // consumed 2×: wedge gen + outdegree count
+        when(aFirst, col("b")).otherwise(col("a")).as("dst")))
     val nEdges = edges.count()
     // bits(n, p) = -n·ln p / ln²2, so the smallest fpp that fits the
     // byte cap is exp(-8·cap·ln²2 / n); below 2% the cap isn't binding.

@@ -2602,23 +2602,37 @@ object PipelineQ extends QueryPack {
       // hp % 10 < 2  ⊂  hp % 10 < 5 with the same salt, so the p=0.2
       // edge set is a re-filter of the checkpointed p=0.5 one (same
       // hashes either way).
-      val e50 = graft.operators.Triangles.sampleEdges(
+      // pinSer, not bare localCheckpoint(true): the default pin stores
+      // deserialized object rows, and reading the ×1000-SF edge frame
+      // back from disk re-inflated it past a 90 g heap (see
+      // Triangles.pinSer). Serialized blocks stream-deserialize instead.
+      val e50 = graft.operators.Triangles.pinSer(
+        graft.operators.Triangles.sampleEdges(
           graft.operators.Triangles.rawBasketPairs(
             t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
           10, 5, "tri:")
-        .distinct()
-        .localCheckpoint(true) // feeds its own stats AND the p=0.2 re-filter
-      val e20 = graft.operators.Triangles.sampleEdges(e50, 10, 2, "tri:")
-      val p20 = graft.operators.Triangles.stats(e20)
-        .select(
-          col("n_edges").as("n_edges_p20"), col("n_triangles").as("n_tri_p20"),
-          (col("n_triangles") * 125).as("est_p20"))
+        .distinct()) // feeds its own stats AND the p=0.2 re-filter
+      // Each wave's 1-ROW stats frame is eagerly checkpointed, so the
+      // p=0.5 wedge pipeline fully executes — and its shuffle files
+      // become collectable — BEFORE the p=0.2 wave starts. Without the
+      // phase barrier both waves' exchanges coexist until job end,
+      // which is ~2× the simultaneous scratch: the ×1000-SF run
+      // ENOSPC'd a 60 GB spill volume that each wave alone fits in.
+      // (Run at-scale with spark.cleaner.periodicGC.interval lowered so
+      // the dereferenced wave's shuffle deps are GC'd promptly.)
       // pin = false: e50 is already checkpointed above; a second cached
       // copy of the 600M-row edge frame is pure heap pressure
       val p50 = graft.operators.Triangles.stats(e50, pin = false)
         .select(
           col("n_edges").as("n_edges_p50"), col("n_triangles").as("n_tri_p50"),
           (col("n_triangles") * 8).as("est_p50"))
+        .localCheckpoint(true)
+      val e20 = graft.operators.Triangles.sampleEdges(e50, 10, 2, "tri:")
+      val p20 = graft.operators.Triangles.stats(e20)
+        .select(
+          col("n_edges").as("n_edges_p20"), col("n_triangles").as("n_tri_p20"),
+          (col("n_triangles") * 125).as("est_p20"))
+        .localCheckpoint(true)
       p20.crossJoin(p50) // two 1-row stats frames
     })
 
