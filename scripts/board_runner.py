@@ -62,6 +62,29 @@ def save():
 OK = re.compile(r"\[verify\] (\S+) ok ([0-9.]+)s")
 FAIL = re.compile(r"\[verify\] (\S+) failed: (.*)")
 
+
+def sibling_graft_jvms():
+    """Host-isolation precheck (round-17 protocol, mechanized): any
+    OTHER graft JVM or board runner alive on the host invalidates every
+    wall-time this pass records (two of round 17's three contaminated
+    measurements — q_dsl_topk 1448 s -> 167.5 s isolated — were stray
+    JVMs caught by hand). Returns (pid, cmdline-prefix) pairs."""
+    me = os.getpid()
+    out = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode(errors="replace").replace("\0", " ").strip()
+        except OSError:
+            continue
+        argv0 = cmd.split(" ", 1)[0]
+        if (argv0.endswith("java") and "graft." in cmd) or \
+           ("python" in argv0 and "board_runner" in cmd):
+            out.append((int(pid), cmd[:120]))
+    return out
+
 while True:
     # names absent from the hint are typically NEW queries of unknown —
     # usually small — cost: run them first, not behind the heavy tail
@@ -70,6 +93,18 @@ while True:
     if not pending:
         break
     print(f"== pass: {len(pending)} pending, {len(done)} done", flush=True)
+    siblings = sibling_graft_jvms()
+    if siblings:
+        for pid, cmd in siblings:
+            print(f"sibling: {pid}: {cmd}", flush=True)
+        if os.environ.get("GRAFT_IGNORE_SIBLINGS") != "1":
+            print("host not isolated — refusing to measure "
+                  "(set GRAFT_IGNORE_SIBLINGS=1 to tag-and-run)", flush=True)
+            sys.exit(3)
+        # override: run anyway but TAG every entry this pass records so
+        # the numbers are never mistaken for clean measurements
+        print("GRAFT_IGNORE_SIBLINGS=1 — entries will be tagged "
+              "contaminated", flush=True)
     shutil.rmtree(TMP_OUT, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS=CPUS,
                GRAFT_SHUFFLE_PARTITIONS=SHUF, GRAFT_VERIFY_COALESCE="0")
@@ -85,7 +120,10 @@ while True:
     for line in proc.stderr:
         m = OK.search(line)
         if m:
-            done[m.group(1)] = {"status": "complete", "sec": float(m.group(2))}
+            entry = {"status": "complete", "sec": float(m.group(2))}
+            if siblings:
+                entry["contaminated"] = [c for _, c in siblings]
+            done[m.group(1)] = entry
             progressed = True
             shutil.rmtree(f"{TMP_OUT}/{m.group(1)}", ignore_errors=True)
             save()

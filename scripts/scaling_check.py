@@ -694,16 +694,28 @@ if have("q_ppl_bucket"):
 # exactly (total is integer-cent accumulated: compare at cents; K*cents
 # stays far under 2^53). The 'I' keys (+2e8) never cross replicas while
 # OFF > 2e8 + max base key (make_sf1 asserts max key < OFF).
-if OFF % (89 * 41 * 67) == 0 and OFF > 2 * 10**8:
-    if have("q_cdc_apply"):
+if have("q_cdc_apply"):
+    # The stated invariant is OFF % (89*41*67) == 0 AND the inserted
+    # keys (base + 2e8) staying inside their replica, i.e.
+    # max base key + 2e8 < OFF. The max base key is read from the xK
+    # scalar-agg output when present (max_key - (K-1)*OFF recovers it);
+    # otherwise fall back to the conservative documented bound.
+    max_base = None
+    if have("q_scalar_agg"):
+        dS = load(OUTK, "q_scalar_agg")
+        max_base = dS["max_key"][0] - (K - 1) * OFF
+    insert_safe = (max_base is not None and max_base + 2 * 10**8 < OFF) \
+        or (max_base is None and OFF > 2 * 10**8)
+    if OFF % (89 * 41 * 67) == 0 and insert_safe:
         d1, dK = load(OUT1, "q_cdc_apply"), load(OUTK, "q_cdc_apply")
         for c in ["n_rows", "n_updated", "n_inserted"]:
             check(f"q_cdc_apply {c} xK", dK[c][0] == K * d1[c][0],
                   f"{d1[c][0]} -> {dK[c][0]}")
         c1, cK = round(d1["total"][0] * 100), round(dK["total"][0] * 100)
         check("q_cdc_apply total xK (cents)", cK == K * c1, f"{c1} -> {cK}")
-else:
-    print("     q_cdc_apply skipped: OFF does not clear 89*41*67")
+    else:
+        print(f"     q_cdc_apply skipped: OFF={OFF} fails moduli or "
+              f"insert-containment (max base key {max_base})")
 
 # scalar min/max over offset keys: max lives in the last replica
 if have("q_scalar_agg"):
@@ -1566,6 +1578,168 @@ if have("q_pmi_bigrams"):
         check("q_pmi_bigrams displacement monotone", not baddisp,
               f"{len(displaced)} sf(N) pairs displaced by newcomers, all "
               f"at pmi <= page min {minK}; {len(baddisp)} violations")
+
+# ---- round-18 additions: the six former exclusions, gated ------------
+# These queries' VALUES are legitimately not derivable from sf(N) (the
+# md5-thinned edge sample differs per replica; MMR state needs pairwise
+# sims; the LSH stop-bucket cap crosses under xK growth) — but each has
+# exact structural relations that ARE derivable, because edges, buckets
+# and candidate sets never cross replicas:
+#  - the sf(KN) graph is a DISJOINT UNION of K independently-thinned
+#    copies of the base graph, replica 0 byte-identical (same keys ->
+#    same md5 keep set): exact containment relations + tight
+#    concentration bands on thinned counts (binomial sums; sd << 1%);
+#  - every replica copy of an LSH probe doc sees the IDENTICAL
+#    (mod OFF) candidate set, so output rows come in exactly-K groups
+#    with identical (dup_of % OFF == dup_of, jaccard, n_matches), the
+#    base-projected doc set is a SUBSET of sf(N)'s (caps only shrink),
+#    jaccard <= base and n_matches = K * (a sub-count of base's);
+#  - MMR floods with K-1 perfect self-copies: rank 1 pins to cos 1.0,
+#    ranks 2+ to the 0.7*1 - 0.3*1 = 0.4 plateau, ids ascend within
+#    the plateau (greedy min-id tie-break on equal scores).
+
+
+def band(name, got, want, rel, abs_slack=0):
+    lo = want * (1 - rel) - abs_slack
+    hi = want * (1 + rel) + abs_slack
+    check(name, lo <= got <= hi,
+          f"{got} vs {want} (band +/-{rel * 100:g}% + {abs_slack})")
+
+
+if have("q_triangle_count"):
+    d1, dK = load(OUT1, "q_triangle_count"), load(OUTK, "q_triangle_count")
+    band("q_triangle_count edges xK", dK["n_edges_sampled"][0],
+         K * d1["n_edges_sampled"][0], 0.01)
+    band("q_triangle_count wedges xK", dK["n_wedges"][0],
+         K * d1["n_wedges"][0], 0.03)
+    check("q_triangle_count max_degree >= base (replica-0 containment)",
+          dK["max_degree"][0] >= d1["max_degree"][0],
+          f"{d1['max_degree'][0]} -> {dK['max_degree'][0]}")
+    check("q_triangle_count tri >= base (replica-0 containment)",
+          dK["n_tri_sampled"][0] >= d1["n_tri_sampled"][0],
+          f"{d1['n_tri_sampled'][0]} -> {dK['n_tri_sampled'][0]}")
+    band("q_triangle_count tri xK (Poisson band)", dK["n_tri_sampled"][0],
+         K * d1["n_tri_sampled"][0], 0.5, abs_slack=20 * K)
+    check("q_triangle_count est consistency",
+          dK["est_triangles"][0] == 1000 * dK["n_tri_sampled"][0],
+          f"{dK['est_triangles'][0]} == 1000*{dK['n_tri_sampled'][0]}")
+
+if have("q_triangle_sampled"):
+    d1, dK = load(OUT1, "q_triangle_sampled"), load(OUTK, "q_triangle_sampled")
+    for p, mult in (("p20", 125), ("p50", 8)):
+        band(f"q_triangle_sampled {p} edges xK", dK[f"n_edges_{p}"][0],
+             K * d1[f"n_edges_{p}"][0], 0.01)
+        check(f"q_triangle_sampled {p} tri >= base (replica-0 containment)",
+              dK[f"n_tri_{p}"][0] >= d1[f"n_tri_{p}"][0],
+              f"{d1[f'n_tri_{p}'][0]} -> {dK[f'n_tri_{p}'][0]}")
+        band(f"q_triangle_sampled {p} tri xK (Poisson band)",
+             dK[f"n_tri_{p}"][0], K * d1[f"n_tri_{p}"][0], 0.5,
+             abs_slack=20 * K)
+        check(f"q_triangle_sampled {p} est consistency",
+              dK[f"est_{p}"][0] == mult * dK[f"n_tri_{p}"][0],
+              f"{dK[f'est_{p}'][0]} == {mult}*{dK[f'n_tri_{p}'][0]}")
+    # p=0.2 is a re-filter of the p=0.5 sample: the keep-rate must sit
+    # at 2/5 of it (same salt, nested residue classes)
+    band("q_triangle_sampled p20/p50 keep-rate", dK["n_edges_p20"][0],
+         0.4 * dK["n_edges_p50"][0], 0.02)
+
+if have("q_kcore"):
+    d1, dK = load(OUT1, "q_kcore"), load(OUTK, "q_kcore")
+    check("q_kcore trace length", len(dK["round"]) == len(d1["round"]) == 6,
+          f"{len(d1['round'])} vs {len(dK['round'])} rounds")
+    r1 = {d1["round"][i]: (d1["n_nodes"][i], d1["n_edges"][i])
+          for i in range(len(d1["round"]))}
+    rK = {dK["round"][i]: (dK["n_nodes"][i], dK["n_edges"][i])
+          for i in range(len(dK["round"]))}
+    # peel decomposes per replica (components never span replicas):
+    # round-r totals are sums of K independent peels, replica 0 exact
+    bad = [r for r in r1 if rK[r][0] < r1[r][0] or rK[r][1] < r1[r][1]]
+    check("q_kcore per-round >= base (replica-0 containment)", not bad,
+          f"rounds {sorted(r1)}: KN trace dominates base; violations {bad}")
+    for r in sorted(r1):
+        band(f"q_kcore round-{r} nodes xK", rK[r][0], K * r1[r][0], 0.05,
+             abs_slack=5 * K)
+        band(f"q_kcore round-{r} edges xK", rK[r][1], K * r1[r][1], 0.05,
+             abs_slack=5 * K)
+
+if have("q_mmr_diverse") and K >= 5:
+    # the plateau checks need >= 4 spare self-copies beyond the rank-1
+    # pick, i.e. K - 1 >= 4 perfect candidates per query
+    d1, dK = load(OUT1, "q_mmr_diverse"), load(OUTK, "q_mmr_diverse")
+    check("q_mmr_diverse shape invariant",
+          len(dK["q_id"]) == len(d1["q_id"])
+          and sorted(set(dK["q_id"])) == sorted(set(d1["q_id"])),
+          f"{len(d1['q_id'])} rows, queries {sorted(set(d1['q_id']))}")
+    byq = {}
+    for i in range(len(dK["q_id"])):
+        byq.setdefault(dK["q_id"][i], []).append(
+            (dK["rank"][i], dK["id"][i], dK["mmr"][i]))
+    bad1, bad2, bad3 = [], [], []
+    for q, rows_ in byq.items():
+        rows_.sort()
+        if rows_[0][2] != 1.0:
+            bad1.append(q)
+        if any(abs(m - 0.4) > 1e-9 for _, _, m in rows_[1:]):
+            bad2.append(q)
+        ids = [i_ for _, i_, _ in rows_]
+        # every pick is a replica copy of the query (or a base full-dup
+        # of it, id < OFF), and the 0.4-plateau greedy ascends by id
+        if any(i_ % OFF != q and i_ >= OFF for i_ in ids) \
+           or ids != sorted(ids):
+            bad3.append(q)
+    check("q_mmr_diverse rank-1 saturates at cos 1.0", not bad1, f"{bad1}")
+    check("q_mmr_diverse ranks 2+ on the 0.4 plateau", not bad2, f"{bad2}")
+    check("q_mmr_diverse picks are query copies, id-ascending", not bad3,
+          f"{bad3}")
+
+
+def lsh_group_checks(qname, d1, dK, batch_col=None):
+    """Replica-equivariance + cap-monotone subset for the LSH index
+    probes. Keys are (batch, doc_id) when a batch column exists."""
+    def index(d):
+        out = {}
+        for i in range(len(d["doc_id"])):
+            key = (d[batch_col][i] if batch_col else "", d["doc_id"][i])
+            out[key] = (d["dup_of"][i], d["jaccard"][i], d["n_matches"][i])
+        return out
+    m1, mK = index(d1), index(dK)
+    groups = {}
+    for (b, doc), v in mK.items():
+        groups.setdefault((b, doc % OFF), []).append((doc, v))
+    badsz = [g for g, vs in groups.items() if len(vs) != K]
+    check(f"{qname} exactly-K replica groups", not badsz,
+          f"{len(groups)} groups of {K}; bad {badsz[:5]}")
+    badeq = [g for g, vs in groups.items()
+             if len({v for _, v in vs}) != 1
+             or any(v[0] >= OFF for _, v in vs)]
+    check(f"{qname} groups identical (dup_of replica-0)", not badeq,
+          f"violations {badeq[:5]}")
+    miss = [g for g in groups if g not in m1]
+    check(f"{qname} base projection subset of sf(N)", not miss,
+          f"{len(groups)} projected docs all in sf(N) output; missing "
+          f"{miss[:5]}")
+    badrel = []
+    for g, vs in groups.items():
+        if g not in m1:
+            continue
+        dup, jac, nm = vs[0][1]
+        dup1, jac1, nm1 = m1[g]
+        if jac > jac1 + 1e-9 or nm % K != 0 or nm > K * nm1:
+            badrel.append(g)
+    check(f"{qname} jaccard <= base, n_matches = K*sub-count", not badrel,
+          f"violations {badrel[:5]}")
+
+
+if have("q_lsh_index_dedup"):
+    lsh_group_checks("q_lsh_index_dedup",
+                     load(OUT1, "q_lsh_index_dedup"),
+                     load(OUTK, "q_lsh_index_dedup"))
+
+if have("q_lsh_index_incremental"):
+    lsh_group_checks("q_lsh_index_incremental",
+                     load(OUT1, "q_lsh_index_incremental"),
+                     load(OUTK, "q_lsh_index_incremental"),
+                     batch_col="batch")
 
 # ntile quartiles depend on the global distribution (deliberately outside
 # the slice family), but the arithmetic price_bucket column is per-row

@@ -43,6 +43,38 @@ object Bench {
         try src.getLines().next().trim.split("\\s+")(8).toLong
         finally src.close()
       } catch { case _: Throwable => -1L }
+    // Host-isolation precheck (mechanizing the round-17 protocol: two
+    // of three contaminated measurements that round were stray-JVM
+    // artifacts caught by hand — q_dsl_topk 1448 s → 167.5 s isolated).
+    // Any OTHER graft JVM alive on the host invalidates wall-times, so
+    // scan /proc for java processes running graft.* and TAG the
+    // artifact: the bench must still emit its JSON line for the driver,
+    // but a non-empty "sibling_jvms" marks the numbers non-comparable.
+    def siblingGraftJvms(): Seq[String] = {
+      val self = ProcessHandle.current().pid()
+      try {
+        val procDir = new java.io.File("/proc")
+        procDir.listFiles((_, n) => n.forall(_.isDigit)).toSeq
+          .filter(_.getName.toLong != self)
+          .flatMap { d =>
+            try {
+              val cmd = new String(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(d.getPath, "cmdline")), "UTF-8")
+                .replace('\u0000', ' ').trim
+              if (cmd.contains("graft.") &&
+                  cmd.takeWhile(_ != ' ').endsWith("java"))
+                Some(s"${d.getName}: ${cmd.take(120)}")
+              else None
+            } catch { case _: Throwable => None }
+          }
+      } catch { case _: Throwable => Seq.empty }
+    }
+    val siblings = siblingGraftJvms()
+    if (siblings.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: host not isolated — sibling graft JVMs alive:\n  " +
+          siblings.mkString("\n  "))
+
     // Jiffy length comes from the kernel, not a hardcoded USER_HZ=100.
     val clkTck: Long =
       try scala.sys.process.Process(Seq("getconf", "CLK_TCK")).!!.trim.toLong
@@ -107,7 +139,8 @@ object Bench {
     def jsonLine(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-        s""""steal_s":[$steal1,$steal2],"queries":$qs,"queries_omitted":$omitted,""" +
+        s""""steal_s":[$steal1,$steal2],"sibling_jvms":${siblings.size},""" +
+        s""""queries":$qs,"queries_omitted":$omitted,""" +
         s""""queries_full":"bench_full.json","sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy { case (_, v) => -v }
@@ -123,7 +156,7 @@ object Bench {
     val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","steal_s":[$steal1,$steal2],""" +
-        s""""queries":$fullQs,"sf":"$sfDir"}"""
+        s""""sibling_jvms":${siblings.size},"queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))

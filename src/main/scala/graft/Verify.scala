@@ -6,17 +6,28 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // optional filter, args(2) = comma-separated tokens. A token that
-    // exactly names a query selects ONLY that query (the at-scale board
-    // runner passes exact names — q_asof must not also re-select its
-    // longer sibling q_asof_forward); any other token is a dev-filter
-    // prefix. The oracle dump is filtered too, so scripts/check.py agrees.
+    // optional filter, args(2) = comma-separated tokens. A token with a
+    // trailing '*' is an EXPLICIT prefix (q_tri* selects the family); a
+    // bare token that exactly names a query selects ONLY that query
+    // (the at-scale board runner passes exact names — q_asof must not
+    // also re-select its longer sibling q_asof_forward). A bare token
+    // naming NO query still falls back to prefix semantics for dev
+    // convenience — but that inference is registry-dependent: adding a
+    // future query literally named like someone's dev prefix silently
+    // flips the token to exact and drops the siblings. Scripted callers
+    // should use '*'. The oracle dump is filtered too, so
+    // scripts/check.py agrees.
     val tokens = (if (args.length > 2) args(2) else "").split(',').toSeq
     val allNames = SparkEntry.queries.keySet
     def matchIdx(name: String): Int = {
-      val exact = tokens.indexOf(name)
-      if (exact >= 0) exact
-      else tokens.indexWhere(t => !allNames.contains(t) && name.startsWith(t))
+      val starred = tokens.indexWhere(t =>
+        t.endsWith("*") && name.startsWith(t.dropRight(1)))
+      if (starred >= 0) starred
+      else {
+        val exact = tokens.indexOf(name)
+        if (exact >= 0) exact
+        else tokens.indexWhere(t => !allNames.contains(t) && name.startsWith(t))
+      }
     }
     def selected(name: String): Boolean = matchIdx(name) >= 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -54,8 +54,14 @@ object RupturePlot {
       case c => c.toString
     } + "\""
 
-  private def num(d: Double): String =
+  private def num(d: Double): String = {
+    // Bare NaN/Infinity are not JSON — a non-finite corner coordinate
+    // or depth would make every downstream GeoJSON reader reject the
+    // whole document. Geometry with non-finite values is a caller bug;
+    // fail loud here rather than emit an unparseable file.
+    require(java.lang.Double.isFinite(d), s"non-finite value in GeoJSON output: $d")
     if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+  }
 
   /** One closed GeoJSON Polygon per plane: corners TL,TR,BR,BL as
     * (lon, lat) positions with the first re-appended (ring closure ≙

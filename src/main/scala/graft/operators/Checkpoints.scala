@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Shared materialization point for driver-coordinated iterative
   * operators ([[KCore]], [[PageRank]], label propagation, logistic
@@ -26,6 +27,36 @@ object Checkpoints {
     if (sc.getCheckpointDir.isEmpty)
       sc.getConf.getOption("spark.checkpoint.dir").foreach(sc.setCheckpointDir)
     if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    // Local fallback is SERIALIZED for the same reason as [[pinSer]]:
+    // the frames that flow through here (per-round node/edge frames of
+    // the k-core / PageRank / label-propagation loops, the span-dedup
+    // bucket membership) are corpus-width, and an iterative loop holds
+    // several rounds' pins alive at once — exactly the read-back
+    // re-inflation shape that OOM'd the ×1000-SF triangle frame.
+    else df.localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
   }
+
+  /** Eager executor-local pin with SERIALIZED storage — the required
+    * pin for any multiply-consumed CORPUS-WIDTH frame (per-document /
+    * per-token / per-shingle / per-edge grain, i.e. anything that
+    * scales linearly-or-worse with the input).
+    *
+    * The default `localCheckpoint(true)` stores MEMORY_AND_DISK
+    * **deserialized**: when a later consumer reads a block back from
+    * disk, `BlockManager.maybeCacheDiskValuesInMemory` re-materializes
+    * it as boxed object rows — a ~10× on-heap inflation that OOM'd the
+    * ×1000-SF 600M-row edge frame in `putIteratorAsValues` even at a
+    * 90 g heap (SCALING.md §8). MEMORY_AND_DISK_SER keeps blocks as
+    * compact bytes in BOTH tiers; consumers stream-deserialize per
+    * read instead of pinning object rows, so the memory margin is
+    * designed rather than heap-dependent. The extra deserialize CPU is
+    * noise next to the shuffle these pins feed.
+    *
+    * Tiny frames (≤ a few thousand rows: sketch summaries, split
+    * boundaries, scalar pick tables) keep the bare deserialized
+    * `localCheckpoint(true)` — re-inflation is irrelevant at that size
+    * and object rows skip the per-read decode.
+    */
+  def pinSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
 }

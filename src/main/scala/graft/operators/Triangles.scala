@@ -3,7 +3,6 @@ package graft.operators
 import graft.text.TextFunctions.md5Hash32
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed triangle counting over an undirected edge list
   * (columns `a < b`), built from the two standard scale techniques:
@@ -26,21 +25,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object Triangles {
 
-  /** Eager executor-local pin with SERIALIZED storage.
-    *
-    * The default `localCheckpoint(true)` stores MEMORY_AND_DISK
-    * **deserialized**: when a later consumer reads a block back from
-    * disk, `BlockManager.maybeCacheDiskValuesInMemory` re-materializes
-    * it as boxed object rows — a ~10× on-heap inflation that OOM'd the
-    * ×1000-SF edge frame (600M+ rows) in `putIteratorAsValues` even at
-    * a 90 g heap. MEMORY_AND_DISK_SER keeps blocks as compact bytes in
-    * BOTH tiers (and `spark.rdd.compress` shrinks them further on a
-    * graph's int-pair layout); consumers stream-deserialize per read
-    * instead of pinning object rows. The extra CPU is noise next to
-    * the wedge join this pin feeds.
+  /** Serialized executor-local pin — see [[Checkpoints.pinSer]] (the
+    * helper graduated there in round 18 so every corpus-width pin in
+    * the repo shares the OOM-safe storage level; this alias keeps the
+    * original call sites and the SCALING.md §8 post-mortem reference
+    * stable).
     */
-  def pinSer(df: DataFrame): DataFrame =
-    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+  def pinSer(df: DataFrame): DataFrame = Checkpoints.pinSer(df)
 
   /** All unordered co-occurrence pairs (a < b) from (basket, item)
     * rows — the co-purchase/co-occurrence edge generator feeding the

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
+import graft.operators.Checkpoints.pinSer
 import graft.text.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -203,7 +204,7 @@ object Dedup extends QueryPack {
       val reps = docs(s, dir)
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("mult"))
-        .localCheckpoint(true)
+        .transform(pinSer)
       val sh = reps
         .select(col("rep_id"), col("mult"),
           graft.functions.MinhashFunctions.simhash16Native(col("text")).as("simhash"))
@@ -451,16 +452,16 @@ object Dedup extends QueryPack {
     val newBk = lshMembership(newBatch).withColumnRenamed("doc_id", "new_id")
     val cand = newBk.join(idxOk, Seq("bkey"))
       .select(col("new_id"), col("corp_id")).distinct()
-      .localCheckpoint(true) // feeds the pair join + both semi-joins
+      .transform(pinSer) // feeds the pair join + both semi-joins
     def shOf(df: DataFrame, idName: String) =
       df.filter(length(col("text")) >= 3)
         .select(col("doc_id").as(idName), explode(shingles(col("text"), 3)).as("s3"))
     val newSh = shOf(newBatch, "new_id")
       .join(cand.select(col("new_id")).distinct(), Seq("new_id"), "left_semi")
-      .localCheckpoint(true)
+      .transform(pinSer)
     val corpSh = shOf(corpusTexts, "corp_id")
       .join(cand.select(col("corp_id")).distinct(), Seq("corp_id"), "left_semi")
-      .localCheckpoint(true)
+      .transform(pinSer)
     val nNew = newSh.groupBy(col("new_id")).agg(count(lit(1)).as("na"))
     val nCorp = corpSh.groupBy(col("corp_id")).agg(count(lit(1)).as("nb"))
     val inter = cand
@@ -766,7 +767,7 @@ object Dedup extends QueryPack {
       // force the A-probe NOW: its plan reads the index lazily, and the
       // append below must not leak A's own signatures into A's probe
       val resA = probeLshIndex(s, path, batchA, corpus)
-        .withColumn("batch", lit("A")).localCheckpoint(true)
+        .withColumn("batch", lit("A")).transform(pinSer)
       appendToLshIndex(batchA, path)
       val resB = probeLshIndex(s, path, batchB, corpus.union(batchA))
         .withColumn("batch", lit("B"))
@@ -781,7 +782,7 @@ object Dedup extends QueryPack {
     docs(s, dir)
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
-      .localCheckpoint(true)
+      .transform(pinSer)
 
   /** Duplicated-token intervals merged into islands, per doc: every
     * token-8-gram occurrence that is not the corpus-wide FIRST

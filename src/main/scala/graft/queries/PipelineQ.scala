@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
+import graft.operators.Checkpoints.pinSer
 import graft.functions.VectorFunctions
 import graft.text.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -85,7 +86,7 @@ object PipelineQ extends QueryPack {
       // fault-tolerant — on a real cluster swap for checkpoint() with a
       // reliable dir (same note as the label-propagation loop)
       val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
-        .localCheckpoint(true)
+        .transform(pinSer)
       val tf = toks
         .select(col("doc_id"), explode(col("t")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
@@ -143,7 +144,7 @@ object PipelineQ extends QueryPack {
         .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
         .groupBy(col("doc_id"), col("w"))
         .agg(any_value(col("lang")).as("lang"), count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .transform(pinSer)
       val allf = tf.groupBy(col("w")).agg(sum(col("c")).as("c_all"))
       val enf = tf.filter(col("lang") === "en")
         .groupBy(col("w")).agg(sum(col("c")).as("c_en"))
@@ -562,7 +563,7 @@ object PipelineQ extends QueryPack {
             .as("shingle"))
         .select(col("doc_id"),
           conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("g"))
-        .localCheckpoint(true) // doc-count side + position side share one shingling
+        .transform(pinSer) // doc-count side + position side share one shingling
       val dc = sh.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("nd"))
       sh.join(dc, Seq("g"))
@@ -847,7 +848,7 @@ object PipelineQ extends QueryPack {
                         (a, b) -> named_struct('xy', concat(a, ' ', b), 'x', a))""")).as("p"))
         .select(col("doc_id"), col("p.xy").as("xy"), col("p.x").as("x"))
         .groupBy(col("doc_id"), col("xy"), col("x")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .transform(pinSer)
       // cxy is BIGRAM-vocabulary-sized — quadratic in the unigram vocab,
       // NOT broadcastable at corpus scale: it shuffle-joins on the xy
       // key (co-partitioned with its own groupBy). Only the unigram
@@ -913,7 +914,7 @@ object PipelineQ extends QueryPack {
                         (a, b) -> named_struct('xy', concat(a, ' ', b), 'x', a))""")).as("p"))
         .select(col("doc_id"), col("p.xy").as("xy"), col("p.x").as("x"))
         .groupBy(col("doc_id"), col("xy"), col("x")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .transform(pinSer)
       val cxy = dbig.groupBy(col("xy")).agg(sum(col("c")).as("c_xy"))
       val cx = dbig.groupBy(col("x")).agg(sum(col("c")).as("c_x"))
       val v = dbig.agg(countDistinct(col("x")).as("vocab"))
@@ -1301,7 +1302,7 @@ object PipelineQ extends QueryPack {
         .select(col("source"),
           explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
         .distinct()
-        .localCheckpoint(true) // sizes + both join sides share one tokenization
+        .transform(pinSer) // sizes + both join sides share one tokenization
       val sz = v.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val a = v.select(col("source").as("source_a"), col("w"))
       val b = v.select(col("source").as("source_b"), col("w").as("wb"))
@@ -1492,7 +1493,7 @@ object PipelineQ extends QueryPack {
       val grp = t(s, dir, "part")
         .groupBy(col("p_brand"), col("p_size"), col("p_name"))
         .agg(min(col("p_partkey")).as("rep"), count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .transform(pinSer)
       // Co-partition the PROBE side by the block key: in-block scoring
       // is quadratic in block size, and AQE may coalesce the small
       // collapsed agg output to a handful of partitions — without this
@@ -1816,12 +1817,14 @@ object PipelineQ extends QueryPack {
     "q_copurchase",
     Some("""WITH items AS (
               SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            okb AS (SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= 64),
+            kept AS (SELECT i.l_orderkey, i.l_partkey FROM items i JOIN okb USING (l_orderkey)),
             n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM lineitem),
             freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
             pairs AS (
               SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                      CAST(count(*) AS BIGINT) AS n_both
-              FROM items a JOIN items b
+              FROM kept a JOIN kept b
                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
               GROUP BY 1, 2 HAVING count(*) >= 3)
             SELECT p.part_a, p.part_b, p.n_both,
@@ -1834,16 +1837,21 @@ object PipelineQ extends QueryPack {
             ORDER BY part_a, part_b"""),
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      // pairs map-side: one corpus shuffle groups each order's lines,
-      // then two nested generates + the a<b filter stay inside
-      // whole-stage codegen; only the (part_a, part_b) partial-agg rows
-      // reach the one pair shuffle — nothing is cached or checkpointed
-      val pairs = li
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("parts"))
-        .select(explode(col("parts")).as("part_a"), col("parts"))
-        .select(col("part_a"), explode(col("parts")).as("part_b"))
-        .filter(col("part_a") < col("part_b"))
+      // pairs map-side via the shared CAPPED generator
+      // (Triangles.rawBasketPairs): one corpus shuffle groups each
+      // order's lines, the ≤64-item cap drops degenerate mega-baskets
+      // (a no-op on TPC-H's ≤7-part orders — q_basket_profile pins the
+      // width histogram; the oracle applies the identical HAVING, so
+      // the cap is pinned semantics, not a lossy shortcut), then two
+      // nested generates + the a<b filter stay inside whole-stage
+      // codegen; only the (part_a, part_b) partial-agg rows reach the
+      // one pair shuffle — nothing is cached or checkpointed. n_both
+      // is the per-basket duplicate count of the RAW stream: baskets
+      // dedup within themselves (collect_set), so count(*) per pair ==
+      // orders containing both.
+      val pairs = graft.operators.Triangles
+        .rawBasketPairs(li, "l_orderkey", "l_partkey", maxBasket = 64)
+        .select(col("a").as("part_a"), col("b").as("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_both"))
         .filter(col("n_both") >= 3)
@@ -1868,6 +1876,39 @@ object PipelineQ extends QueryPack {
             / (col("fa") * col("fb").cast("double"))) / 1e6).as("lift"))
         .orderBy(col("part_a"), col("part_b"))
     })
+
+  /** Basket-width histogram — the profile that justifies (or indicts)
+    * every basket cap in the pair-generating family (q_copurchase,
+    * q_triangle_sampled, q_kcore all drop baskets over 64 items). One
+    * row per distinct width: how many baskets have that many DISTINCT
+    * items, and how many co-occurrence pairs (C(width, 2) each) that
+    * width class feeds into pair-gen. Pair-gen cost is Σ n_baskets ·
+    * C(width, 2) — this histogram IS that cost model, so a single
+    * degenerate mega-basket (a crawler order, a boilerplate container)
+    * shows up as a tail row whose n_pairs dwarfs the head before it
+    * sinks a job. Two linear hash aggregates, no join; the histogram
+    * itself is at most max-width rows.
+    */
+  val qBasketProfile: Q = Q(
+    "q_basket_profile",
+    Some("""WITH w AS (
+              SELECT l_orderkey, count(DISTINCT l_partkey) AS width
+              FROM lineitem GROUP BY 1)
+            SELECT CAST(width AS BIGINT) AS width,
+                   CAST(count(*) AS BIGINT) AS n_baskets,
+                   CAST(count(*) * ((width * (width - 1)) // 2) AS BIGINT) AS n_pairs
+            FROM w GROUP BY width ORDER BY width"""),
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_partkey")).as("width"))
+        .groupBy(col("width"))
+        .agg(count(lit(1)).as("n_baskets"))
+        .select(
+          col("width"),
+          col("n_baskets"),
+          (col("n_baskets") * expr("(width * (width - 1)) div 2")).as("n_pairs"))
+        .orderBy(col("width")))
 
   /** Table profile ([[graft.operators.Profile]]): nulls / exact distinct
     * / lexical min-max for five lineitem columns in ONE scan (the
@@ -2612,27 +2653,50 @@ object PipelineQ extends QueryPack {
             t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
           10, 5, "tri:")
         .distinct()) // feeds its own stats AND the p=0.2 re-filter
-      // Each wave's 1-ROW stats frame is eagerly checkpointed, so the
-      // p=0.5 wedge pipeline fully executes — and its shuffle files
-      // become collectable — BEFORE the p=0.2 wave starts. Without the
-      // phase barrier both waves' exchanges coexist until job end,
-      // which is ~2× the simultaneous scratch: the ×1000-SF run
-      // ENOSPC'd a 60 GB spill volume that each wave alone fits in.
-      // (Run at-scale with spark.cleaner.periodicGC.interval lowered so
-      // the dereferenced wave's shuffle deps are GC'd promptly.)
+      // SIZE-CONDITIONAL phase barrier. When engaged, each wave's
+      // 1-ROW stats frame is eagerly checkpointed, so the p=0.5 wedge
+      // pipeline fully executes — and its shuffle files become
+      // collectable — BEFORE the p=0.2 wave starts. Without the
+      // barrier both waves' exchanges coexist until job end, which is
+      // ~2× the simultaneous scratch: the ×1000-SF run ENOSPC'd a
+      // 60 GB spill volume that each wave alone fits in. (Run at-scale
+      // with spark.cleaner.periodicGC.interval lowered so the
+      // dereferenced wave's shuffle deps are GC'd promptly.)
+      //
+      // The ENOSPC only exists when a wave's shuffle footprint rivals
+      // the scratch volume, i.e. at board scale — at sf0.1 the
+      // unconditional barrier cost +1.4 s of pure wave serialization
+      // (5.43→6.81 s self-bench, the suite's slowest query) insuring
+      // against a hazard three orders of magnitude away. Gate it on
+      // the INPUT's optimizer size estimate (parquet footer bytes —
+      // free, deterministic, available before any job runs): above
+      // ~4 GiB of lineitem (≈ sf2+; the ×1000 board is ~200 GB) the
+      // waves serialize, below they overlap freely inside one job.
+      // `spark.graft.tri.barrier=always|never` overrides for tests so
+      // BOTH branches stay gate-checked (TriangleBarrierSpec asserts
+      // branch-identical results; the sf0.01 gate runs the overlapped
+      // branch, the ×1000 board the phased one).
+      val inputBytes = t(s, dir, "lineitem")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val barrier = s.conf.getOption("spark.graft.tri.barrier") match {
+        case Some("always") => true
+        case Some("never")  => false
+        case _              => inputBytes > BigInt(4L << 30)
+      }
+      def wave(df: DataFrame): DataFrame = if (barrier) pinSer(df) else df
       // pin = false: e50 is already checkpointed above; a second cached
       // copy of the 600M-row edge frame is pure heap pressure
       val p50 = graft.operators.Triangles.stats(e50, pin = false)
         .select(
           col("n_edges").as("n_edges_p50"), col("n_triangles").as("n_tri_p50"),
           (col("n_triangles") * 8).as("est_p50"))
-        .localCheckpoint(true)
+        .transform(wave)
       val e20 = graft.operators.Triangles.sampleEdges(e50, 10, 2, "tri:")
       val p20 = graft.operators.Triangles.stats(e20)
         .select(
           col("n_edges").as("n_edges_p20"), col("n_triangles").as("n_tri_p20"),
           (col("n_triangles") * 125).as("est_p20"))
-        .localCheckpoint(true)
+        .transform(wave)
       p20.crossJoin(p50) // two 1-row stats frames
     })
 
@@ -2688,7 +2752,7 @@ object PipelineQ extends QueryPack {
     qEventPattern, qSkyline, qCrosstab, qXmlExtract, qEditDistance,
     qMovingMedian, qVocabOverlap, qKcenterSeed, qAuc, qTableChecksum,
     qJaroFuzzy, qBloomJoin, qZorder, qInterpLinear, qHeavyHitters,
-    qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qProfile,
+    qPagerank, qNtileBucket, qLogregQuality, qCopurchase, qBasketProfile, qProfile,
     qTableDiff, qDataTests, qIncrementalAgg, qModeStat, qMadAnomaly,
     qAttribution, qAttributionDecay, qCdcApply, qScd2, qHistogramDepth, qMomGrowth, qKAnonymity,
     qChunkRoundtrip, qDedupIncremental, qNgramContainment, qWinsorMean)

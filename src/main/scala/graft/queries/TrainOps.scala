@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
+import graft.operators.Checkpoints.pinSer
 import graft.text.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -52,7 +53,7 @@ object TrainOps extends QueryPack {
         col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true) // referenced twice (tf side + df rollup)
+        .transform(pinSer) // referenced twice (tf side + df rollup)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("docfreq"))
       val n = d.agg(count(lit(1)).as("n_docs"))
       val raw = col("tf") * log(col("n_docs") * lit(1.0) / col("docfreq"))
