@@ -1606,6 +1606,22 @@ def band(name, got, want, rel, abs_slack=0):
           f"{got} vs {want} (band +/-{rel * 100:g}% + {abs_slack})")
 
 
+# basket-width histogram: baskets never span replicas and replicate
+# verbatim, so the histogram is EXACTLY xK per width row — same width
+# set, n_baskets and n_pairs both xK
+if have("q_basket_profile"):
+    d1, dK = load(OUT1, "q_basket_profile"), load(OUTK, "q_basket_profile")
+    m1 = {d1["width"][i]: (d1["n_baskets"][i], d1["n_pairs"][i])
+          for i in range(len(d1["width"]))}
+    mK = {dK["width"][i]: (dK["n_baskets"][i], dK["n_pairs"][i])
+          for i in range(len(dK["width"]))}
+    check("q_basket_profile width set invariant", set(m1) == set(mK),
+          f"{sorted(m1)} vs {sorted(mK)}")
+    bad = [w for w in m1 if w in mK and
+           (mK[w][0] != K * m1[w][0] or mK[w][1] != K * m1[w][1])]
+    check("q_basket_profile counts exactly xK", not bad,
+          f"{len(m1)} widths; violations {bad}")
+
 if have("q_triangle_count"):
     d1, dK = load(OUT1, "q_triangle_count"), load(OUTK, "q_triangle_count")
     band("q_triangle_count edges xK", dK["n_edges_sampled"][0],
