@@ -22,6 +22,29 @@ class CheckpointsSpec extends SparkSpec {
     assert(sc.getCheckpointDir.isEmpty, "materialize must not invent a dir")
   }
 
+  test("pinSer and the local materialize fallback pin SERIALIZED") {
+    // The storage level IS the scale guarantee (SCALING.md §8/§9):
+    // deserialized pins re-inflate ~10× on disk read-back and OOM'd
+    // the ×1000-SF edge frame. A silent revert to the default
+    // deserialized level must fail here, not on a 600M-row board run.
+    import org.apache.spark.storage.StorageLevel
+    val sc = spark.sparkContext
+    def newLevels(body: => Unit): Seq[StorageLevel] = {
+      val before = sc.getPersistentRDDs.keySet
+      body
+      sc.getPersistentRDDs.collect {
+        case (id, rdd) if !before(id) => rdd.getStorageLevel
+      }.toSeq
+    }
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    val viaPinSer = newLevels { Checkpoints.pinSer(df).count() }
+    assert(viaPinSer.nonEmpty && viaPinSer.forall(_ == StorageLevel.MEMORY_AND_DISK_SER),
+      s"pinSer levels: $viaPinSer")
+    val viaMaterialize = newLevels { Checkpoints.materialize(df.filter(col("id") > 1)).count() }
+    assert(viaMaterialize.nonEmpty && viaMaterialize.forall(_ == StorageLevel.MEMORY_AND_DISK_SER),
+      s"materialize local-fallback levels: $viaMaterialize")
+  }
+
   test("with a checkpoint dir: goes reliable, writes there, and round-trips") {
     val sc = spark.sparkContext
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
