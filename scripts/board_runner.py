@@ -111,6 +111,13 @@ while True:
     cmd = (["java"] + ADD_OPENS +
            [f"-Xmx{HEAP}", "-XX:ReservedCodeCacheSize=512m",
             "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+            # r18 lesson (SCALING.md §9): when scratch headroom ~ one
+            # phase's shuffle footprint, the RECLAIM CADENCE is part of
+            # the disk budget — a dereferenced phase's shuffle files are
+            # only deleted at ContextCleaner GC ticks, and the 30min
+            # default (or even 1min) ENOSPC'd runs that 15s completes.
+            "-Dspark.cleaner.periodicGC.interval=15s",
+            "-Dspark.rdd.compress=true",
             "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
             "graft.Verify", SF_DIR, TMP_OUT, ",".join(pending)])
     proc = subprocess.Popen(cmd, stderr=subprocess.PIPE, text=True,

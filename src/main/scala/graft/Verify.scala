@@ -19,16 +19,7 @@ object Verify {
     // scripts/check.py agrees.
     val tokens = (if (args.length > 2) args(2) else "").split(',').toSeq
     val allNames = SparkEntry.queries.keySet
-    def matchIdx(name: String): Int = {
-      val starred = tokens.indexWhere(t =>
-        t.endsWith("*") && name.startsWith(t.dropRight(1)))
-      if (starred >= 0) starred
-      else {
-        val exact = tokens.indexOf(name)
-        if (exact >= 0) exact
-        else tokens.indexWhere(t => !allNames.contains(t) && name.startsWith(t))
-      }
-    }
+    def matchIdx(name: String): Int = matchIndex(tokens, allNames, name)
     def selected(name: String): Boolean = matchIdx(name) >= 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // spill-aware override for at-scale waves: global sorts of corpus-
@@ -89,5 +80,23 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Filter-token resolution for args(2) (doc at the call site in
+    * [[main]]): first matching token's index, or -1. Extracted pure so
+    * VerifyFilterSpec can pin the precedence — explicit `*` prefix
+    * beats exact beats legacy bare-prefix inference — without a
+    * SparkSession.
+    */
+  private[graft] def matchIndex(
+      tokens: Seq[String], allNames: Set[String], name: String): Int = {
+    val starred = tokens.indexWhere(t =>
+      t.endsWith("*") && name.startsWith(t.dropRight(1)))
+    if (starred >= 0) starred
+    else {
+      val exact = tokens.indexOf(name)
+      if (exact >= 0) exact
+      else tokens.indexWhere(t => !allNames.contains(t) && name.startsWith(t))
+    }
   }
 }
