@@ -130,6 +130,16 @@ object Bench {
     }
     val total = math.round(results.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
 
+    // Window-quality controls (BASELINE.md round-18 protocol): two
+    // pin-free, plan-stable queries whose full-pass floor values are
+    // known (q_having_countd ~1.21 s, q_dedup_first ~1.14 s at sf0.1
+    // local[32]). Ambient host slowdowns inflate these by the same
+    // factor as the suite but leave steal_s near zero — the ratio vs
+    // floor normalizes a pass, steal alone does not.
+    val controls = Seq("q_having_countd", "q_dedup_first")
+      .flatMap(n => results.toMap.get(n).map(v => s""""$n":$v"""))
+      .mkString("{", ",", "}")
+
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r01/r02 both ended parsed:null
     // because the full per-query map overflowed it). So: dump the full
@@ -140,7 +150,7 @@ object Bench {
       val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""steal_s":[$steal1,$steal2],"sibling_jvms":${siblings.size},""" +
-        s""""queries":$qs,"queries_omitted":$omitted,""" +
+        s""""controls":$controls,"queries":$qs,"queries_omitted":$omitted,""" +
         s""""queries_full":"bench_full.json","sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy { case (_, v) => -v }
@@ -156,7 +166,8 @@ object Bench {
     val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","steal_s":[$steal1,$steal2],""" +
-        s""""sibling_jvms":${siblings.size},"queries":$fullQs,"sf":"$sfDir"}"""
+        s""""sibling_jvms":${siblings.size},"controls":$controls,""" +
+        s""""queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
