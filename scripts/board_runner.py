@@ -86,14 +86,28 @@ def sibling_graft_jvms():
     return out
 
 while True:
+    siblings = sibling_graft_jvms()
+
+    def settled(n):
+        """A query is settled when it has a clean measurement or a final
+        DNF. "contaminated" entries (measured with a sibling JVM alive)
+        are settled only while the host is STILL dirty — a later clean
+        pass re-measures them instead of carrying tainted wall-times
+        forward as if they were measurements."""
+        v = done.get(n)
+        if v is None:
+            return False
+        if v["status"] == "contaminated":
+            return bool(siblings)
+        return True
+
     # names absent from the hint are typically NEW queries of unknown —
     # usually small — cost: run them first, not behind the heavy tail
-    pending = sorted((n for n in names if n not in done),
+    pending = sorted((n for n in names if not settled(n)),
                      key=lambda n: (cost.get(n, -1.0), n))
     if not pending:
         break
     print(f"== pass: {len(pending)} pending, {len(done)} done", flush=True)
-    siblings = sibling_graft_jvms()
     if siblings:
         for pid, cmd in siblings:
             print(f"sibling: {pid}: {cmd}", flush=True)
@@ -124,12 +138,25 @@ while True:
                             stdout=subprocess.DEVNULL)
     progressed = False
     counted_this_pass = set()
+    # a query's measurement window runs from the previous ok line to its
+    # own; siblings observed at either endpoint overlapped it
+    prev_sibs = set(c for _, c in siblings)
     for line in proc.stderr:
         m = OK.search(line)
         if m:
-            entry = {"status": "complete", "sec": float(m.group(2))}
-            if siblings:
-                entry["contaminated"] = [c for _, c in siblings]
+            # re-scan at every ok line (cheap /proc walk): passes run for
+            # hours at x1000 SF, and a stray JVM appearing MID-pass must
+            # not let the queries it overlapped certify as clean — the
+            # exact failure mode the round-17 sweep was cleaning up
+            now_sibs = {c for _, c in sibling_graft_jvms()}
+            seen = prev_sibs | now_sibs
+            prev_sibs = now_sibs
+            if seen:
+                entry = {"status": "contaminated",
+                         "sec": float(m.group(2)),
+                         "siblings": sorted(seen)}
+            else:
+                entry = {"status": "complete", "sec": float(m.group(2))}
             done[m.group(1)] = entry
             progressed = True
             shutil.rmtree(f"{TMP_OUT}/{m.group(1)}", ignore_errors=True)
@@ -185,5 +212,7 @@ while True:
 
 save()
 n_ok = sum(1 for v in done.values() if v["status"] == "complete")
-print(f"== done: {n_ok}/{len(names)} complete, "
-      f"{len(done) - n_ok} engine_dnf", flush=True)
+n_tag = sum(1 for v in done.values() if v["status"] == "contaminated")
+print(f"== done: {n_ok}/{len(names)} complete, {n_tag} contaminated "
+      f"(re-measured by a clean pass), "
+      f"{len(done) - n_ok - n_tag} engine_dnf", flush=True)

@@ -1668,11 +1668,19 @@ if have("q_kcore"):
     rK = {dK["round"][i]: (dK["n_nodes"][i], dK["n_edges"][i])
           for i in range(len(dK["round"]))}
     # peel decomposes per replica (components never span replicas):
-    # round-r totals are sums of K independent peels, replica 0 exact
-    bad = [r for r in r1 if rK[r][0] < r1[r][0] or rK[r][1] < r1[r][1]]
+    # round-r totals are sums of K independent peels, replica 0 exact.
+    # Guard r in rK everywhere: a diverging round SET in the xK trace
+    # (the scenario the length check above probes) must record failures,
+    # not KeyError-abort every remaining invariance check.
+    bad = [r for r in r1
+           if r not in rK or rK[r][0] < r1[r][0] or rK[r][1] < r1[r][1]]
     check("q_kcore per-round >= base (replica-0 containment)", not bad,
           f"rounds {sorted(r1)}: KN trace dominates base; violations {bad}")
     for r in sorted(r1):
+        if r not in rK:
+            check(f"q_kcore round-{r} present in xK trace", False,
+                  f"round {r} missing from xK trace {sorted(rK)}")
+            continue
         band(f"q_kcore round-{r} nodes xK", rK[r][0], K * r1[r][0], 0.05,
              abs_slack=5 * K)
         band(f"q_kcore round-{r} edges xK", rK[r][1], K * r1[r][1], 0.05,

@@ -117,6 +117,11 @@ object Bench {
     val suspicious = all.filter(n => p1(n) < 0 || p1(n) > 3.0)
     val p2 = measure(suspicious)
     val s2 = stealJiffies()
+    // Re-scan AFTER the measure passes and report the max observed: the
+    // start-of-JVM scan alone lets a sibling appearing mid-bench (passes
+    // run for minutes) falsely certify sibling_jvms=0 on a contaminated
+    // window.
+    val siblingJvmsMax = math.max(siblings.size, siblingGraftJvms().size)
     val (steal1, steal2) = (
       stealSec(s0, s1).map(_.toString).getOrElse("null"),
       stealSec(s1, s2).map(_.toString).getOrElse("null"))
@@ -136,8 +141,11 @@ object Bench {
     // local[32]). Ambient host slowdowns inflate these by the same
     // factor as the suite but leave steal_s near zero — the ratio vs
     // floor normalizes a pass, steal alone does not.
+    // A control that errored carries the -1.0 failure sentinel — emit it
+    // as missing, not as a nonsense floor ratio that silently poisons
+    // the normalization the controls exist for.
     val controls = Seq("q_having_countd", "q_dedup_first")
-      .flatMap(n => results.toMap.get(n).map(v => s""""$n":$v"""))
+      .flatMap(n => results.toMap.get(n).filter(_ >= 0).map(v => s""""$n":$v"""))
       .mkString("{", ",", "}")
 
     // The driver keeps only the LAST 2000 chars of stdout and parses the
@@ -149,7 +157,7 @@ object Bench {
     def jsonLine(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-        s""""steal_s":[$steal1,$steal2],"sibling_jvms":${siblings.size},""" +
+        s""""steal_s":[$steal1,$steal2],"sibling_jvms":$siblingJvmsMax,""" +
         s""""controls":$controls,"queries":$qs,"queries_omitted":$omitted,""" +
         s""""queries_full":"bench_full.json","sf":"$sfDir"}"""
     }
@@ -166,7 +174,7 @@ object Bench {
     val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","steal_s":[$steal1,$steal2],""" +
-        s""""sibling_jvms":${siblings.size},"controls":$controls,""" +
+        s""""sibling_jvms":$siblingJvmsMax,"controls":$controls,""" +
         s""""queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
