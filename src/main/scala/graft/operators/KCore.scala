@@ -69,7 +69,18 @@ object KCore {
     while (r <= rounds && !fixed) {
       val keep = Checkpoints.materialize(degreeKeep(cur, k))
       cur = Checkpoints.materialize(dropEdges(cur, keep))
-      val (nNodes, nEdges) = (keep.count(), cur.count())
+      // Both counts in ONE fused job (tagged union over the two pinned
+      // frames): the r18 per-round attribution probe showed the sf0.1
+      // wall time is dominated by the loop's sequential job barriers
+      // (~25 of them), each of which amplifies ambient host contention
+      // — q_kcore drifted 1.51x floor while 3-barrier control queries
+      // moved 1.12x. Fusing the two count jobs removes one barrier per
+      // round at identical scale cost (both sides scan pinned blocks).
+      val cnts = keep.select(lit("n").as("side"))
+        .unionAll(cur.select(lit("e").as("side")))
+        .groupBy(col("side")).agg(count(lit(1)).as("c"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      val (nNodes, nEdges) = (cnts.getOrElse("n", 0L), cnts.getOrElse("e", 0L))
       trace += ((r.toLong, nNodes, nEdges))
       if (nEdges == prevEdges) {
         // fixpoint: every later round sees the same degrees, keeps the
