@@ -61,18 +61,25 @@ def save():
 
 OK = re.compile(r"\[verify\] (\S+) ok ([0-9.]+)s")
 FAIL = re.compile(r"\[verify\] (\S+) failed: (.*)")
+# per-entry window-quality stamp (Verify GRAFT_CONTROL_QUERY protocol):
+# a fixed-size control query timed immediately before the entry — its
+# ratio vs the floor's control makes entries measured in different
+# sessions comparable by construction
+CONTROL = re.compile(r"\[verify\] control (\S+) ([0-9.]+)s")
 
 
-def sibling_graft_jvms():
+def sibling_graft_jvms(exclude=()):
     """Host-isolation precheck (round-17 protocol, mechanized): any
     OTHER graft JVM or board runner alive on the host invalidates every
     wall-time this pass records (two of round 17's three contaminated
     measurements — q_dsl_topk 1448 s -> 167.5 s isolated — were stray
-    JVMs caught by hand). Returns (pid, cmdline-prefix) pairs."""
+    JVMs caught by hand). Returns (pid, cmdline-prefix) pairs.
+    `exclude`: extra pids that are OURS (the in-flight Verify child when
+    scanning mid-pass), not siblings."""
     me = os.getpid()
     out = []
     for pid in os.listdir("/proc"):
-        if not pid.isdigit() or int(pid) == me:
+        if not pid.isdigit() or int(pid) == me or int(pid) in exclude:
             continue
         try:
             with open(f"/proc/{pid}/cmdline", "rb") as f:
@@ -141,14 +148,19 @@ while True:
     # a query's measurement window runs from the previous ok line to its
     # own; siblings observed at either endpoint overlapped it
     prev_sibs = set(c for _, c in siblings)
+    ctl_s = {}
     for line in proc.stderr:
+        m = CONTROL.search(line)
+        if m:
+            ctl_s[m.group(1)] = float(m.group(2))
+            continue
         m = OK.search(line)
         if m:
             # re-scan at every ok line (cheap /proc walk): passes run for
             # hours at x1000 SF, and a stray JVM appearing MID-pass must
             # not let the queries it overlapped certify as clean — the
             # exact failure mode the round-17 sweep was cleaning up
-            now_sibs = {c for _, c in sibling_graft_jvms()}
+            now_sibs = {c for _, c in sibling_graft_jvms(exclude=(proc.pid,))}
             seen = prev_sibs | now_sibs
             prev_sibs = now_sibs
             if seen:
@@ -157,6 +169,8 @@ while True:
                          "siblings": sorted(seen)}
             else:
                 entry = {"status": "complete", "sec": float(m.group(2))}
+            if m.group(1) in ctl_s:
+                entry["control_s"] = ctl_s.pop(m.group(1))
             done[m.group(1)] = entry
             progressed = True
             shutil.rmtree(f"{TMP_OUT}/{m.group(1)}", ignore_errors=True)

@@ -47,6 +47,28 @@ object Verify {
     // wave runs set GRAFT_VERIFY_COALESCE=0 to write with full
     // parallelism
     val singleFile = sys.env.getOrElse("GRAFT_VERIFY_COALESCE", "1") != "0"
+    // Per-entry window-quality control (BASELINE.md round-18 protocol,
+    // extended to the at-scale board per the r18 verdict): when
+    // GRAFT_CONTROL_QUERY + GRAFT_CONTROL_DIR are set, a FIXED-SIZE
+    // control query runs before every entry and its wall time is
+    // emitted for the runner to stamp into the entry. The control runs
+    // against its own (small, constant) dir regardless of this run's
+    // SF, so the stamp measures the host window, not the data — board
+    // entries measured in different sessions become comparable by
+    // construction via their control ratios.
+    val controlQ = sys.env.get("GRAFT_CONTROL_QUERY")
+      .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val controlDir = sys.env.getOrElse("GRAFT_CONTROL_DIR", "/root/testdata/sf0.1")
+    def runControl(): Double = {
+      val t0 = System.nanoTime()
+      controlQ.foreach { case (_, fn) =>
+        fn(spark, controlDir).write.format("noop").mode("overwrite").save()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one un-timed control first so entry 1's stamp isn't JIT-skewed
+    if (controlQ.isDefined)
+      try runControl() catch { case _: Throwable => () }
     // Run in the caller's args(2) order (stable: ties keep map order).
     // The at-scale board runner passes exact names cheapest-first so a
     // wall-clock-bounded pass completes the most queries; with no args
@@ -54,6 +76,9 @@ object Verify {
     val ordered = SparkEntry.queries.filter(q => selected(q._1)).toSeq
       .sortBy { case (name, _) => matchIdx(name) }
     ordered.foreach { case (name, fn) =>
+      if (controlQ.isDefined)
+        try System.err.println(f"[verify] control $name ${runControl()}%.2fs")
+        catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try {
         val res = fn(spark, sfDir)
