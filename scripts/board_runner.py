@@ -114,7 +114,20 @@ while True:
                      key=lambda n: (cost.get(n, -1.0), n))
     if not pending:
         break
-    print(f"== pass: {len(pending)} pending, {len(done)} done", flush=True)
+    # JVM_PER_QUERY=1: one fresh JVM per entry instead of one long
+    # shared pass. The r19 sweep showed a 134-query shared-JVM pass
+    # inflates late entries 3-7x (accumulated heap/code-cache/listener
+    # state) while the per-entry CONTROL stamps stay clean — controls
+    # are tiny codegen jobs and don't see the degradation that hits
+    # shuffle-heavy queries. Fresh-per-query matches the r18 isolated
+    # re-measure protocol and is the honest per-entry measurement;
+    # the shared pass remains the cheap completion/DNF screen.
+    n_pending = len(pending)
+    if os.environ.get("JVM_PER_QUERY") == "1":
+        pending = pending[:1]
+    print(f"== pass: {n_pending} pending, {len(done)} done"
+          + (f" (fresh JVM: {pending[0]})" if len(pending) < n_pending else ""),
+          flush=True)
     if siblings:
         for pid, cmd in siblings:
             print(f"sibling: {pid}: {cmd}", flush=True)
