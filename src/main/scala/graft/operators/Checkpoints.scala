@@ -36,6 +36,44 @@ object Checkpoints {
     else df.localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
   }
 
+  /** Materialize `df` AND return its row count in ONE job — the fused
+    * form of `materialize(df)` followed by a separate count action, for
+    * driver-coordinated loops whose round trace needs the count anyway
+    * ([[KCore.peelRounds]]). The r18/r19 per-round attribution probe
+    * showed the sf0.1 wall time of those loops is dominated by their
+    * sequential job barriers, each of which amplifies ambient host
+    * contention — so one fewer job per round is a direct win, and at
+    * scale the fused count() is the materializing scan itself (no extra
+    * pass: the cache builder stores every column of a partition the
+    * first time any consumer scans it, pruning applies only on read).
+    *
+    * Local path: LAZY `localCheckpoint(eager = false, SER)` + `count()`
+    * — the returned frame's plan is already a truncated LogicalRDD
+    * (constant-size lineage round over round; a `persist`-based fusion
+    * keeps the logical plan, which for peel loops references the
+    * previous round ~3× and grows EXPONENTIALLY — it OOM'd the driver
+    * during analysis at sf0.01), and the count() is the first action on
+    * the marked RDD, so the one job computes the rows, pins them as
+    * serialized checkpoint blocks, and counts them simultaneously.
+    *
+    * Reliable-checkpoint path (a checkpoint dir is configured, i.e. a
+    * real cluster run): keep the fault-tolerant two-job form — the
+    * checkpoint write must complete before anything else reads the
+    * frame, and iteration-surviving durability is worth one barrier.
+    */
+  def materializeCount(df: DataFrame): (DataFrame, Long) = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.getConf.getOption("spark.checkpoint.dir").foreach(sc.setCheckpointDir)
+    if (sc.getCheckpointDir.isDefined) {
+      val d = df.checkpoint(eager = true)
+      (d, d.count())
+    } else {
+      val d = df.localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
+      (d, d.count())
+    }
+  }
+
   /** Eager executor-local pin with SERIALIZED storage — the required
     * pin for any multiply-consumed CORPUS-WIDTH frame (per-document /
     * per-token / per-shingle / per-edge grain, i.e. anything that

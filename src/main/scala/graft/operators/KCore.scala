@@ -67,20 +67,21 @@ object KCore {
     var r = 1
     var fixed = false
     while (r <= rounds && !fixed) {
-      val keep = Checkpoints.materialize(degreeKeep(cur, k))
-      cur = Checkpoints.materialize(dropEdges(cur, keep))
-      // Both counts in ONE fused job (tagged union over the two pinned
-      // frames): the r18 per-round attribution probe showed the sf0.1
-      // wall time is dominated by the loop's sequential job barriers
-      // (~25 of them), each of which amplifies ambient host contention
-      // — q_kcore drifted 1.51x floor while 3-barrier control queries
-      // moved 1.12x. Fusing the two count jobs removes one barrier per
-      // round at identical scale cost (both sides scan pinned blocks).
-      val cnts = keep.select(lit("n").as("side"))
-        .unionAll(cur.select(lit("e").as("side")))
-        .groupBy(col("side")).agg(count(lit(1)).as("c"))
-        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
-      val (nNodes, nEdges) = (cnts.getOrElse("n", 0L), cnts.getOrElse("e", 0L))
+      // TWO jobs per round, count fused into each materialization
+      // ([[Checkpoints.materializeCount]]): the r18 attribution probe
+      // showed the sf0.1 wall time is dominated by the loop's
+      // sequential job barriers (~25 of them originally), each of which
+      // amplifies ambient host contention — q_kcore drifted 1.51x floor
+      // while 3-barrier control queries moved 1.12x. r18 fused the two
+      // count jobs into one (3 jobs/round); r19 folds the counts into
+      // the materializing actions themselves (2 jobs/round, 19 -> 13
+      // jobs for the 6-round trace) at identical scale cost — the
+      // count() IS the lazy checkpoint's materializing scan, the plan
+      // stays a constant-size LogicalRDD per round, and the trace
+      // numbers are byte-identical.
+      val (keep, nNodes) = Checkpoints.materializeCount(degreeKeep(cur, k))
+      val (next, nEdges) = Checkpoints.materializeCount(dropEdges(cur, keep))
+      cur = next
       trace += ((r.toLong, nNodes, nEdges))
       if (nEdges == prevEdges) {
         // fixpoint: every later round sees the same degrees, keeps the

@@ -40,19 +40,27 @@ object PageRank {
       edges.join(outW, Seq("src"))
         .select(col("src"), col("dst"), (col("w") * lit(1.0) / col("outw")).as("p")))
 
-    val nodes = Checkpoints.materialize(
+    // count fused into the materializing job (one barrier, not two)
+    val (nodes, nNodes) = Checkpoints.materializeCount(
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node")))
         .distinct())
-    val nNodes = nodes.count()
     val teleport = (1.0 - damping) / nNodes
 
+    // The sweep chain is LAZY: iterations is FIXED (the driver makes no
+    // per-round decision, unlike KCore's fixpoint check), so nothing
+    // forces a driver-sequenced job per sweep. Each sweep's rank frame
+    // is |V|-sized and consumed exactly once (broadcast into the next
+    // sweep), and trans/nodes are already pinned leaves, so the final
+    // action executes the whole 10-sweep chain with the per-sweep
+    // broadcast builds as internal stages instead of 10 separate
+    // eager-checkpoint jobs + barriers (the r19 barrier-latency finding;
+    // the plan stays linear in iterations — ranks appears once per
+    // sweep). Same arithmetic, same per-sweep partitioning, identical
+    // ranks.
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
-    for (_ <- 1 to iterations) {
-      ranks = Checkpoints.materialize(
-        sweep(trans, nodes, ranks, damping, teleport)
-      ) // truncate the lineage, keep each sweep one stage
-    }
+    for (_ <- 1 to iterations)
+      ranks = sweep(trans, nodes, ranks, damping, teleport)
     ranks
   }
 

@@ -131,10 +131,23 @@ object Triangles {
     * checkpoint between the p = 0.5 stats and the p = 0.2 re-filter —
     * double-caching 600M-row frames is what pushed the ×1000 SF run
     * over the heap).
+    *
+    * `bloom = false` skips the sketch AND the eager driver-side edge
+    * count that exists only to size it (n_edges is then computed
+    * in-plan): the Bloom pre-filter trades two extra passes over the
+    * edge frame (count + sketch build, each its own job barrier) plus a
+    * broadcast for a smaller closure exchange — a win exactly when the
+    * wedge stream is large (guide §3.2: the small side is scanned
+    * twice, "the reason it is not always on"). Callers gate it on input
+    * size the same way as the q_triangle_sampled phase barrier; the
+    * sketch only ever changes shuffle volume, never the counts, so both
+    * branches are result-identical (SamplingGraphSpec pins this).
     */
   def stats(edges0: DataFrame, pin: Boolean = true,
-            maxBloomBytes: Long = 128L << 20): DataFrame = {
+            maxBloomBytes: Long = 128L << 20,
+            bloom: Boolean = true): DataFrame = {
     // consumed 4×: degrees, orientation, bloom build, closure join
+    // (3× when the bloom branch is gated off)
     val edges = if (pin) pinSer(edges0) else edges0
     val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -146,16 +159,17 @@ object Triangles {
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst")))
-    val nEdges = edges.count()
-    // bits(n, p) = -n·ln p / ln²2, so the smallest fpp that fits the
-    // byte cap is exp(-8·cap·ln²2 / n); below 2% the cap isn't binding.
-    val ln2sq = math.log(2.0) * math.log(2.0)
-    val fpp = math.max(0.02,
-      math.exp(-(maxBloomBytes * 8.0) * ln2sq / math.max(nEdges, 1L).toDouble))
-    val bloomOpt =
+    val bloomOpt = if (!bloom) None else {
+      val nEdges = edges.count()
+      // bits(n, p) = -n·ln p / ln²2, so the smallest fpp that fits the
+      // byte cap is exp(-8·cap·ln²2 / n); below 2% the cap isn't binding.
+      val ln2sq = math.log(2.0) * math.log(2.0)
+      val fpp = math.max(0.02,
+        math.exp(-(maxBloomBytes * 8.0) * ln2sq / math.max(nEdges, 1L).toDouble))
       if (fpp > 0.25) None // prune too weak to pay for the broadcast
       else Some(edges.select(xxhash64(col("a"), col("b")).as("k"))
         .stat.bloomFilter("k", math.max(nEdges, 1L), fpp))
+    }
     val wedgeCount = oriented.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .agg(coalesce(sum(expr("od * (od - 1) DIV 2")), lit(0L)).cast("long").as("n_wedges"))
     val cand0 = oriented.select(col("src"), col("dst").as("x"))
@@ -164,7 +178,12 @@ object Triangles {
     val cand = bloomOpt.fold(cand0)(b =>
       cand0.filter(BloomJoin.mightContain(b, xxhash64(col("x"), col("y")))))
     val tri = cand.join(edges, edges("a") === col("x") && edges("b") === col("y"))
-    edges.sparkSession.range(1).select(lit(nEdges).as("n_edges"))
+    // n_edges comes from an IN-PLAN aggregate over the pinned edge
+    // frame (one more consumer of already-materialized blocks), not a
+    // separate driver-side count() action — the bloom branch is the
+    // only one that needs the count on the driver, and it reuses this
+    // same scan shape.
+    edges.agg(count(lit(1)).cast("long").as("n_edges"))
       .crossJoin(broadcast(deg.agg(max(col("d")).cast("long").as("max_degree"))))
       .crossJoin(broadcast(wedgeCount))
       .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))

@@ -2580,13 +2580,34 @@ object PipelineQ extends QueryPack {
         graft.operators.Triangles.rawBasketPairs(
           t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
         modParts = 10, keepParts = 1, salt = "tri:").distinct()
-      graft.operators.Triangles.stats(edges)
+      graft.operators.Triangles.stats(edges, bloom = triBloomGate(s, dir))
         .select(
           col("n_edges").as("n_edges_sampled"), col("max_degree"),
           col("n_wedges"), col("n_triangles").as("n_tri_sampled"),
           // p = 1/10 ⇒ unbiased correction t/p³ = t · 1000
           (col("n_triangles") * 1000).as("est_triangles"))
     })
+
+  /** SIZE-CONDITIONAL gate for the triangle family's Bloom closure
+    * prune, mirroring the q_triangle_sampled phase barrier's shape
+    * (footer-stats input estimate, 4 GiB line, conf override so both
+    * branches stay spec-checked). The sketch costs two extra passes
+    * over the pinned edge frame (driver count + sketch build, each a
+    * sequential job barrier) plus a broadcast; that pays for itself
+    * only when the wedge stream it prunes is large — at gate-off sizes
+    * the closure exchange is already small and the barriers dominate
+    * (r19 measurement: see OPTIMIZATION_r19.md). Counts are identical
+    * on both branches by construction — the exact closure join removes
+    * the sketch's false positives (SamplingGraphSpec pins all paths).
+    */
+  private def triBloomGate(s: SparkSession, dir: String): Boolean =
+    s.conf.getOption("spark.graft.tri.bloom") match {
+      case Some("always") => true
+      case Some("never")  => false
+      case _ =>
+        t(s, dir, "lineitem")
+          .queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(4L << 30)
+    }
 
   /** DOULION estimator sweep: the same co-purchase graph thinned at TWO
     * keep rates (p = 2/10 and 5/10 — exercising `keepParts > 1`, which
@@ -2684,15 +2705,19 @@ object PipelineQ extends QueryPack {
         case _              => inputBytes > BigInt(4L << 30)
       }
       def wave(df: DataFrame): DataFrame = if (barrier) pinSer(df) else df
+      // Bloom closure prune rides the same size gate (see
+      // [[triBloomGate]]): below it the two sketch passes are pure
+      // barrier overhead, above it they shrink the closure exchange.
+      val bloomOn = triBloomGate(s, dir)
       // pin = false: e50 is already checkpointed above; a second cached
       // copy of the 600M-row edge frame is pure heap pressure
-      val p50 = graft.operators.Triangles.stats(e50, pin = false)
+      val p50 = graft.operators.Triangles.stats(e50, pin = false, bloom = bloomOn)
         .select(
           col("n_edges").as("n_edges_p50"), col("n_triangles").as("n_tri_p50"),
           (col("n_triangles") * 8).as("est_p50"))
         .transform(wave)
       val e20 = graft.operators.Triangles.sampleEdges(e50, 10, 2, "tri:")
-      val p20 = graft.operators.Triangles.stats(e20)
+      val p20 = graft.operators.Triangles.stats(e20, bloom = bloomOn)
         .select(
           col("n_edges").as("n_edges_p20"), col("n_triangles").as("n_tri_p20"),
           (col("n_triangles") * 125).as("est_p20"))

@@ -66,6 +66,51 @@ object StreamQ extends QueryPack {
     agg.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
 
+  /** Scale-adaptive shuffle/state partition count for a stateful drain,
+    * derived from the SOURCE's size (bytes on the filesystem — free,
+    * deterministic, same on every drain of a checkpoint): one state
+    * partition per ~32 MB of source, clamped to [8, session default].
+    *
+    * Why: a stateful micro-batch commits EVERY state-store partition on
+    * every batch (delta files + snapshot/maintenance I/O), so state
+    * partitioning should follow STATE volume, not the session's
+    * scan-parallelism default — the q_stream_join lesson (8.4 s → 2.8 s
+    * at sf0.1 when its four per-partition stores stopped committing
+    * 32-way). At sf0.1 (2 MB of events) this floors at 8; at the ×1000
+    * SF the clamp returns the session default, i.e. exactly today's
+    * behavior — the savings come precisely where the per-commit
+    * overhead dominates the data. Map-side work is unaffected (scan
+    * parallelism is file-split-driven; watermarked aggs partial-agg
+    * before the exchange). A checkpoint pins its partition count at
+    * first start, so deriving from the SAME source file keeps
+    * restart-from-checkpoint drains (sessions/sessionize/restart)
+    * consistent by construction.
+    */
+  private def statePartitions(s: org.apache.spark.sql.SparkSession, dir: String): Int = {
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val floor = math.min(8, cap)
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => Long.MaxValue } // unknown: keep default
+    val derived = math.min(cap.toLong, bytes / (32L << 20) + 1)
+    math.max(floor.toLong, derived).toInt
+  }
+
+  /** Run `body` (a drain: plan + start + awaitTermination) under the
+    * [[statePartitions]]-derived shuffle-partition count, restoring the
+    * session default after — the streaming plan captures the conf at
+    * query start. Restores on every exit path.
+    */
+  private def withStatePartitions[A](
+      s: org.apache.spark.sql.SparkSession, dir: String)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s, dir).toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Footer-derived raw schema of the events source (streaming sources
     * need the schema up front; probing it through the batch reader keeps
     * the stream contract identical to [[graft.Tables]]' batch loader
@@ -146,13 +191,15 @@ object StreamQ extends QueryPack {
       val ev = eventStream(s, stage, dir)
       val agg = EventStreams.tumblingAgg(ev, windowLen = "1 hour")
       val sink = s"stream_window_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      val query = agg.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode(OutputMode.Complete())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      withStatePartitions(s, dir) {
+        agg.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
       s.table(sink)
         .select(
           col("bucket"), col("event_type"), col("n").cast("long").as("n"),
@@ -205,7 +252,7 @@ object StreamQ extends QueryPack {
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val out = Staging.dir("stream_sessions_out").toString
       val ckpt = Staging.dir("stream_sessions_ckpt").toString
-      def drain(): Unit = {
+      def drain(): Unit = withStatePartitions(s, dir) {
         val ev = eventStream(s, stage, dir)
         EventStreams.sessionWindowAgg(ev, gap = "30 minutes", watermark = "0 seconds")
           .writeStream
@@ -264,14 +311,16 @@ object StreamQ extends QueryPack {
       // the memory sink; their state is window-key-sized, not row-sized.
       val out = Staging.dir("stream_dedup_out").toString
       val ckpt = Staging.dir("stream_dedup_ckpt").toString
-      val query = deduped.writeStream
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      withStatePartitions(s, dir) {
+        deduped.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
       boundedReadback(
         s.read.parquet(out).agg(
           count(lit(1)).as("n_events"),
@@ -309,13 +358,15 @@ object StreamQ extends QueryPack {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
         .select(col("window.start").as("bucket"), col("segment"), col("n"), col("sum_value"))
       val sink = s"stream_enrich_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      val query = agg.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode(OutputMode.Complete())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      withStatePartitions(s, dir) {
+        agg.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
       s.table(sink)
         .select(
           col("bucket"), col("segment"), col("n").cast("long").as("n"),
@@ -403,13 +454,15 @@ object StreamQ extends QueryPack {
       val ev = eventStream(s, stage, dir)
       val agg = EventStreams.slidingAgg(ev, windowLen = "10 minutes", slide = "5 minutes")
       val sink = s"stream_sliding_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      val query = agg.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode(OutputMode.Complete())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      withStatePartitions(s, dir) {
+        agg.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
       s.table(sink)
         .select(
           col("bucket"), col("n").cast("long").as("n"),
@@ -458,7 +511,7 @@ object StreamQ extends QueryPack {
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val out = Staging.dir("stream_sessionize_out").toString
       val ckpt = Staging.dir("stream_sessionize_ckpt").toString
-      def drain(): Unit = {
+      def drain(): Unit = withStatePartitions(s, dir) {
         val ev = eventStream(s, stage, dir)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
           .as[EventStreams.Event]
@@ -529,8 +582,8 @@ object StreamQ extends QueryPack {
       s.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val query = EventStreams.thresholdAlerts(ev, threshold = 100.0)
+      try withStatePartitions(s, dir) {
+        EventStreams.thresholdAlerts(ev, threshold = 100.0)
           .toDF.writeStream
           .format("parquet")
           .option("path", out)
@@ -538,7 +591,7 @@ object StreamQ extends QueryPack {
           .outputMode(OutputMode.Append())
           .trigger(Trigger.AvailableNow())
           .start()
-        query.awaitTermination()
+          .awaitTermination()
       } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       s.read.parquet(out)
         .select(
@@ -570,9 +623,9 @@ object StreamQ extends QueryPack {
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val out = Staging.dir("stream_restart_out").toString
       val ckpt = Staging.dir("stream_restart_ckpt").toString
-      def drain(): Unit = {
+      def drain(): Unit = withStatePartitions(s, dir) {
         val ev = eventStream(s, stage, dir)
-        val query = EventStreams.dedupEvents(ev, watermark = "1 hour")
+        EventStreams.dedupEvents(ev, watermark = "1 hour")
           .writeStream
           .format("parquet")
           .option("path", out)
@@ -580,7 +633,7 @@ object StreamQ extends QueryPack {
           .outputMode(OutputMode.Append())
           .trigger(Trigger.AvailableNow())
           .start()
-        query.awaitTermination()
+          .awaitTermination()
       }
       drain() // first life: the original file
       val replay = stage.resolve("events_replay.parquet")

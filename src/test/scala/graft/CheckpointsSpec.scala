@@ -45,6 +45,29 @@ class CheckpointsSpec extends SparkSpec {
       s"materialize local-fallback levels: $viaMaterialize")
   }
 
+  test("materializeCount: fused count, serialized pin, truncated lineage") {
+    import org.apache.spark.storage.StorageLevel
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    val before = sc.getPersistentRDDs.keySet
+    val df = (1 to 500).map(i => (i.toLong, i % 7)).toDF("id", "m")
+    val (mat, n) = Checkpoints.materializeCount(df.filter(col("m") === 0))
+    assert(n === (1 to 500).count(_ % 7 == 0).toLong)
+    // the pinned frame serves later consumers with the same data
+    assert(mat.agg(sum(col("id"))).head.getLong(0)
+      === (1 to 500).filter(_ % 7 == 0).map(_.toLong).sum)
+    val pinned = sc.getPersistentRDDs.collect {
+      case (id, rdd) if !before(id) => rdd.getStorageLevel
+    }.toSeq
+    assert(pinned.nonEmpty && pinned.forall(_ == StorageLevel.MEMORY_AND_DISK_SER),
+      s"materializeCount local-path levels: $pinned")
+    // constant-size lineage: an iterative consumer sees the truncated
+    // plan (LogicalRDD), not the re-derivation — a persist-based fusion
+    // would keep the full plan and grow exponentially in peel loops
+    assert(mat.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      mat.queryExecution.optimizedPlan.toString)
+  }
+
   test("with a checkpoint dir: goes reliable, writes there, and round-trips") {
     val sc = spark.sparkContext
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString

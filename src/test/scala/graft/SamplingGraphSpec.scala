@@ -107,9 +107,13 @@ class SamplingGraphSpec extends SparkSpec {
     val capped = graft.operators.Triangles.stats(edges, maxBloomBytes = 8L).head
     // 1-byte cap → required fpp ≈ 0.79 > 0.25: sketch skipped outright
     val skipped = graft.operators.Triangles.stats(edges, maxBloomBytes = 1L).head
+    // bloom = false (the r19 size gate's small-input branch): no sketch
+    // AND no eager driver-side count — same four numbers in-plan
+    val gatedOff = graft.operators.Triangles.stats(edges, bloom = false).head
     for (c <- cols) {
       assert(capped.getAs[Long](c) == base.getAs[Long](c), s"capped $c")
       assert(skipped.getAs[Long](c) == base.getAs[Long](c), s"skipped $c")
+      assert(gatedOff.getAs[Long](c) == base.getAs[Long](c), s"gatedOff $c")
     }
   }
 
