@@ -29,9 +29,83 @@ object Tables {
       org.apache.spark.sql.functions.col(keyCol))
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-session memo of loaded RELATIONS (logical plans), keyed by
+    * (dir, table) and invalidated on the file's (length, mtime).
+    *
+    * This is the catalog role: `spark.read.parquet` costs ~60-75 ms per
+    * call (footer probe + relation/file-index construction), and a
+    * 211-query bench pass re-pays it a few hundred times for the same
+    * ten immutable files — ~10% of the whole suite's wall time spent
+    * re-deriving identical metadata (r19 measurement). A cluster
+    * deployment reads these tables through a metastore that owns
+    * exactly this metadata (see the module doc above); the memo gives
+    * the directory-contract the same property. It caches NO DATA and
+    * NO RESULTS — every query still scans the parquet at execution —
+    * and the stat-based invalidation keeps a swapped-out file visible,
+    * so behavior only differs from a bare re-read if a producer
+    * rewrites a table in-place with identical length AND mtime.
+    * Weak keys: a stopped session's entries go with the session.
+    */
+  private val relCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), (Long, Long, DataFrame)]]()
+
+  private def tableStat(spark: SparkSession, path: String): Option[(Long, Long)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      Some((st.getLen, st.getModificationTime))
+    } catch { case _: Throwable => None }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    def fresh() =
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    tableStat(spark, s"$dir/$name.parquet") match {
+      case None => fresh() // unstattable (missing/odd scheme): let the read report
+      case Some((len, mtime)) =>
+        val perSession = relCache.synchronized {
+          var m = relCache.get(spark)
+          if (m == null) {
+            m = scala.collection.concurrent.TrieMap.empty
+            relCache.put(spark, m)
+          }
+          m
+        }
+        perSession.get((dir, name)) match {
+          case Some((l0, m0, df)) if l0 == len && m0 == mtime => df
+          case _ =>
+            val df = fresh()
+            perSession.put((dir, name), (len, mtime, df))
+            df
+        }
+    }
+  }
+
+  /** RAW relation for `name` — no events-ts normalization — through the
+    * same per-session memo (streaming sources probe the raw footer
+    * schema per drain; without the memo each probe re-pays the ~60 ms
+    * relation construction). Distinct memo key from [[load]]'s.
+    */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableStat(spark, s"$dir/$name.parquet") match {
+      case None => spark.read.parquet(s"$dir/$name.parquet")
+      case Some((len, mtime)) =>
+        val perSession = relCache.synchronized {
+          var m = relCache.get(spark)
+          if (m == null) {
+            m = scala.collection.concurrent.TrieMap.empty
+            relCache.put(spark, m)
+          }
+          m
+        }
+        perSession.get((dir, s"$name#raw")) match {
+          case Some((l0, m0, df)) if l0 == len && m0 == mtime => df
+          case _ =>
+            val df = spark.read.parquet(s"$dir/$name.parquet")
+            perSession.put((dir, s"$name#raw"), (len, mtime, df))
+            df
+        }
+    }
 
   /** Normalize an event-time column to session-zoned TimestampType,
     * branching on the dtype the parquet footer actually declared — the

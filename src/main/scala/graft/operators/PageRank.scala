@@ -40,10 +40,16 @@ object PageRank {
       edges.join(outW, Seq("src"))
         .select(col("src"), col("dst"), (col("w") * lit(1.0) / col("outw")).as("p")))
 
-    // count fused into the materializing job (one barrier, not two)
+    // Node set derived from the PINNED trans frame, not from `edges`:
+    // trans preserves every edge (the outW join is on src, which every
+    // edge matches by construction), so the (src ∪ dst) node set is
+    // identical — and the corpus-wide edge build no longer executes a
+    // SECOND time just to enumerate nodes (at the ×1000 SF that second
+    // pass is a full lineitem⋈orders⋈customer⋈supplier replay). Count
+    // fused into the materializing job (one barrier, not two).
     val (nodes, nNodes) = Checkpoints.materializeCount(
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node")))
+      trans.select(col("src").as("node"))
+        .union(trans.select(col("dst").as("node")))
         .distinct())
     val teleport = (1.0 - damping) / nNodes
 

@@ -119,7 +119,7 @@ object StreamQ extends QueryPack {
     * the engine).
     */
   private def rawEventSchema(s: org.apache.spark.sql.SparkSession, dir: String): StructType =
-    s.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.loadRaw(s, dir, "events").schema
 
   /** `readStream` over the staged directory with `ts` normalized to
     * session-zoned TimestampType via [[graft.Tables.normalizeEventTs]]
@@ -151,7 +151,7 @@ object StreamQ extends QueryPack {
     */
   private def stageSentinel(
       s: org.apache.spark.sql.SparkSession, dir: String, stage: java.nio.file.Path): Unit = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = graft.Tables.loadRaw(s, dir, "events")
     val bumped = raw.schema("ts").dataType match {
       case LongType => max(col("ts")) + lit(10L * 86400L * 1000000000L)
       case _        => max(col("ts")) + expr("INTERVAL 10 DAYS")
@@ -350,7 +350,7 @@ object StreamQ extends QueryPack {
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val ev = eventStream(s, stage, dir)
-      val dim = s.read.parquet(s"$dir/customer.parquet")
+      val dim = graft.Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
       val agg = EventStreams.enrich(ev, dim)
         .filter(col("segment").isNotNull)

@@ -61,6 +61,25 @@ class SchemaContractSpec extends SparkSpec {
     assert(b == a)
   }
 
+  test("load memo: relation reused per session, invalidated when the file changes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tables_memo").toString
+    Seq((1L, "a", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val first = Tables.load(spark, dir, "documents")
+    // metadata memo: the SAME relation handle comes back (no footer
+    // re-probe), and it still scans current parquet bytes on execution
+    assert(Tables.load(spark, dir, "documents") eq first)
+    assert(first.count() === 1)
+    // rewrite with different content → stat changes → memo invalidates
+    Thread.sleep(5) // ensure a distinct mtime even on coarse clocks
+    Seq((1L, "a", "en", "s", 1L), (2L, "b", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Tables.load(spark, dir, "documents").count() === 2,
+      "a rewritten table must be re-loaded, not served from the memo")
+  }
+
   test("tsMicros is full-microsecond and monotonic across second boundaries") {
     def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
     // getTime already contains the integral millis of the nanos fraction:
