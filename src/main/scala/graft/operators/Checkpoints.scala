@@ -62,16 +62,34 @@ object Checkpoints {
     * frame, and iteration-surviving durability is worth one barrier.
     */
   def materializeCount(df: DataFrame): (DataFrame, Long) = {
+    val d = materializeLazy(df)
+    (d, d.count())
+  }
+
+  /** Lineage-truncated frame whose MATERIALIZATION is deferred to the
+    * caller's own first action — the generalization of
+    * [[materializeCount]] for loops whose round trace needs an
+    * aggregate other than a count (BPE's symbol mass, label
+    * propagation's changed-count): the round's one driver action both
+    * computes/pins the blocks and returns the trace value, instead of
+    * an eager-checkpoint job followed by a separate read job.
+    *
+    * CONTRACT: the caller's first action on the returned frame must
+    * scan EVERY partition (count / full aggregate / a join consuming
+    * the whole side). A `head`/`take` as first action would pin only
+    * the partitions it touched and leave the rest to recompute later.
+    *
+    * Local path: lazy serialized localCheckpoint (plan is a LogicalRDD
+    * immediately; blocks pin as the first job computes them).
+    * Reliable-checkpoint path (cluster): eager, as [[materialize]] —
+    * durability of the round frame is the point there.
+    */
+  def materializeLazy(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       sc.getConf.getOption("spark.checkpoint.dir").foreach(sc.setCheckpointDir)
-    if (sc.getCheckpointDir.isDefined) {
-      val d = df.checkpoint(eager = true)
-      (d, d.count())
-    } else {
-      val d = df.localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
-      (d, d.count())
-    }
+    if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
   }
 
   /** Eager executor-local pin with SERIALIZED storage — the required

@@ -61,7 +61,9 @@ object KCore {
   def peelRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var cur = Checkpoints.materialize(edges)
+    // lazy pin: round 1's keep job is the materializing (full-scan)
+    // action — no separate up-front checkpoint job
+    var cur = Checkpoints.materializeLazy(edges)
     var prevEdges = -1L
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var r = 1

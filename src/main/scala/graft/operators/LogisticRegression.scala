@@ -27,10 +27,13 @@ object LogisticRegression {
       label: Column,
       lr: Double = 0.5,
       iterations: Int = 5): Array[Double] = {
-    val d = Checkpoints.materialize(data.select(
+    // lazy pin + fused count: the n-count is the materializing action
+    // (one job where an eager checkpoint + count was two); sweeps then
+    // rescan the pinned feature blocks
+    val (d, nRows) = Checkpoints.materializeCount(data.select(
       (features.zipWithIndex.map { case (f, j) => f.cast("double").as(s"x$j") } :+
-        label.cast("double").as("y")): _*)) // features computed once, rescanned per sweep
-    val n = d.count().toDouble
+        label.cast("double").as("y")): _*))
+    val n = nRows.toDouble
     val beta = Array.fill(features.size)(0.0)
     for (_ <- 1 to iterations) {
       val grads = gradientFrame(d, beta).collect().head

@@ -34,9 +34,12 @@ object PageRank {
       iterations: Int = 10): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
 
-    // normalize: p(src→dst) = w / out_weight(src); edge layout fixed once
+    // normalize: p(src→dst) = w / out_weight(src); edge layout fixed
+    // once. LAZY pin (Checkpoints.materializeLazy): the nodes count job
+    // right below derives from trans and scans all of it — that job is
+    // the materializing action, so no separate up-front checkpoint job.
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val trans = Checkpoints.materialize(
+    val trans = Checkpoints.materializeLazy(
       edges.join(outW, Seq("src"))
         .select(col("src"), col("dst"), (col("w") * lit(1.0) / col("outw")).as("p")))
 
@@ -53,20 +56,21 @@ object PageRank {
         .distinct())
     val teleport = (1.0 - damping) / nNodes
 
-    // The sweep chain is LAZY: iterations is FIXED (the driver makes no
-    // per-round decision, unlike KCore's fixpoint check), so nothing
-    // forces a driver-sequenced job per sweep. Each sweep's rank frame
-    // is |V|-sized and consumed exactly once (broadcast into the next
-    // sweep), and trans/nodes are already pinned leaves, so the final
-    // action executes the whole 10-sweep chain with the per-sweep
-    // broadcast builds as internal stages instead of 10 separate
-    // eager-checkpoint jobs + barriers (the r19 barrier-latency finding;
-    // the plan stays linear in iterations — ranks appears once per
-    // sweep). Same arithmetic, same per-sweep partitioning, identical
-    // ranks.
+    // Each sweep stays EAGERLY materialized. A fully lazy 10-sweep
+    // chain was tried in r19 (iterations is fixed, so no driver
+    // decision forces a job per sweep) and MEASURED SLOWER —
+    // q_pagerank ~2.3 normalized units eager vs ~2.7-3.1 lazy: with
+    // one nested plan, AQE re-optimizes the whole remaining tree after
+    // every completed stage, and ~25 stages × a 10-sweep plan costs
+    // more than the 10 job barriers the fusion saves. Reverted; the
+    // kept r19 wins are the fused nodes count and the single edge
+    // build above.
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
-    for (_ <- 1 to iterations)
-      ranks = sweep(trans, nodes, ranks, damping, teleport)
+    for (_ <- 1 to iterations) {
+      ranks = Checkpoints.materialize(
+        sweep(trans, nodes, ranks, damping, teleport)
+      ) // truncate the lineage, keep each sweep one stage
+    }
     ranks
   }
 

@@ -574,11 +574,17 @@ object Dedup extends QueryPack {
     // PRE-PARTITIONED per key: localCheckpoint preserves the physical
     // partitioning in the LogicalRDD, so none of the rounds re-shuffles
     // the membership side of its joins/aggregations.
-    val mByBkey = graft.operators.Checkpoints.materialize(membership
+    // LAZY pins: round 1's one changed-count job scans the entire
+    // round-1 frame, which consumes both membership copies in full —
+    // it materializes all three at once instead of two up-front
+    // checkpoint jobs + the round job. localCheckpoint (lazy or eager)
+    // preserves the physical partitioning in the LogicalRDD, so the
+    // per-key layouts below still spare every round its shuffles.
+    val mByBkey = graft.operators.Checkpoints.materializeLazy(membership
       .withColumn("__n", count(lit(1)).over(bucketDocs))
       .filter(col("__n") > 1)
       .drop("__n"))
-    val mByDoc = graft.operators.Checkpoints.materialize(
+    val mByDoc = graft.operators.Checkpoints.materializeLazy(
       mByBkey.repartition(col("doc_id")))
     var labels = mByDoc.select(col("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
@@ -589,12 +595,14 @@ object Dedup extends QueryPack {
       round += 1
       val next = propagateRound(mByDoc, mByBkey, labels)
       if (exactRounds.isEmpty) {
-        // materialize each round (checkpointing also truncates the
-        // 3×-per-round lineage growth), then one count for the
-        // convergence check — the round's work is not recomputed.
-        // Checkpoints.materialize goes reliable when a checkpoint dir
-        // is configured (cluster), executor-local otherwise.
-        val mat = graft.operators.Checkpoints.materialize(next)
+        // ONE job per round (was two): the changed-count below is the
+        // LAZY checkpoint's materializing action — it joins the whole
+        // round frame against the previous labels, so every partition
+        // is computed, pinned, and convergence-checked in the same job
+        // (Checkpoints.materializeLazy; still truncates the
+        // 3×-per-round lineage growth, still goes reliable+eager when
+        // a checkpoint dir is configured).
+        val mat = graft.operators.Checkpoints.materializeLazy(next)
         val changed = mat
           .join(labels.withColumnRenamed("lbl", "prev"), Seq("doc_id"))
           .filter(col("lbl") =!= col("prev"))

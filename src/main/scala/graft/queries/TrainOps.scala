@@ -600,7 +600,14 @@ object TrainOps extends QueryPack {
     },
     (s, dir) => {
       import s.implicits._
-      var state = graft.operators.Checkpoints.materialize(bpeInitState(docs(s, dir)))
+      // LAZY pins (Checkpoints.materializeLazy): each round runs TWO
+      // jobs, not three — the top-pair collect is the materializing
+      // action for the incoming state (it scans every partition through
+      // the pair window), and the symbol-mass aggregate is the
+      // materializing action for the merged state. Same trace numbers,
+      // one fewer sequential driver barrier per round (the r19
+      // barrier-latency finding), identical at-scale storage level.
+      var state = graft.operators.Checkpoints.materializeLazy(bpeInitState(docs(s, dir)))
       val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
       var exhausted = false
       for (r <- 1 to 6 if !exhausted) {
@@ -612,7 +619,7 @@ object TrainOps extends QueryPack {
         else {
         val top = topOpt.get
         val (bl, br, w) = (top.getString(0), top.getString(1), top.getLong(2))
-        state = graft.operators.Checkpoints.materialize(bpeApplyMerge(pairs, bl, br))
+        state = graft.operators.Checkpoints.materializeLazy(bpeApplyMerge(pairs, bl, br))
         val symbolsAfter = state.agg(sum(col("freq"))).head.getLong(0)
         trace += ((r.toLong, bl, br, w, symbolsAfter))
         }
