@@ -35,7 +35,15 @@ ALLOWED_URL = re.compile(
     r"https?://(?:localhost|127\.0\.0\.1|(?:[\w-]+\.)*"
     r"(?:apache\.org|example\.com|example\.org|github\.com|w3\.org|"
     r"json-schema\.org|opensearch\.org))(?::\d+)?(?:/|$)")
-ALLOWED_ENV = {"SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS", "JAVA_OPTS", "PATH"}
+ALLOWED_ENV = {
+    "SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS", "JAVA_OPTS", "PATH",
+    # repo-defined knobs (graft.Verify / StreamQ / board_runner /
+    # scaling_check define and document these themselves)
+    "GRAFT_SHUFFLE_PARTITIONS", "GRAFT_VERIFY_COALESCE", "GRAFT_CONTROL_DIR",
+    "GRAFT_CONTROL_QUERY", "GRAFT_STAGE_DIR", "GRAFT_IGNORE_SIBLINGS",
+    "GRAFT_SLICE_DIGEST_ROWS", "CPUS", "HEAP", "SHUF", "COST_HINT",
+    "JVM_PER_QUERY",
+}
 ALLOWED_BUCKET = re.compile(r"(?:s3a?|gs|wasbs?|abfss?)://(?:bucket|my-bucket|\.\.\.|<)")
 
 hits = []
