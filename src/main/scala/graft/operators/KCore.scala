@@ -61,9 +61,12 @@ object KCore {
   def peelRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // lazy pin: round 1's keep job is the materializing (full-scan)
-    // action — no separate up-front checkpoint job
-    var cur = Checkpoints.materializeLazy(edges)
+    // ENTRY pin stays EAGER: round 1's keep job references cur TWICE
+    // (degreeKeep unions the a- and b-side scans), so a lazy pin would
+    // compute the whole edge build twice in that job — the
+    // materializeLazy single-first-consumer contract does not hold
+    // here. Per-round pins below are single-referenced and stay fused.
+    var cur = Checkpoints.materialize(edges)
     var prevEdges = -1L
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var r = 1

@@ -35,11 +35,12 @@ object PageRank {
     require(iterations >= 1, "iterations must be >= 1")
 
     // normalize: p(src→dst) = w / out_weight(src); edge layout fixed
-    // once. LAZY pin (Checkpoints.materializeLazy): the nodes count job
-    // right below derives from trans and scans all of it — that job is
-    // the materializing action, so no separate up-front checkpoint job.
+    // once. EAGER pin: the first consumer (the nodes count job below)
+    // references trans TWICE (src ∪ dst), so a lazy pin would run the
+    // corpus-wide edge build twice in that job — outside the
+    // materializeLazy single-first-consumer contract.
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val trans = Checkpoints.materializeLazy(
+    val trans = Checkpoints.materialize(
       edges.join(outW, Seq("src"))
         .select(col("src"), col("dst"), (col("w") * lit(1.0) / col("outw")).as("p")))
 

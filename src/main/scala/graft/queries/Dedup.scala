@@ -574,17 +574,19 @@ object Dedup extends QueryPack {
     // PRE-PARTITIONED per key: localCheckpoint preserves the physical
     // partitioning in the LogicalRDD, so none of the rounds re-shuffles
     // the membership side of its joins/aggregations.
-    // LAZY pins: round 1's one changed-count job scans the entire
-    // round-1 frame, which consumes both membership copies in full —
-    // it materializes all three at once instead of two up-front
-    // checkpoint jobs + the round job. localCheckpoint (lazy or eager)
-    // preserves the physical partitioning in the LogicalRDD, so the
-    // per-key layouts below still spare every round its shuffles.
-    val mByBkey = graft.operators.Checkpoints.materializeLazy(membership
+    // ENTRY pins stay EAGER: round 1's job references mByDoc more than
+    // once (the label seed subtree AND the propagation join), so lazy
+    // pins would compute the membership build repeatedly inside that
+    // job — outside materializeLazy's single-first-consumer contract.
+    // Only the PER-ROUND pin below is lazily fused (one reference per
+    // consumer). localCheckpoint preserves the physical partitioning
+    // in the LogicalRDD either way, so none of the rounds re-shuffles
+    // the membership side of its joins/aggregations.
+    val mByBkey = graft.operators.Checkpoints.materialize(membership
       .withColumn("__n", count(lit(1)).over(bucketDocs))
       .filter(col("__n") > 1)
       .drop("__n"))
-    val mByDoc = graft.operators.Checkpoints.materializeLazy(
+    val mByDoc = graft.operators.Checkpoints.materialize(
       mByBkey.repartition(col("doc_id")))
     var labels = mByDoc.select(col("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
