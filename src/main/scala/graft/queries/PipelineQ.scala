@@ -2580,7 +2580,7 @@ object PipelineQ extends QueryPack {
         graft.operators.Triangles.rawBasketPairs(
           t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
         modParts = 10, keepParts = 1, salt = "tri:").distinct()
-      graft.operators.Triangles.stats(edges, bloom = triBloomGate(s, dir))
+      graft.operators.Triangles.stats(edges, bloom = triBloomGate(s, dir, 0.1))
         .select(
           col("n_edges").as("n_edges_sampled"), col("max_degree"),
           col("n_wedges"), col("n_triangles").as("n_tri_sampled"),
@@ -2589,24 +2589,32 @@ object PipelineQ extends QueryPack {
     })
 
   /** SIZE-CONDITIONAL gate for the triangle family's Bloom closure
-    * prune, mirroring the q_triangle_sampled phase barrier's shape
-    * (footer-stats input estimate, 4 GiB line, conf override so both
+    * prune (footer-stats input estimate, conf override so both
     * branches stay spec-checked). The sketch costs two extra passes
     * over the pinned edge frame (driver count + sketch build, each a
-    * sequential job barrier) plus a broadcast; that pays for itself
-    * only when the wedge stream it prunes is large — at gate-off sizes
-    * the closure exchange is already small and the barriers dominate
-    * (r19 measurement: see OPTIMIZATION_r19.md). Counts are identical
-    * on both branches by construction — the exact closure join removes
-    * the sketch's false positives (SamplingGraphSpec pins all paths).
+    * sequential job barrier) plus a broadcast; it pays for itself only
+    * when the wedge stream it prunes is large. Wedge volume tracks the
+    * SAMPLED graph, not the raw input — DOULION thinning at keep rate
+    * p cuts wedges ~p² — so the gate compares input × keepFraction
+    * against a 16 MB line calibrated by the r19 sf0.1/sf1.0 A/B:
+    * q_triangle_sampled's p = 0.5 wave at sf1.0 (~55 MB effective)
+    * REGRESSED 19 → 53-93 s without the sketch, while the same wave at
+    * sf0.1 (~5.5 MB) and q_triangle_count's p = 0.1 at sf1.0 (~11 MB)
+    * both measured FASTER bloom-off (the barriers dominate the tiny
+    * closure exchange); the ×1000 board (≥ 1 GB effective at any p
+    * here) keeps the sketch engaged exactly as in r18. Counts are
+    * identical on both branches by construction — the exact closure
+    * join removes the sketch's false positives (SamplingGraphSpec pins
+    * all paths).
     */
-  private def triBloomGate(s: SparkSession, dir: String): Boolean =
+  private def triBloomGate(s: SparkSession, dir: String, keepFraction: Double): Boolean =
     s.conf.getOption("spark.graft.tri.bloom") match {
       case Some("always") => true
       case Some("never")  => false
       case _ =>
-        t(s, dir, "lineitem")
-          .queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(4L << 30)
+        (BigDecimal(t(s, dir, "lineitem")
+          .queryExecution.optimizedPlan.stats.sizeInBytes) * keepFraction)
+          .toBigInt > BigInt(16L << 20)
     }
 
   /** DOULION estimator sweep: the same co-purchase graph thinned at TWO
@@ -2705,19 +2713,21 @@ object PipelineQ extends QueryPack {
         case _              => inputBytes > BigInt(4L << 30)
       }
       def wave(df: DataFrame): DataFrame = if (barrier) pinSer(df) else df
-      // Bloom closure prune rides the same size gate (see
+      // Bloom closure prune rides the keep-rate-aware size gate (see
       // [[triBloomGate]]): below it the two sketch passes are pure
-      // barrier overhead, above it they shrink the closure exchange.
-      val bloomOn = triBloomGate(s, dir)
+      // barrier overhead, above it they shrink the closure exchange —
+      // each wave gates on ITS OWN sampled-graph size (p = 0.5 / 0.2).
       // pin = false: e50 is already checkpointed above; a second cached
       // copy of the 600M-row edge frame is pure heap pressure
-      val p50 = graft.operators.Triangles.stats(e50, pin = false, bloom = bloomOn)
+      val p50 = graft.operators.Triangles.stats(e50, pin = false,
+          bloom = triBloomGate(s, dir, 0.5))
         .select(
           col("n_edges").as("n_edges_p50"), col("n_triangles").as("n_tri_p50"),
           (col("n_triangles") * 8).as("est_p50"))
         .transform(wave)
       val e20 = graft.operators.Triangles.sampleEdges(e50, 10, 2, "tri:")
-      val p20 = graft.operators.Triangles.stats(e20, bloom = bloomOn)
+      val p20 = graft.operators.Triangles.stats(e20,
+          bloom = triBloomGate(s, dir, 0.2))
         .select(
           col("n_edges").as("n_edges_p20"), col("n_triangles").as("n_tri_p20"),
           (col("n_triangles") * 125).as("est_p20"))
