@@ -138,13 +138,18 @@ object Bench {
     // Window-quality controls (BASELINE.md round-18 protocol): two
     // pin-free, plan-stable queries whose full-pass floor values are
     // known (q_having_countd ~1.21 s, q_dedup_first ~1.14 s at sf0.1
-    // local[32]). Ambient host slowdowns inflate these by the same
-    // factor as the suite but leave steal_s near zero — the ratio vs
-    // floor normalizes a pass, steal alone does not.
+    // local[32]), plus — r20, additive — one BARRIER-BOUND control
+    // (q_bpe_merges: a fixed 6-round driver loop, ~1.98 s floor) so a
+    // window where the two exchange-bound controls DISAGREE (the r19
+    // driver window read 1.57× vs 0.85× floor) can be adjudicated
+    // against a control whose cost is sequential job barriers rather
+    // than shuffle throughput. Ambient host slowdowns inflate these by
+    // the same factor as the suite but leave steal_s near zero — the
+    // ratio vs floor normalizes a pass, steal alone does not.
     // A control that errored carries the -1.0 failure sentinel — emit it
     // as missing, not as a nonsense floor ratio that silently poisons
     // the normalization the controls exist for.
-    val controls = Seq("q_having_countd", "q_dedup_first")
+    val controls = Seq("q_having_countd", "q_dedup_first", "q_bpe_merges")
       .flatMap(n => results.toMap.get(n).filter(_ >= 0).map(v => s""""$n":$v"""))
       .mkString("{", ",", "}")
 

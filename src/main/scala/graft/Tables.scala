@@ -30,7 +30,8 @@ object Tables {
   }
 
   /** Per-session memo of loaded RELATIONS (logical plans), keyed by
-    * (dir, table) and invalidated on the file's (length, mtime).
+    * (dir, table) and invalidated on the table's observed
+    * (bytes, fileCount, mtime) stat.
     *
     * This is the catalog role: `spark.read.parquet` costs ~60-75 ms per
     * call (footer probe + relation/file-index construction), and a
@@ -41,19 +42,31 @@ object Tables {
     * exactly this metadata (see the module doc above); the memo gives
     * the directory-contract the same property. It caches NO DATA and
     * NO RESULTS — every query still scans the parquet at execution —
-    * and the stat-based invalidation keeps a swapped-out file visible,
+    * and the stat-based invalidation keeps a swapped-out table visible,
     * so behavior only differs from a bare re-read if a producer
-    * rewrites a table in-place with identical length AND mtime.
-    * Weak keys: a stopped session's entries go with the session.
+    * rewrites a table in-place with identical total bytes AND file
+    * count AND mtime. Weak keys: a stopped session's entries go with
+    * the session.
     */
   private val relCache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[(String, String), (Long, Long, DataFrame)]]()
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), ((Long, Long, Long), DataFrame)]]()
 
-  private def tableStat(spark: SparkSession, path: String): Option[(Long, Long)] =
+  /** Invalidation stat for a table path. A table may be a single file
+    * OR a directory of part files; a directory's own getLen is its
+    * constant inode size and its mtime granularity can swallow an
+    * in-place rewrite, so directories key on getContentSummary (total
+    * leaf bytes + file count — a rewrite that changes neither is
+    * already byte-identical in layout) plus the directory mtime.
+    */
+  private def tableStat(spark: SparkSession, path: String): Option[(Long, Long, Long)] =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
-      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
-      Some((st.getLen, st.getModificationTime))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) {
+        val cs = fs.getContentSummary(p)
+        Some((cs.getLength, cs.getFileCount, st.getModificationTime))
+      } else Some((st.getLen, 1L, st.getModificationTime))
     } catch { case _: Throwable => None }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -62,7 +75,7 @@ object Tables {
       else spark.read.parquet(s"$dir/$name.parquet")
     tableStat(spark, s"$dir/$name.parquet") match {
       case None => fresh() // unstattable (missing/odd scheme): let the read report
-      case Some((len, mtime)) =>
+      case Some(stat) =>
         val perSession = relCache.synchronized {
           var m = relCache.get(spark)
           if (m == null) {
@@ -72,10 +85,10 @@ object Tables {
           m
         }
         perSession.get((dir, name)) match {
-          case Some((l0, m0, df)) if l0 == len && m0 == mtime => df
+          case Some((s0, df)) if s0 == stat => df
           case _ =>
             val df = fresh()
-            perSession.put((dir, name), (len, mtime, df))
+            perSession.put((dir, name), (stat, df))
             df
         }
     }
@@ -89,7 +102,7 @@ object Tables {
   def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     tableStat(spark, s"$dir/$name.parquet") match {
       case None => spark.read.parquet(s"$dir/$name.parquet")
-      case Some((len, mtime)) =>
+      case Some(stat) =>
         val perSession = relCache.synchronized {
           var m = relCache.get(spark)
           if (m == null) {
@@ -99,10 +112,10 @@ object Tables {
           m
         }
         perSession.get((dir, s"$name#raw")) match {
-          case Some((l0, m0, df)) if l0 == len && m0 == mtime => df
+          case Some((s0, df)) if s0 == stat => df
           case _ =>
             val df = spark.read.parquet(s"$dir/$name.parquet")
-            perSession.put((dir, s"$name#raw"), (len, mtime, df))
+            perSession.put((dir, s"$name#raw"), (stat, df))
             df
         }
     }

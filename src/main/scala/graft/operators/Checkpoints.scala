@@ -74,10 +74,33 @@ object Checkpoints {
     * computes/pins the blocks and returns the trace value, instead of
     * an eager-checkpoint job followed by a separate read job.
     *
-    * CONTRACT: the caller's first action on the returned frame must
-    * scan EVERY partition (count / full aggregate / a join consuming
-    * the whole side). A `head`/`take` as first action would pin only
-    * the partitions it touched and leave the rest to recompute later.
+    * CONTRACT: the caller's FIRST action on the returned frame must
+    * (a) scan EVERY partition (count / full aggregate / a join or
+    * broadcast build consuming the whole side — a `head`/`take` first
+    * action makes RDD.doCheckpoint launch an EXTRA backfill job for
+    * the untouched partitions inside that same action, restoring the
+    * two-barrier shape the fusion removes; CheckpointsSpec pins this
+    * degradation), and
+    * (b) reference the frame exactly ONCE (a first job with two
+    * references computes the un-pinned subtree per reference — the
+    * d25ef64 lesson: three of the five initial r19 conversions violated
+    * this and recomputed corpus-wide subtrees inside their first job).
+    *
+    * Call-site audit (keep current when adding callers):
+    *  - KCore.peelRounds / PageRank / LogisticRegression via
+    *    [[materializeCount]] — first action is the fused count().
+    *  - TrainOps BPE loop — first actions are the top-pair collect
+    *    (full pair-window scan) / the symbol-mass aggregate.
+    *  - Dedup.propagateLabels round — first action is the
+    *    changed-count join (consumes the whole round frame once).
+    *  - Dedup.probeLshIndex `cand` — first action is newSh's eager
+    *    pin, whose semi-join build scans cand fully, once.
+    *  - PipelineQ q_ppl_bucket `lp` — first action is the tercile
+    *    aggregate (full scan; the bucket rollup waits on th's
+    *    broadcast).
+    *  - SimilarityQ q_random_projection pre-sort frame — first action
+    *    is the range-partitioner's reservoir sample (every partition,
+    *    one reference).
     *
     * Local path: lazy serialized localCheckpoint (plan is a LogicalRDD
     * immediately; blocks pin as the first job computes them).

@@ -159,8 +159,14 @@ object Triangles {
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst")))
-    val bloomOpt = if (!bloom) None else {
-      val nEdges = edges.count()
+    // The sketch needs the edge count ON THE DRIVER to size itself, so
+    // the bloom branch pays one count() action over the pinned blocks —
+    // and then REUSES that count as a literal in the stats row instead
+    // of re-aggregating the same frame in-plan (the r19 shape counted
+    // the pinned edges twice on the bloom branch: once here, once in
+    // the final plan's edges.agg(count)).
+    val nEdgesOpt = if (!bloom) None else Some(edges.count())
+    val bloomOpt = nEdgesOpt.flatMap { nEdges =>
       // bits(n, p) = -n·ln p / ln²2, so the smallest fpp that fits the
       // byte cap is exp(-8·cap·ln²2 / n); below 2% the cap isn't binding.
       val ln2sq = math.log(2.0) * math.log(2.0)
@@ -178,12 +184,17 @@ object Triangles {
     val cand = bloomOpt.fold(cand0)(b =>
       cand0.filter(BloomJoin.mightContain(b, xxhash64(col("x"), col("y")))))
     val tri = cand.join(edges, edges("a") === col("x") && edges("b") === col("y"))
-    // n_edges comes from an IN-PLAN aggregate over the pinned edge
-    // frame (one more consumer of already-materialized blocks), not a
-    // separate driver-side count() action — the bloom branch is the
-    // only one that needs the count on the driver, and it reuses this
-    // same scan shape.
-    edges.agg(count(lit(1)).cast("long").as("n_edges"))
+    // n_edges: on the bloom-off branch an IN-PLAN aggregate over the
+    // pinned edge frame (one more consumer of already-materialized
+    // blocks, no extra driver action); on the bloom-on branch the
+    // sizing count() above already holds the exact value on the driver,
+    // so it flows in as a literal — ONE count per stats() call on
+    // either branch.
+    val nEdgesDf = nEdgesOpt match {
+      case Some(n) => edges.sparkSession.range(1).select(lit(n).cast("long").as("n_edges"))
+      case None    => edges.agg(count(lit(1)).cast("long").as("n_edges"))
+    }
+    nEdgesDf
       .crossJoin(broadcast(deg.agg(max(col("d")).cast("long").as("max_degree"))))
       .crossJoin(broadcast(wedgeCount))
       .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))

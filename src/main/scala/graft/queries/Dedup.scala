@@ -450,9 +450,16 @@ object Dedup extends QueryPack {
       .filter(col("__n") <= maxBucket).select(col("bkey"))
     val idxOk = idx.join(ok, Seq("bkey"), "left_semi")
     val newBk = lshMembership(newBatch).withColumnRenamed("doc_id", "new_id")
-    val cand = newBk.join(idxOk, Seq("bkey"))
-      .select(col("new_id"), col("corp_id")).distinct()
-      .transform(pinSer) // feeds the pair join + both semi-joins
+    // feeds the pair join + both semi-joins — LAZY pin
+    // (Checkpoints.materializeLazy contract): the first action is
+    // newSh's eager pin job just below, whose semi-join build side
+    // scans cand fully and references it exactly once, so the
+    // candidate join is computed, pinned, and consumed in ONE job
+    // instead of paying its own barrier (r19 shape: eager pin = one
+    // extra sequential job per probe)
+    val cand = graft.operators.Checkpoints.materializeLazy(
+      newBk.join(idxOk, Seq("bkey"))
+        .select(col("new_id"), col("corp_id")).distinct())
     def shOf(df: DataFrame, idName: String) =
       df.filter(length(col("text")) >= 3)
         .select(col("doc_id").as(idName), explode(shingles(col("text"), 3)).as("s3"))

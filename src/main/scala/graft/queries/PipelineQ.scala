@@ -855,7 +855,10 @@ object PipelineQ extends QueryPack {
       // table and the scalar vocab count broadcast.
       val cxy = dbig.groupBy(col("xy")).agg(sum(col("c")).as("c_xy"))
       val cx = dbig.groupBy(col("x")).agg(sum(col("c")).as("c_x"))
-      val v = dbig.agg(countDistinct(col("x")).as("vocab"))
+      // vocab = |distinct x| = cx's row count — reuses cx's x-keyed
+      // exchange stage (AQE stage cache) instead of a third
+      // countDistinct scan of the bigram-grain pin
+      val v = cx.agg(count(lit(1)).as("vocab"))
       dbig.join(cxy, Seq("xy"))
         .join(broadcast(cx), Seq("x"))
         .crossJoin(broadcast(v))
@@ -917,14 +920,28 @@ object PipelineQ extends QueryPack {
         .transform(pinSer)
       val cxy = dbig.groupBy(col("xy")).agg(sum(col("c")).as("c_xy"))
       val cx = dbig.groupBy(col("x")).agg(sum(col("c")).as("c_x"))
-      val v = dbig.agg(countDistinct(col("x")).as("vocab"))
-      val lp = dbig.join(cxy, Seq("xy"))
-        .join(broadcast(cx), Seq("x"))
-        .crossJoin(broadcast(v))
-        .groupBy(col("doc_id"))
-        .agg((round(
-          sum(col("c") * log((col("c_xy") + 1.0) / (col("c_x") + col("vocab"))))
-            / sum(col("c")) * 1e6) / 1e6).as("lp"))
+      // vocab = |distinct x| = cx's row count: derived from the unigram
+      // aggregate (whose x-keyed exchange stage AQE reuses for the
+      // broadcast build) instead of a THIRD countDistinct scan of the
+      // bigram-grain pin
+      val v = cx.agg(count(lit(1)).as("vocab"))
+      // the per-doc logprob frame feeds BOTH the tercile aggregate and
+      // the bucket rollup; unpinned, the whole scoring subtree — the
+      // xy-keyed join of the bigram-grain pin against cxy, the widest
+      // work in the query — executed once per consumer (the r19 plan
+      // carried two full copies). Lazy pin (Checkpoints.materializeLazy
+      // contract): the FIRST action is the tercile aggregate's partial
+      // pass — a full scan referencing lp exactly once (the bucket
+      // rollup's stage cannot start before th's broadcast exists) — so
+      // the one job scores, pins, and aggregates simultaneously.
+      val lp = graft.operators.Checkpoints.materializeLazy(
+        dbig.join(cxy, Seq("xy"))
+          .join(broadcast(cx), Seq("x"))
+          .crossJoin(broadcast(v))
+          .groupBy(col("doc_id"))
+          .agg((round(
+            sum(col("c") * log((col("c_xy") + 1.0) / (col("c_x") + col("vocab"))))
+              / sum(col("c")) * 1e6) / 1e6).as("lp")))
       val th = lp.agg(
         (round(expr("percentile(lp, 1.0D / 3)") * 1e6) / 1e6).as("t33"),
         (round(expr("percentile(lp, 2.0D / 3)") * 1e6) / 1e6).as("t66"))
@@ -1857,7 +1874,19 @@ object PipelineQ extends QueryPack {
         .filter(col("n_both") >= 3)
       // independent pruned scans: (order, part) distinct → per-part order
       // counts; scalar exact distinct-order count. Each is a plain
-      // two-phase agg that spills gracefully — no shared materialization
+      // two-phase agg that spills gracefully — no shared materialization.
+      // Examined r20 (guide §2.4, the verdict's "share one l_orderkey
+      // exchange" lead) and KEPT: an explicit repartition(l_orderkey)
+      // feeding all branches does NOT unify at runtime — the part-join's
+      // pushed-down isnotnull filters and nOrders' column pruning give
+      // each branch a canonically DIFFERENT exchange subtree (no AQE
+      // stage reuse), while the repartition costs the map-side partial
+      // aggregation these branches rely on (nOrders would shuffle raw
+      // orderkeys instead of per-partition-deduped ones — a pure
+      // regression at the ×1000 SF). The one duplication the initial
+      // plan does show — freq under both the fa and fb joins — IS
+      // stage-reused at runtime (identical canonical subtrees), and the
+      // same-window A/B of the restructure read a wash at sf0.1.
       val freq = li.select(col("l_orderkey"), col("l_partkey")).distinct()
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
       val nOrders = li
@@ -2609,9 +2638,14 @@ object PipelineQ extends QueryPack {
     */
   private def triBloomGate(s: SparkSession, dir: String, keepFraction: Double): Boolean =
     s.conf.getOption("spark.graft.tri.bloom") match {
-      case Some("always") => true
-      case Some("never")  => false
-      case _ =>
+      case Some("always") | Some("true")  => true
+      case Some("never") | Some("false")  => false
+      case Some(other) =>
+        // a silently ignored override would LOOK engaged while the size
+        // heuristic decides — misconfiguration must fail loudly
+        throw new IllegalArgumentException(
+          s"spark.graft.tri.bloom=$other — use always/true, never/false, or unset for the size gate")
+      case None =>
         (BigDecimal(t(s, dir, "lineitem")
           .queryExecution.optimizedPlan.stats.sizeInBytes) * keepFraction)
           .toBigInt > BigInt(16L << 20)

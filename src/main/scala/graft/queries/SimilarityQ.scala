@@ -435,9 +435,18 @@ object SimilarityQ extends QueryPack {
                 .projectDim(col("embedding"), "rp", j, dimIn, dimOut).as(s"y$j")) :+
             normIn.as("norm_in"): _*)
         val normOut = sqrt((0 until dimOut).map(j => col(s"y$j") * col(s"y$j")).reduce(_ + _))
-        p.select(Seq(col("vec_id")) ++
+        val projected = p.select(Seq(col("vec_id")) ++
             (0 until dimOut).map(j => (round(col(s"y$j") * 1e4) / 1e4).as(s"y$j")) :+
             (round(normOut / col("norm_in") * 1e4) / 1e4).as("norm_ratio"): _*)
+        // The global sort's range-partitioner SAMPLES its child first,
+        // and the projection is map-side all the way from the scan — so
+        // unpinned, the 8×64-term ± chains run TWICE (sampling pass +
+        // sort pass). Lazy pin (Checkpoints.materializeLazy contract):
+        // the sampling job is the first action — a reservoir pass over
+        // every partition, referencing the frame exactly once — so one
+        // job projects, pins the narrow (id + 9 doubles) rows, and
+        // samples; the sort shuffle then reads the pinned blocks.
+        graft.operators.Checkpoints.materializeLazy(projected)
           .orderBy(col("vec_id"))
       })
   }

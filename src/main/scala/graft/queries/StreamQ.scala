@@ -103,6 +103,15 @@ object StreamQ extends QueryPack {
     * [[statePartitions]]-derived shuffle-partition count, restoring the
     * session default after — the streaming plan captures the conf at
     * query start. Restores on every exit path.
+    *
+    * SINGLE-QUERY-AT-A-TIME contract: this mutates the session-global
+    * `spark.sql.shuffle.partitions` for the duration of the drain, so a
+    * batch query planned CONCURRENTLY in the same session would inherit
+    * the reduced count. Every entry point here (Bench / Verify /
+    * SparkEntry) runs queries sequentially, which is what makes the
+    * set/restore safe; a concurrent deployment must scope the conf via
+    * a cloned session (`spark.newSession()` shares state stores but not
+    * conf) instead.
     */
   private def withStatePartitions[A](
       s: org.apache.spark.sql.SparkSession, dir: String)(body: => A): A = {
@@ -401,19 +410,19 @@ object StreamQ extends QueryPack {
       val joined = EventStreams.clickToPurchase(ev, windowSeconds = 600, watermark = "10 minutes")
       // A stream-stream join keeps FOUR state stores per partition, each
       // committed every micro-batch — so state partitioning follows
-      // STATE volume (bounded by the watermark horizon: 10 minutes of
-      // events), not scan parallelism. At horizon-sized state, 8
-      // partitions cuts the commit fan-out 4×8×batches vs 4×32×batches
-      // (measured 8.4 s -> 2.8 s); a production deployment sizes this
-      // to horizon volume the same way. Restored after the drain.
+      // STATE volume, not scan parallelism: at sf0.1 the shared
+      // [[statePartitions]] derivation lands on the same 8 this drain
+      // measured by hand in r12 (8.4 s -> 2.8 s vs 32 state stores),
+      // and at board SFs the horizon's event volume grows with the
+      // source, which is exactly the byte count the helper scales on.
+      // One mechanism for every stateful drain in the pack (r20 —
+      // previously this site hand-rolled the same set/restore inline).
       // Matched pairs are ROW-GRAIN (they grow with event volume), so
       // the drain goes through the distributed parquet file sink like
       // every other row-grain stream in this pack.
       val out = Staging.dir("stream_join_out").toString
       val ckpt = Staging.dir("stream_join_ckpt").toString
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withStatePartitions(s, dir) {
         val q = joined.writeStream
           .format("parquet")
           .option("path", out)
@@ -422,7 +431,7 @@ object StreamQ extends QueryPack {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       s.read.parquet(out)
         .select(
           col("user_id"), col("click_id"), col("purchase_id"),

@@ -68,6 +68,54 @@ class CheckpointsSpec extends SparkSpec {
       mat.queryExecution.optimizedPlan.toString)
   }
 
+  test("materializeLazy contract: a full-scan first action computes once; a take-shaped first action degrades to partial pinning") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    def tracked() = {
+      val acc = sc.longAccumulator
+      val note = udf { (i: Long) => acc.add(1L); i }
+      (acc, spark.range(0, 64, 1, 4).select(note(col("id")).as("id")))
+    }
+    // CONTRACT HELD: one full-scan first consumer → every row computed
+    // exactly once, and a SECOND consumer reads pinned blocks
+    val (okAcc, okDf) = tracked()
+    val fused = Checkpoints.materializeLazy(okDf)
+    assert(fused.agg(sum(col("id"))).head.getLong(0) === (0L until 64L).sum)
+    assert(okAcc.value === 64L, s"full-scan first action must compute once, saw ${okAcc.value}")
+    assert(fused.count() === 64L)
+    assert(okAcc.value === 64L, s"second consumer must read pins, saw ${okAcc.value}")
+    // CONTRACT BROKEN (the documented hazard, kept from regressing
+    // silently): a take-shaped first action does NOT give lazy
+    // per-partition pinning — RDD.doCheckpoint runs at the end of the
+    // first job and launches an EXTRA job to compute every partition
+    // the take didn't touch. The caller pays the take job PLUS a full
+    // backfill job, i.e. the fused single barrier is back to two.
+    val (badAcc, badDf) = tracked()
+    val partial = Checkpoints.materializeLazy(badDf)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      assert(partial.head().getLong(0) === 0L)
+      // the backfill ran INSIDE the head() action: every partition is
+      // already computed even though head touched only one
+      eventually(badAcc.value === 64L)
+      eventually(jobs.get() >= 2) // listener bus is async
+      assert(jobs.get() >= 2,
+        s"head()-first must pay a take job + a doCheckpoint backfill job, saw ${jobs.get()}")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  private def eventually(cond: => Boolean, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cond)
+  }
+
   test("with a checkpoint dir: goes reliable, writes there, and round-trips") {
     val sc = spark.sparkContext
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString

@@ -10,6 +10,16 @@ import graft.streaming.EventStreams
   */
 class SchemaContractSpec extends SparkSpec {
 
+  /** Total bytes of the leaf files under a table path (file or dir) —
+    * the dominant component of [[Tables]]' memo-invalidation stat.
+    */
+  private def leafBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(path))
+  }
+
   test("validate passes on the shipped testdata") {
     Tables.validate(spark, "/root/testdata/sf0.001")
   }
@@ -71,11 +81,16 @@ class SchemaContractSpec extends SparkSpec {
     // re-probe), and it still scans current parquet bytes on execution
     assert(Tables.load(spark, dir, "documents") eq first)
     assert(first.count() === 1)
-    // rewrite with different content → stat changes → memo invalidates
-    Thread.sleep(5) // ensure a distinct mtime even on coarse clocks
+    // rewrite with MORE content: the table's total leaf bytes change,
+    // so the (bytes, fileCount, mtime) invalidation key differs even
+    // when the rewrite lands inside the filesystem's mtime granularity
+    // — no sleep needed, and no granularity assumption to flake on
+    val bytesBefore = leafBytes(s"$dir/documents.parquet")
     Seq((1L, "a", "en", "s", 1L), (2L, "b", "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(leafBytes(s"$dir/documents.parquet") != bytesBefore,
+      "fixture must change total bytes or the invalidation key is untested")
     assert(Tables.load(spark, dir, "documents").count() === 2,
       "a rewritten table must be re-loaded, not served from the memo")
   }
