@@ -100,8 +100,9 @@ object StreamQ extends QueryPack {
   }
 
   /** Run `body` (a drain: plan + start + awaitTermination) under the
-    * [[statePartitions]]-derived shuffle-partition count, restoring the
-    * session default after — the streaming plan captures the conf at
+    * [[statePartitions]]-derived shuffle-partition count and the pack's
+    * checkpoint-commit I/O policy (see inline note), restoring the
+    * session defaults after — the streaming plan captures the conf at
     * query start. Restores on every exit path.
     *
     * SINGLE-QUERY-AT-A-TIME contract: this mutates the session-global
@@ -115,9 +116,32 @@ object StreamQ extends QueryPack {
     */
   private def withStatePartitions[A](
       s: org.apache.spark.sql.SparkSession, dir: String)(body: => A): A = {
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevCk = s.conf.getOption(ckKey)
     s.conf.set("spark.sql.shuffle.partitions", statePartitions(s, dir).toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // Spark 4.1 writes a `<file>.crc` CHECKSUM SIDECAR next to every
+    // checkpoint file it commits — on top of the client-side CRC the
+    // Hadoop ChecksumFileSystem (local/HDFS checkpoint dirs) already
+    // writes for the same bytes — so every state-store delta commit
+    // costs 4 file creations instead of 2. State commits, not row
+    // compute, dominate stateful-drain time at every state size (the
+    // r12/r19 partition-sizing measurements), so the redundant layer is
+    // dropped for the drains here (same-window A/B: the two-drain
+    // session/restart gates −9/−10%, singles −4/−5%, stateless drains
+    // unchanged). `spark.graft.stream.ckptChecksum=true` restores
+    // Spark's default for deployments whose checkpoint filesystem has
+    // NO integrity layer of its own (e.g. raw object stores) — that is
+    // a durability decision, never a result change.
+    if (!s.conf.getOption("spark.graft.stream.ckptChecksum").contains("true"))
+      s.conf.set(ckKey, "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None    => s.conf.unset(ckKey)
+      }
+    }
   }
 
   /** Footer-derived raw schema of the events source (streaming sources
