@@ -101,6 +101,8 @@ object Checkpoints {
     *  - SimilarityQ q_random_projection pre-sort frame — first action
     *    is the range-partitioner's reservoir sample (every partition,
     *    one reference).
+    *  - PipelineQ q_jaro_fuzzy scored-pair frame — same pre-sort
+    *    sampling shape as q_random_projection.
     *
     * Local path: lazy serialized localCheckpoint (plan is a LogicalRDD
     * immediately; blocks pin as the first job computes them).

@@ -1536,12 +1536,15 @@ object PipelineQ extends QueryPack {
         .select(col("rep").as("pk_a"), col("rep").as("pk_b"),
           lit(1.0).as("jw"),
           expr("(n * (n - 1)) div 2").cast("long").as("n_pairs"))
-      cross.unionByName(intra)
-        // pin the scored pairs before the global sort: orderBy's range-
-        // sampling job otherwise RE-EXECUTES the quadratic in-block
-        // scoring end to end; the surviving ≥0.82 pair set is tiny, so
-        // the checkpoint costs nothing to hold
-        .localCheckpoint(true)
+      // pin the scored pairs before the global sort: orderBy's range-
+      // sampling job otherwise RE-EXECUTES the quadratic in-block
+      // scoring end to end; the surviving ≥0.82 pair set is tiny, so
+      // the checkpoint costs nothing to hold. LAZY (r20, the
+      // materializeLazy contract): the sampling job is itself a full
+      // reservoir pass referencing the frame once, so it doubles as the
+      // materializing action — the scoring still runs exactly once,
+      // minus the eager pin's own job barrier.
+      graft.operators.Checkpoints.materializeLazy(cross.unionByName(intra))
         .orderBy(col("pk_a"), col("pk_b"))
     })
 
