@@ -135,6 +135,16 @@ object StreamQ extends QueryPack {
     // a durability decision, never a result change.
     if (!s.conf.getOption("spark.graft.stream.ckptChecksum").contains("true"))
       s.conf.set(ckKey, "false")
+    // Examined and rejected (r20): deferring the JVM-global state-store
+    // maintenance tick (`maintenanceInterval=600s`) past these one-shot
+    // drains. Hypothesis: the 60 s tick snapshot-compacts every provider
+    // the finished drains leave loaded, charging that I/O to whatever
+    // query is executing when it fires. Measured (interleaved subset A/B
+    // with controls, sf0.1 AND a 10× events replica): wash at both sizes
+    // — the drains' state is committed in ≤ a handful of versions (below
+    // the minDeltasForSnapshot=10 snapshot line), so the tick has nothing
+    // material to do. Not worth the session-global scheduling side effect
+    // (the FIRST store load pins the interval for the JVM's lifetime).
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       prevCk match {
@@ -615,6 +625,16 @@ object StreamQ extends QueryPack {
       s.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Examined and rejected (r20): RocksDB changelog checkpointing
+      // (`...rocksdb.changelogCheckpointing.enabled=true` — commit
+      // uploads per-batch changes instead of a full snapshot zip).
+      // A result-identical checkpoint-layout choice, but the isolated
+      // interleaved A/B (3 reps/side, controls embedded, 10× events
+      // replica) read a wash: before 2.11–2.39 s, after 2.23–2.48 s —
+      // this drain commits ONE batch of small per-user state per
+      // partition, so there is no snapshot-per-commit tail to amortize.
+      // Worth re-testing on a long-lived multi-batch deployment, not
+      // here.
       try withStatePartitions(s, dir) {
         EventStreams.thresholdAlerts(ev, threshold = 100.0)
           .toDF.writeStream
