@@ -839,9 +839,20 @@ object Dedup extends QueryPack {
         .as("x"))
       .select(col("doc_id"), col("x.i").as("i"),
         gramHash(col("x.gram"), hashHexChars).as("g"))
-    val f = gr.groupBy(col("g"))
-      .agg(min(struct(col("doc_id").as("d"), col("i").as("fi"))).as("fst"))
-    val dups = gr.join(f, Seq("g"))
+    // First-occurrence filtering as ONE g-partitioned window over gr
+    // (min struct = the same corpus-wide first the oracle's `f` CTE
+    // computes), not groupBy + join-back. The join shape executed the
+    // gram explode + md5 — the widest work in the query — TWICE (once
+    // under the aggregate, once on the probe side: at sf0.1 the
+    // aggregate side is broadcast, at scale AQE turns it into a
+    // sort-merge join shuffling BOTH full sides). The window shape
+    // explodes once and exchanges gr once; its per-partition sort on g
+    // is work the aggregate side's SortAggregate already paid.
+    // (Same-window A/B + plan diff in OPTIMIZATION_r20.md; dup set
+    // identical by construction — DedupCollisionSpec + oracle pin it.)
+    val wG = Window.partitionBy(col("g"))
+    val dups = gr
+      .withColumn("fst", min(struct(col("doc_id").as("d"), col("i").as("fi"))).over(wG))
       .filter(!(col("doc_id") === col("fst.d") && col("i") === col("fst.fi")))
     val iv = dups.select(col("doc_id"), col("i").as("s"), (col("i") + 7).as("e")).distinct()
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
