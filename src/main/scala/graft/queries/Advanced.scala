@@ -133,6 +133,19 @@ object Advanced extends QueryPack {
       // the q_approx_sketch path.
       val B = 256
 
+      // Examined and rejected (r20): pinning `stats` (eager tiny
+      // localCheckpoint) + `vfreq` (pinSer) to collapse the duplicated
+      // subtrees — the listener-captured FINAL plan shows 15 lineitem
+      // scans / 17 shuffle stages with only 3 exchanges reused (column
+      // pruning differentiates the copies), so the dedup looked free.
+      // Measured (interleaved A/B, controls embedded): pins LOSE ~+15%
+      // at sf0.1 (3.03/3.29/3.07 → 3.70/3.37 in clean reps) AND ~+20%
+      // at a 10× replica (4.82/4.37 → 5.89/5.14) — the pin serializes
+      // a corpus-width frame (vfreq ≈ one row per distinct value) and
+      // adds four sequential barriers, while the "duplicated" chains
+      // are pruned columnar scans + partial aggs that cost less than
+      // the pin's own write+read at BOTH sizes. The duplication scales
+      // the same way the pin does, so no crossover is expected.
       def quantiles(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
         val stats = li.groupBy("l_returnflag").agg(
           count(lit(1)).as("n"),
